@@ -133,6 +133,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one test table; Catalyst prunes columns/pushes filters."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects by default. nanosAsLong is a runtime-settable SQL
+        # conf (works on any caller-provided session); we then rebuild a
+        # micros timestamp with exact integer division (ns // 1000 — a
+        # double division would lose precision above 2^53).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -45,7 +45,10 @@ def _norm(v):
 
 def _canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # key=repr: rows may mix None with values (outer joins, rollup subtotals)
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows), key=repr
+    )
 
 
 def assert_matches_oracle(spark, sf_dir: str, name: str, query_fn, sql: str) -> None:
