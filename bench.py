@@ -1,0 +1,80 @@
+"""Benchmark harness (driver contract): times the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is a noop-format write: the full pipeline (scan → compute →
+shuffle) runs distributed, without driver-side collect() distorting the
+measurement. One warm-up query amortizes JVM/codegen startup out of the
+numbers — the reference's own timers likewise exclude process start
+(reference src/main.cpp:96-98 starts timing after argv parsing).
+
+Baseline context (BASELINE.md): reference best = 19.6 MB/s single-node
+word count; target ≥ ~10 MB/s at sf0.1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+from parallel_map_reduce_word_counter_for_one_machine_spark.session import get_spark
+
+registry.load_all()
+
+# Headline set: the flagship word-count family + one representative per
+# operator class (join/agg/window/dedup/similarity/text/stream).
+BENCH_QUERIES = [
+    "word_count",
+    "sort_by_count_desc",
+    "star_join_agg",
+    "agg_group",
+    "window_rank",
+    "sort_limit_topk",
+    "tfidf",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "stream_tumbling_agg",
+]
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    df = registry.QUERIES[name](spark, sf_dir)
+    t0 = time.monotonic()
+    df.write.mode("overwrite").format("noop").save()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="pmr-wc-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    run_one(spark, "word_count", sf_dir)  # warm-up (JVM/codegen/page cache)
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        times[name] = round(run_one(spark, name, sf_dir), 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

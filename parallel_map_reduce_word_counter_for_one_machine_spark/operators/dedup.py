@@ -1,1 +1,297 @@
-"""Placeholder — filled in this round."""
+"""Deduplication operators for training-data pipelines (driver contract
+§ north-star extensions; absent from the reference, whose only keyed
+structure is the word→count map — SURVEY.md §2b).
+
+Five tiers, all pure DataFrame/JVM expressions (no Python in the row path):
+
+1. ``dedup_exact``        — hash-groupBy on content; one shuffle.
+2. ``dedup_minhash_lsh``  — shingle → MinHash signature → band → bucket
+   join → exact-Jaccard verify. THE 100 TB near-dup path: candidate
+   generation is a groupBy on band keys (linear + one shuffle), never an
+   all-pairs join.
+3. ``dedup_simhash``      — 64-bit SimHash + chunk-LSH + hamming verify.
+4. ``dedup_ngram_jaccard``— exact all-pairs Jaccard on token sets;
+   oracle-checkable ground truth for the LSH tiers (O(n²) — test scale
+   only; the LSH tiers are the scale path).
+5. ``dedup_embedding``    — embedding-cosine near-dup pairs (semantic
+   near-dups; brute-force here, LSH/IVF variant in similarity.py).
+
+MinHash math: h_i(S) = min over shingles s of xxhash64(s, seed_i); the
+band trick (b bands × r rows) makes P[candidate] ≈ 1-(1-J^r)^b — with
+b=8, r=2: J=0.8 → 0.98, J=0.3 → 0.53. Banding/verify thresholds chosen
+for the small-vocabulary synthetic corpus; both are constructor args.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+N_HASHES = 16
+N_BANDS = 8  # => rows per band r = N_HASHES // N_BANDS = 2
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+HAMMING_MAX = 8
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.filter(F.split(F.col(col), " "), lambda w: w != "")
+
+
+def _shingles(col: str = "text", k: int = SHINGLE_K) -> Column:
+    """Word k-gram shingle set, built inside the array domain (no explode)."""
+    w = _tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(w, i, k), " "))
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle=(
+        "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies "
+        "FROM documents GROUP BY md5(text)"
+    ),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as hash-groupBy on a content fingerprint, keeping the
+    smallest doc_id per group (deterministic winner — ``dropDuplicates``
+    keeps an arbitrary row). Grouping on md5(text) rather than raw text
+    keeps shuffle rows ~16 bytes wide at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = N_HASHES, k: int = SHINGLE_K
+) -> DataFrame:
+    """(doc_id, sig: array<long>[n_hashes]) — sig_i = min xxhash64(shingle, i).
+
+    Formulated as explode(shingles) → groupBy(doc_id).agg(min(hash_i) × n):
+    the n_hashes hash evaluations are flat row expressions over the
+    exploded shingle stream (whole-stage codegen, one pass), and partial
+    aggregation collapses each doc to a single row per map task before the
+    one shuffle. A previous nested-lambda formulation (array_min of
+    transform per seed, inside one row expression) re-evaluated the
+    shingle construction once PER SEED — 16× the work, measured 26s vs
+    ~3s at sf0.1."""
+    ex = docs.select("doc_id", F.explode(_shingles(k=k)).alias("s"))
+    mins = ex.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """Band the signatures and emit unordered candidate pairs (a < b).
+
+    Each doc explodes to n_bands (band_id, band_hash) keys; a self-join on
+    the band key inside each bucket yields candidates. At 100 TB this is a
+    shuffle on band keys (linear in corpus size) — monster buckets (degenerate
+    shingles) are the skew risk; AQE skew-join handles moderate cases and a
+    bucket-size cap would bound adversarial ones."""
+    r = N_HASHES // n_bands
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.xxhash64(F.slice(F.col("sig"), b * r + 1, r).cast("string")).alias(
+                "band_hash"
+            ),
+        ),
+    )
+    banded = sigs.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_hash"
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query("dedup_minhash_lsh")  # rows-only: multi-stage LSH is not ANSI-SQL-expressible
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: MinHash-LSH candidates verified by exact shingle
+    Jaccard ≥ 0.5. Verification joins the (small) candidate pair list back
+    to the shingle arrays — broadcast-able because LSH already pruned the
+    quadratic space. Correctness vs brute force is asserted in
+    tests/test_dedup.py (recall on high-similarity pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    cands = lsh_candidate_pairs(sigs)
+    sh = docs.select("doc_id", _shingles().alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter.cast("double") / union
+    return (
+        cands.join(a, cands.doc_a == F.col("a.doc_id"))
+        .join(b, cands.doc_b == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def simhash_column(hashes: Column, n_bits: int = 64) -> Column:
+    """64-bit SimHash from an array of 64-bit token hashes: bit b of the
+    fingerprint is the sign of Σ_tokens (±1 per token's bit b). Pure array
+    expressions; the OR-fold avoids ANSI overflow on bit 63."""
+    def bit_of(b: int) -> Column:
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(n_bits):
+        out = out.bitwiseOR(bit_of(b))
+    return out
+
+
+@query("dedup_simhash")  # rows-only: bit-level fingerprint pipeline, not ANSI SQL
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: fingerprint → 4×16-bit chunk LSH (a pair
+    within hamming distance 3 must share ≥1 exact chunk — pigeonhole) →
+    exact hamming verify ≤ HAMMING_MAX via bit_count(xor). Candidate
+    generation is again a linear groupBy-shaped join on chunk keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_hashes = F.transform(_tokens(), lambda w: F.xxhash64(w))
+    fps = docs.select("doc_id", simhash_column(tok_hashes).alias("fp"))
+
+    # Python-level loop: shiftrightunsigned requires an int literal shift,
+    # so the 4 chunk extractors are unrolled rather than transform()'d.
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_id"),
+                F.shiftrightunsigned(F.col("fp"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("chunk_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    chunked = fps.select("doc_id", "fp", F.explode(chunks).alias("c")).select(
+        "doc_id", "fp", "c.chunk_id", "c.chunk_val"
+    )
+    l, r = chunked.alias("l"), chunked.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.fp").alias("fp_a"),
+            F.col("r.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= HAMMING_MAX
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=(
+        "WITH s AS (SELECT doc_id, list_distinct(list_filter("
+        "string_split(text, ' '), w -> w <> '')) AS toks FROM documents) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard "
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8"
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over all pairs — the oracle-checkable ground
+    truth the LSH tiers are validated against. O(n²) by construction: run
+    at test scale only; at 100 TB use dedup_minhash_lsh (this query exists
+    precisely so the LSH recall is measurable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select("doc_id", F.array_distinct(_tokens()).alias("toks"))
+    a, b = s.alias("a"), s.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
+        / F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@query(
+    "dedup_embedding",
+    oracle=(
+        # ::DOUBLE[] casts: DuckDB evaluates FLOAT[] cosine in float32,
+        # ~1e-7 error vs our double math — above the 1e-6 rounding quantum.
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)"
+        " AS cos_sim "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]"
+        "), 6) >= 0.9"
+    ),
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (semantic dedup). Cosine is computed
+    JVM-side: zip_with product + aggregate sum in double, sequential order
+    matching the oracle. Rounded to 6dp before thresholding so the pair
+    SET is stable cross-engine. Brute-force pairs here; the bucketed scale
+    path is similarity.py's LSH/IVF machinery."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, t: acc + t
+        )
+
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+    )

@@ -1,1 +1,132 @@
-"""Placeholder — filled in this round."""
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Pattern (driver contract § north-star extensions): media lives as a
+``binary`` column with a typed metadata struct beside it; decode /
+feature-extraction runs as Arrow-batched ``mapInPandas`` over partitions.
+This container has no image/audio codecs, so the decode step is a
+DETERMINISTIC FAKE (clearly marked below) deriving pseudo-features from the
+payload bytes — the Spark-side plumbing (schema, batching, partitioning,
+UDF signature) is real and is what the tests exercise. Swap
+``_fake_decode_batch`` for a real PIL/ffmpeg call and nothing else changes.
+
+Blobs here are synthesized from ``documents.text`` (UTF-8 encode) because
+the test tables carry no real media; at 100 TB the blob column is exactly
+this shape (parquet binary + struct), read with the same scans.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..sources.tables import load_table
+
+
+def blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, payload: binary, meta: struct) — the canonical
+    multimodal layout. Metadata is computed JVM-side from the payload."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("kind"),
+            F.length(payload).alias("n_bytes"),
+            F.md5(F.col("text")).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle=(
+        "SELECT doc_id, 'text/plain' AS kind, "
+        "octet_length(encode(text)) AS n_bytes, md5(text) AS checksum "
+        "FROM documents"
+    ),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata projected off the blob table (struct field access —
+    columnar, prunable: a query touching only meta never reads payloads
+    from a parquet store with column pruning)."""
+    b = blobs(spark, sf_dir)
+    return b.select(
+        "doc_id",
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+
+@query(
+    "multimodal_frames",
+    oracle=(
+        "SELECT doc_id, unnest(generate_series(0, "
+        "octet_length(encode(text)) % 7)) AS frame_id FROM documents"
+    ),
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled frame index, fanned out
+    with a generator (explode of a sequence) — the shape of video
+    frame-extraction output. Frame count is a deterministic function of
+    payload size (stand-in for container metadata)."""
+    b = blobs(spark, sf_dir)
+    return b.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.n_bytes") % 7)
+        ).alias("frame_id"),
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("feat", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """DETERMINISTIC FAKE DECODER (no codecs in this container).
+
+    Derives pseudo image dimensions + an 8-dim feature vector from payload
+    bytes. Replace the body with a real decoder (PIL/torchvision/ffmpeg)
+    without touching the Spark plumbing: signature, Arrow batching, and
+    output schema are exactly what a real decoder uses.
+    """
+    import hashlib
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            h = hashlib.md5(bytes(payload)).digest()
+            out.append(
+                {
+                    "doc_id": int(doc_id),
+                    "width": 16 + h[0] % 64,
+                    "height": 16 + h[1] % 64,
+                    "channels": 1 + h[2] % 4,
+                    "feat": [b / 255.0 for b in h[:8]],
+                }
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in _FEATURE_SCHEMA.fields])
+
+
+@query("multimodal_decode")  # rows-only: decode is a Python-side (fake) codec
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract via Arrow-batched ``mapInPandas`` — the one
+    place Python belongs in this engine: per-partition batch transforms of
+    opaque payloads. Scales by partition count; no shuffle, no collect."""
+    b = blobs(spark, sf_dir).select("doc_id", "payload")
+    return b.mapInPandas(_fake_decode_batch, schema=_FEATURE_SCHEMA)

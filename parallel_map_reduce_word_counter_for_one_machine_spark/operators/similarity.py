@@ -1,1 +1,155 @@
-"""Placeholder — filled in this round."""
+"""Similarity search over the ``embeddings`` table (array<float>[64]).
+
+Two tiers (driver contract § north-star extensions):
+
+- ``similarity_topk``     — exact brute-force cosine top-k: the correctness
+  baseline. Query side is broadcast (|queries| ≪ |corpus|), the corpus scan
+  is linear, ranking is a per-query window — no all-pairs shuffle.
+- ``similarity_topk_ivf`` — IVF (inverted-file) approximate variant: a
+  coarse quantizer assigns every vector to its nearest centroid; queries
+  probe only the ``nprobe`` nearest cells. At 100 TB the corpus is
+  partitioned/bucketed by cell id so a probe touches only matching
+  partitions (partition pruning), turning top-k from a full scan into a
+  few-cell scan. Centroids here are per-label means (the synthetic data's
+  natural clusters — a k-means step would produce them the same shape).
+
+All vector math is JVM-side ``zip_with``/``aggregate`` in double —
+sequential accumulation matching the DuckDB oracle bit-for-bit before the
+6dp rounding that stabilizes rank boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources.tables import load_table
+
+TOP_K = 10
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+# The synthetic embeddings are near-random (measured intra-label cosine
+# 0.009 vs inter-label -0.004), so the coarse quantizer carries little
+# signal and IVF recall ~ fraction-of-corpus probed (0.74 at 5/10 cells).
+# On genuinely clustered corpora the same plan probes 1-2 cells at high
+# recall; nprobe is the knob.
+N_PROBE = 5
+
+
+def dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, t: acc + t
+    )
+
+
+def cosine(x: Column, y: Column) -> Column:
+    return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+
+
+@query(
+    "similarity_topk",
+    oracle=(
+        # ::DOUBLE[] casts: DuckDB computes FLOAT[] cosine in float32 (error
+        # ~1e-7 > our 1e-6 rounding quantum) and float round() stays float.
+        f"SELECT q.vec_id AS query_id, c.vec_id AS cand_id, "
+        f"round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)"
+        f" AS cos_sim, "
+        f"row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        f"round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)"
+        f" DESC, c.vec_id) AS rk "
+        f"FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id "
+        f"WHERE q.vec_id < {N_QUERIES} "
+        f"QUALIFY rk <= {TOP_K}"
+    ),
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k per query vector. Plan shape: broadcast the tiny
+    query set against the corpus scan (one linear pass), then one window
+    exchange keyed by query_id for the per-query top-k — the distributed
+    form of 'scan once, keep a k-heap per query'."""
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cands = vecs.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        F.broadcast(queries)
+        .join(cands, F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", sim.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+def label_centroids(vecs: DataFrame) -> DataFrame:
+    """Coarse-quantizer centroids: per-label element-wise mean, computed by
+    posexplode → (label, dim) avg → collect back to arrays. Two narrow
+    shuffles over |corpus|·64 rows; at 100 TB this is the one-off index
+    build step (or replaced by k-means emitting the same schema)."""
+    exploded = vecs.select("label", F.posexplode("v").alias("dim", "val"))
+    means = exploded.groupBy("label", "dim").agg(F.avg("val").alias("mean"))
+    return (
+        means.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm"))
+        .select(
+            F.col("label").alias("cell_id"),
+            F.transform(F.col("dm"), lambda s: s.getField("mean")).alias("centroid"),
+        )
+    )
+
+
+@query("similarity_topk_ivf")  # rows-only: multi-stage ANN index, not ANSI SQL
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-k: (1) build/broadcast centroids, (2) per query
+    pick the nprobe nearest cells, (3) join candidates ONLY from those
+    cells (cell assignment = vector's label ≙ nearest-centroid assignment),
+    (4) exact cosine + per-query top-k among probed candidates.
+
+    Probing 3 of 10 cells scans ~30% of the corpus; recall vs the exact
+    baseline is asserted in tests/test_similarity.py."""
+    vecs = _vectors(spark, sf_dir)
+    cents = label_centroids(vecs)
+
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qc = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "cell_id",
+            cosine(F.col("qv"), F.col("centroid")).alias("cell_sim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    probes = qc.withColumn("cell_rk", F.row_number().over(wq)).filter(
+        F.col("cell_rk") <= N_PROBE
+    ).select("query_id", "qv", "cell_id")
+
+    cands = vecs.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("cell_id"), F.col("v").alias("cv")
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        F.broadcast(probes)
+        .join(cands, "cell_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", sim.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )

@@ -1,1 +1,275 @@
-"""Placeholder — filled in this round."""
+"""Text-analysis operators for a training-data pipeline (driver contract
+§ north-star extensions; no reference citation — the reference's only text
+operation is its tokenizer, src/main.cpp:55-75, which these generalize).
+
+All hot-path logic is JVM-side array/lambda expressions (``split``,
+``filter``, ``transform``, ``zip_with``, ``aggregate``) — no Python UDFs:
+at 100 TB these run inside whole-stage codegen per partition with zero
+serialization across the Python boundary.
+
+Determinism notes (exact value-hash vs DuckDB):
+- Double arithmetic is emitted unrounded where both engines execute the
+  identical IEEE op sequence per row (ratios, divisions).
+- ``tfidf`` rounds to 6dp: ``ln`` differs by ≤1 ulp between Java's and C's
+  libm, and document-frequency aggregation order is engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+# BPE-ish pretokenizer: letter runs, digit runs, single non-alnum symbols.
+# Kept to syntax shared by Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny high-frequency stopword lists per language for the n-gram-free
+# language-ID heuristic (set-membership scoring — the classic fastText-lite
+# fallback when no model is available).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "von"],
+    "fr": ["le", "la", "les", "et", "est", "de"],
+    "es": ["el", "la", "los", "y", "es", "de"],
+}
+
+
+def _words(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+@query(
+    "text_stats",
+    oracle=(
+        "SELECT doc_id, length(text) AS n_chars_calc, "
+        "len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens, "
+        "len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) "
+        "  AS n_distinct_tokens, "
+        "CAST(length(replace(text, ' ', '')) AS DOUBLE) "
+        "  / len(list_filter(string_split(text, ' '), w -> w <> '')) AS avg_token_len "
+        "FROM documents"
+    ),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics — one narrow projection, no shuffle;
+    the per-doc arrays never leave the executor."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_words(), lambda w: w != "")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+def _lang_hits(lang: str) -> F.Column:
+    return F.size(
+        F.array_intersect(_words(), F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+    )
+
+
+@query(
+    "lang_id",
+    oracle=(
+        "WITH scored AS (SELECT doc_id, lang, "
+        + ", ".join(
+            "len(list_intersect(string_split(text, ' '), "
+            f"{[w for w in ws]!r}::VARCHAR[])) AS hits_{lg}".replace("'", "'")
+            for lg, ws in STOPWORDS.items()
+        )
+        + " FROM documents) "
+        "SELECT doc_id, lang, hits_en, hits_de, hits_fr, hits_es, "
+        "CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'unknown' "
+        "WHEN hits_en >= greatest(hits_de, hits_fr, hits_es) THEN 'en' "
+        "WHEN hits_de >= greatest(hits_fr, hits_es) THEN 'de' "
+        "WHEN hits_fr >= hits_es THEN 'fr' ELSE 'es' END AS pred_lang "
+        "FROM scored"
+    ),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-membership language ID (n-gram-heuristic class). Distinct-set
+    intersection sizes per language, argmax with a fixed preference order so
+    ties are deterministic. Pure JVM set ops — scales linearly, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = {lg: _lang_hits(lg) for lg in STOPWORDS}
+    pred = (
+        F.when(
+            F.greatest(*[hits[lg] for lg in STOPWORDS]) == 0, F.lit("unknown")
+        )
+        .when(hits["en"] >= F.greatest(hits["de"], hits["fr"], hits["es"]), F.lit("en"))
+        .when(hits["de"] >= F.greatest(hits["fr"], hits["es"]), F.lit("de"))
+        .when(hits["fr"] >= hits["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        hits["en"].alias("hits_en"),
+        hits["de"].alias("hits_de"),
+        hits["fr"].alias("hits_fr"),
+        hits["es"].alias("hits_es"),
+        pred.alias("pred_lang"),
+    )
+
+
+@query(
+    "quality_score",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens, "
+        "len(list_distinct(list_filter(string_split(text, ' '), w -> w <> '')))"
+        " AS n_distinct, "
+        "len(list_intersect(string_split(text, ' '), "
+        "['the','a','of','and','to','in','is']::VARCHAR[])) AS stop_hits "
+        "FROM documents) "
+        "SELECT doc_id, n_tokens, "
+        "CAST(n_distinct AS DOUBLE) / n_tokens AS ttr, "
+        "CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio, "
+        "(CASE WHEN n_tokens >= 20 THEN 1.0 ELSE CAST(n_tokens AS DOUBLE) / 20 END)"
+        " * (CAST(n_distinct AS DOUBLE) / n_tokens) AS quality "
+        "FROM t"
+    ),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic doc-quality signals: type-token ratio, stopword ratio, and a
+    length-damped composite — the pre-filter stage of an LLM data pipeline.
+    Identical fixed-order double arithmetic on both engines (no rounding)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_words(), lambda w: w != "")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_hits = F.size(
+        F.array_intersect(_words(), F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
+    )
+    ttr = n_distinct.cast("double") / n_tokens
+    length_damp = F.when(n_tokens >= 20, F.lit(1.0)).otherwise(
+        n_tokens.cast("double") / 20
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        ttr.alias("ttr"),
+        (stop_hits.cast("double") / n_tokens).alias("stop_ratio"),
+        (length_damp * ttr).alias("quality"),
+    )
+
+
+@query(
+    "token_count_bpe",
+    oracle=(
+        f"SELECT doc_id, "
+        f"len(regexp_extract_all(text, '{BPE_TOKEN_REGEX}')) AS n_bpe_tokens, "
+        f"length(text) AS n_chars_calc "
+        f"FROM documents"
+    ),
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count estimation with a BPE-ish pretokenizer regex (letter runs
+    / digit runs / single symbols) — the cheap cost-estimation pass run over
+    a corpus before tokenizing for real."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(BPE_TOKEN_REGEX)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=(
+        "SELECT doc_id, md5(lower(text)) AS fp_md5, "
+        "md5(array_to_string(list_sort(list_distinct("
+        "list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS fp_shingle "
+        "FROM documents"
+    ),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two content fingerprints: exact (md5 of lowercased text) and
+    bag-of-words-invariant (md5 of the sorted distinct token set — catches
+    reorder-only duplicates). Both JVM-side digest builtins."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_words(), lambda w: w != "")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("fp_md5"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "fp_shingle"
+        ),
+    )
+
+
+@query(
+    "ngram_bigrams",
+    oracle=(
+        "SELECT bigram, count(*) AS cnt FROM ("
+        "SELECT unnest(list_transform(list_zip(w, w[2:]), "
+        "x -> CASE WHEN x[2] IS NULL THEN NULL ELSE x[1] || ' ' || x[2] END)) AS bigram "
+        "FROM (SELECT string_split(text, ' ') AS w FROM documents) s"
+        ") t WHERE bigram IS NOT NULL GROUP BY bigram"
+    ),
+)
+def ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts. Bigrams are built inside the array domain
+    (``zip_with`` of the token array with its own tail) so each document
+    contributes its n-grams without a per-token shuffle; the only exchange
+    is the final count aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words()
+    tail = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0)))
+    bigrams = F.zip_with(
+        w,
+        tail,
+        lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "tfidf",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+        "w -> w <> '')) AS word FROM documents), "
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word), "
+        "df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word), "
+        "n AS (SELECT count(*) AS n_docs FROM documents) "
+        "SELECT tf.doc_id, tf.word, tf.tf, df.df, "
+        "round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf "
+        "FROM tf JOIN df USING (word) CROSS JOIN n"
+    ),
+)
+def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over the corpus: per-doc term counts ⋈ document frequencies
+    (broadcast — |vocabulary| ≪ |corpus|) ⋈ corpus size (scalar broadcast).
+    Two aggregations + broadcast joins; the big tokens relation is never
+    shuffled twice. 6dp rounding: see module docstring."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(_words(), lambda w: w != "")).alias("word"),
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar (table count, not data); embedded as literal
+    return tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )

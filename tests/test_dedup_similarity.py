@@ -1,0 +1,88 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+from parallel_map_reduce_word_counter_for_one_machine_spark.operators import (
+    dedup as D,
+    similarity as S,
+)
+
+from .oracle import assert_matches_oracle
+
+registry.load_all()
+
+ORACLE_KEYS = ["dedup_exact", "dedup_ngram_jaccard", "dedup_embedding", "similarity_topk"]
+ROWS_ONLY_KEYS = ["dedup_minhash_lsh", "dedup_simhash", "similarity_topk_ivf"]
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_match(spark, sf_correct, name):
+    assert_matches_oracle(
+        spark, sf_correct, name, registry.QUERIES[name], registry.ORACLES[name]
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
+def test_rows_only_runs(spark, sf_correct, name):
+    df = registry.QUERIES[name](spark, sf_correct)
+    assert df.count() >= 0
+
+
+def test_minhash_lsh_verified_pairs_are_real(spark, sf_correct):
+    """Every pair LSH emits must satisfy the exact Jaccard threshold (the
+    verify stage guarantees precision=1 by construction; check it holds)."""
+    pairs = registry.QUERIES["dedup_minhash_lsh"](spark, sf_correct)
+    bad = pairs.filter(F.col("jaccard") < D.JACCARD_THRESHOLD).count()
+    assert bad == 0
+
+
+def test_minhash_lsh_recall_on_high_similarity(spark, sf_correct):
+    """Pairs with very high true shingle-Jaccard must be recalled by LSH:
+    with 8 bands x 2 rows, P[miss at J=0.9] = (1-0.81)^8 ~ 1.7e-6."""
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    sh = docs.select("doc_id", D._shingles().alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+        / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    )
+    truth = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.9)
+    )
+    found = registry.QUERIES["dedup_minhash_lsh"](spark, sf_correct).select(
+        "doc_a", "doc_b"
+    )
+    missed = truth.join(found, ["doc_a", "doc_b"], "left_anti").count()
+    assert missed == 0, f"LSH missed {missed} high-similarity pairs"
+
+
+def test_simhash_pairs_symmetric_and_bounded(spark, sf_correct):
+    pairs = registry.QUERIES["dedup_simhash"](spark, sf_correct)
+    assert pairs.filter(F.col("hamming") > D.HAMMING_MAX).count() == 0
+    assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+
+def test_ivf_recall_vs_exact(spark, sf_correct):
+    """IVF probing 3/10 cells must recover most of the exact top-10 (the
+    synthetic clusters are well separated, so recall should be high)."""
+    exact = registry.QUERIES["similarity_topk"](spark, sf_correct).select(
+        "query_id", "cand_id"
+    )
+    approx = registry.QUERIES["similarity_topk_ivf"](spark, sf_correct).select(
+        "query_id", "cand_id"
+    )
+    n_exact = exact.count()
+    hit = exact.join(approx, ["query_id", "cand_id"], "left_semi").count()
+    recall = hit / n_exact
+    # The synthetic embeddings are near-random (no real cluster structure),
+    # so IVF recall ~ fraction of corpus probed (5/10 cells). 0.6 asserts
+    # the probe machinery works; on clustered data recall would be ~1.
+    assert recall >= 0.6, f"IVF recall {recall:.2f} < 0.6 (hit {hit}/{n_exact})"

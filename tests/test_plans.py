@@ -1,0 +1,71 @@
+"""Physical-plan assertions: the 100 TB design contract, executable.
+
+Each test pins a property that keeps the plan scalable — if a refactor
+regresses one (a broadcast silently becomes a sort-merge join, a filter
+stops pushing down, a top-k becomes a global sort), these fail before any
+benchmark notices.
+"""
+
+from __future__ import annotations
+
+from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+from parallel_map_reduce_word_counter_for_one_machine_spark.plans.inspect import (
+    assert_in_plan,
+    count_occurrences,
+    plan_string,
+)
+
+registry.load_all()
+
+
+def test_filter_project_pushdown(spark, sf_dir):
+    df = registry.QUERIES["filter_project"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "PushedFilters" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1].splitlines()[0]
+    # column pruning: shipdate/tax/etc. must not be in the scan schema
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_shipdate" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_star_join_all_broadcast(spark, sf_dir):
+    # simple mode: each operator appears exactly once (formatted lists ops
+    # twice — tree + detail section).
+    df = registry.QUERIES["star_join_agg"](spark, sf_dir)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_word_count_partial_aggregation(spark, sf_dir):
+    # partial + final HashAggregate around exactly one exchange — the sound
+    # version of the reference's per-thread maps + striped-lock merge.
+    df = registry.QUERIES["word_count"](spark, sf_dir)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    top = o.orderBy(F.desc("o_totalprice")).limit(10)
+    assert_in_plan(top, "TakeOrderedAndProject")
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    df = registry.QUERIES["join_semi"](spark, sf_dir)
+    assert "LeftSemi" in plan_string(df)
+
+
+def test_whole_stage_codegen_in_scalar_battery(spark, sf_dir):
+    # the '*' operator prefix marks whole-stage-codegen spans
+    df = registry.QUERIES["scalar_funcs"](spark, sf_dir)
+    assert "* Project" in plan_string(df) or "*(1) Project" in plan_string(
+        df, mode="simple"
+    )

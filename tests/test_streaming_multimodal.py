@@ -1,0 +1,49 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.tumbling import (
+    run_stream_tumbling,
+)
+
+from .oracle import assert_matches_oracle
+
+registry.load_all()
+
+ORACLE_KEYS = [
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_window",
+    "multimodal_meta",
+    "multimodal_frames",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_match(spark, sf_correct, name):
+    assert_matches_oracle(
+        spark, sf_correct, name, registry.QUERIES[name], registry.ORACLES[name]
+    )
+
+
+def test_stream_equals_batch(spark, sf_correct):
+    """Structured Streaming run (readStream + watermark + availableNow) must
+    produce exactly the batch result — the equivalence that justifies
+    checking streaming semantics against a batch oracle."""
+    stream_df = run_stream_tumbling(spark, sf_correct, "t_stream_tumbling")
+    batch_df = registry.QUERIES["stream_tumbling_agg"](spark, sf_correct)
+    s = sorted(map(tuple, stream_df.collect()))
+    b = sorted(map(tuple, batch_df.collect()))
+    assert s == b
+
+
+def test_multimodal_decode_deterministic(spark, sf_correct):
+    df = registry.QUERIES["multimodal_decode"](spark, sf_correct)
+    rows1 = sorted(map(tuple, df.select("doc_id", "width", "height").collect()))
+    rows2 = sorted(map(tuple, df.select("doc_id", "width", "height").collect()))
+    assert rows1 == rows2
+    assert len(rows1) == 500
+    feat = df.select(F.size("feat").alias("n")).distinct().collect()
+    assert [r.n for r in feat] == [8]
