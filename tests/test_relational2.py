@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+
+from .oracle import assert_matches_oracle
+
+registry.load_all()
+
+ORACLE_KEYS = [
+    "join_range",
+    "agg_cube",
+    "agg_grouping_sets",
+    "subquery_in",
+    "subquery_scalar",
+    "union_all",
+    "window_ntile",
+    "pivot_status",
+    "percentiles",
+    "agg_salted",
+    "tfidf_ngrams",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_match(spark, sf_correct, name):
+    assert_matches_oracle(
+        spark, sf_correct, name, registry.QUERIES[name], registry.ORACLES[name]
+    )
+
+
+def test_approx_distinct_error_bound(spark, sf_correct):
+    row = registry.QUERIES["approx_distinct"](spark, sf_correct).collect()[0]
+    rel_err = abs(row.approx_customers - row.exact_customers) / row.exact_customers
+    assert rel_err < 0.05, f"HLL error {rel_err:.3f} too large"
+
+
+def test_dedup_fuzzy_alias_matches_lsh(spark, sf_correct):
+    a = registry.QUERIES["dedup_fuzzy"](spark, sf_correct)
+    b = registry.QUERIES["dedup_minhash_lsh"](spark, sf_correct)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_subquery_in_plans_as_semi_join(spark, sf_dir):
+    from parallel_map_reduce_word_counter_for_one_machine_spark.plans.inspect import (
+        plan_string,
+    )
+
+    df = registry.QUERIES["subquery_in"](spark, sf_dir)
+    assert "LeftSemi" in plan_string(df)
+
+
+def test_word_count_bulk_matches_scaled_counts(spark, sf_dir):
+    """Replicating the corpus k times must scale every count by exactly k."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.wordcount import (
+        word_count_bulk,
+        word_counts,
+    )
+
+    k = 3
+    base = {r.word: r.cnt for r in word_counts(spark, sf_dir).collect()}
+    bulk = {r.word: r.cnt for r in word_count_bulk(spark, sf_dir, copies=k).collect()}
+    assert bulk == {w: c * k for w, c in base.items()}
