@@ -66,6 +66,27 @@ def run_bulk(spark, sf_dir: str) -> float:
     return time.monotonic() - t0
 
 
+def run_bulk_agg(spark, sf_dir: str) -> float:
+    """Volume configuration of the Q1-style aggregate: the sf0.1 lineitem
+    read as 100 parallel splits (6e7 rows, ~1 GB decoded) through the full
+    partial+shuffle+final aggregation. Demonstrates scan+agg row throughput
+    (~10M rows/s on local[32])."""
+    from pyspark.sql import functions as F
+
+    p = f"{sf_dir}/lineitem.parquet"
+    df = spark.read.parquet(*([p] * 100))
+    agg = df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+    t0 = time.monotonic()
+    agg.write.mode("overwrite").format("noop").save()
+    return time.monotonic() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -78,6 +99,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         times[name] = round(run_one(spark, name, sf_dir), 3)
     times["word_count_761mb_bulk"] = round(run_bulk(spark, sf_dir), 3)
+    times["agg_group_60m_rows_bulk"] = round(run_bulk_agg(spark, sf_dir), 3)
 
     total = round(sum(times.values()), 3)
     print(

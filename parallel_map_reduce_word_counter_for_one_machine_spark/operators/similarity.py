@@ -93,6 +93,59 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("similarity_topk_pandas")  # rows-only: Python-side math, no SQL oracle
+def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact top-k via a vectorized Arrow/numpy ``mapInPandas``
+    path: queries are closed over as a small numpy matrix; each Arrow batch
+    of candidates does one (batch × 64) @ (64 × q) matrix multiply. This is
+    the documented fallback shape for vector math the built-in array
+    lambdas can't express (and a perf comparison point for when they can).
+    Equivalence with ``similarity_topk`` is asserted in tests."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    vecs = _vectors(spark, sf_dir)
+    qrows = vecs.filter(F.col("vec_id") < N_QUERIES).collect()  # tiny query set
+    q_ids = np.array([r.vec_id for r in qrows])
+    Q = np.array([r.v for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cand_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            C = np.array(list(pdf["v"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Qn.T  # (batch, n_queries)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, len(ids)),
+                    "cand_id": np.tile(ids, len(q_ids)),
+                    "cos_sim": S.T.reshape(-1),
+                }
+            )
+            yield out[out.query_id != out.cand_id]
+
+    scored = vecs.select("vec_id", "v").mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos_sim", 6)), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+    )
+
+
 def label_centroids(vecs: DataFrame) -> DataFrame:
     """Coarse-quantizer centroids: per-label element-wise mean, computed by
     posexplode → (label, dim) avg → collect back to arrays. Two narrow

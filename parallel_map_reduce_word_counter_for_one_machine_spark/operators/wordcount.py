@@ -215,6 +215,19 @@ def format_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wc.select(F.format_string("%s -> %d", "word", "cnt").alias("line"))
 
 
+@query(
+    "sort_alpha",
+    oracle=(
+        f"SELECT word, cnt, row_number() OVER (ORDER BY word) AS rk "
+        f"FROM ({_WORD_COUNT_ORACLE_BODY}) wc"
+    ),
+)
+def sort_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §2a row 9 inventory key — identical to ``word_count_alpha``
+    (the A→Z listing with materialized rank)."""
+    return word_count_alpha(spark, sf_dir)
+
+
 def word_count_bulk(spark: SparkSession, sf_dir: str, copies: int = 512) -> DataFrame:
     """Throughput configuration of the flagship: replicate the corpus
     ``copies``× (partitioned range ⋈ broadcast corpus — replication happens

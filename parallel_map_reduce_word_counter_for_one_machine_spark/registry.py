@@ -45,6 +45,7 @@ def load_all() -> None:
         wordcount,
         relational,
         relational2,
+        temporal,
         dedup,
         similarity,
         text,
