@@ -1,0 +1,69 @@
+"""SQL front-end surface: whole queries expressed through ``spark.sql``.
+
+The reference has no query language at all — its single query is
+compiled-in (SURVEY.md §2b; only runtime parameter is the input path,
+reference src/main.cpp:78-82). This engine inherits full ANSI SQL from
+Spark; these entries exercise it end-to-end (parser → Catalyst → same
+physical plans as the DataFrame API) with a TPC-H-shaped showcase.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..sources.tables import register_views
+
+
+@query(
+    "sql_shipping_priority",
+    oracle=(
+        "SELECT o_orderkey, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "o_orderdate, o_orderpriority "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "GROUP BY o_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, o_orderkey LIMIT 20"
+    ),
+)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped query written entirely in SQL: 3-way join, filtered
+    dim, grouped revenue, ordered top-20 (TakeOrderedAndProject after the
+    agg). The rank-free LIMIT result is made deterministic by the explicit
+    (revenue DESC, o_orderkey) total order; revenue is an aggregate so the
+    rounded-aggregate policy applies. o_orderdate is TIMESTAMP_NTZ (the
+    parquet writer didn't mark UTC adjustment), so it is returned raw and
+    compares as a naive timestamp on both engines (unix_millis would
+    reject the NTZ type)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderkey, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "o_orderdate, o_orderpriority "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "GROUP BY o_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, o_orderkey LIMIT 20"
+    )
+
+
+@query(
+    "sql_word_count",
+    oracle=(
+        "SELECT word, count(*) AS cnt FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS word FROM documents"
+        ") tok WHERE word <> '' GROUP BY word"
+    ),
+)
+def sql_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship expressed in pure SQL — parser-to-plan parity with the
+    DataFrame version (identical physical plan, asserted in tests)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT word, count(*) AS cnt FROM ("
+        "SELECT explode(split(text, ' ')) AS word FROM documents"
+        ") tok WHERE word <> '' GROUP BY word"
+    )

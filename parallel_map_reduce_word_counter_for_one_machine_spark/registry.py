@@ -46,6 +46,7 @@ def load_all() -> None:
         relational,
         relational2,
         temporal,
+        sqlfront,
         dedup,
         similarity,
         text,

@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+from parallel_map_reduce_word_counter_for_one_machine_spark.plans.inspect import (
+    plan_string,
+)
+from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+    SCHEMAS,
+    load_table,
+)
+
+from .oracle import assert_matches_oracle
+
+registry.load_all()
+
+
+@pytest.mark.parametrize("name", ["sql_shipping_priority", "sql_word_count"])
+def test_oracle_match(spark, sf_correct, name):
+    assert_matches_oracle(
+        spark, sf_correct, name, registry.QUERIES[name], registry.ORACLES[name]
+    )
+
+
+def test_sql_and_dataframe_word_count_same_plan(spark, sf_correct):
+    """Parser front end and DataFrame API must converge to the same
+    physical plan (modulo expression ids)."""
+    import re
+
+    sql_plan = plan_string(
+        registry.QUERIES["sql_word_count"](spark, sf_correct), mode="simple"
+    )
+    df_plan = plan_string(
+        registry.QUERIES["word_count"](spark, sf_correct), mode="simple"
+    )
+    canon = lambda s: re.sub(r"plan_id=\d+", "plan_id=x", re.sub(r"#\d+L?", "#x", s))
+    assert canon(sql_plan) == canon(df_plan)
+
+
+def test_csv_roundtrip(spark, sf_correct, tmp_path):
+    """CSV connector (absent from the reference — one ifstream text source,
+    SURVEY.md §2b): write documents out as CSV, read back with the declared
+    schema, content identical."""
+    src = load_table(spark, sf_correct, "documents")
+    out = str(tmp_path / "docs_csv")
+    src.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema(SCHEMAS["documents"])
+        .option("header", True)
+        .csv(out)
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_json_roundtrip(spark, sf_correct, tmp_path):
+    src = load_table(spark, sf_correct, "embeddings")
+    out = str(tmp_path / "emb_json")
+    src.write.mode("overwrite").json(out)
+    back = spark.read.schema(SCHEMAS["embeddings"]).json(out)
+    # float32 values survive json roundtrip exactly (printed as shortest repr)
+    a = sorted(map(repr, back.collect()))
+    b = sorted(map(repr, src.collect()))
+    assert a == b
+
+
+def test_fact_fact_join_shuffles_when_broadcast_disabled(spark, sf_correct):
+    """At 100 TB orders⋈lineitem is a shuffled join; with the broadcast
+    threshold off, the planner must pick a shuffle strategy (SortMergeJoin
+    or ShuffledHashJoin), proving the plan doesn't secretly depend on
+    broadcast-ability."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, sf_correct, "orders")
+        li = load_table(spark, sf_correct, "lineitem")
+        j = o.join(li, o.o_orderkey == li.l_orderkey).select(
+            "o_orderkey", "l_linenumber", "o_totalprice", "l_quantity"
+        )
+        plan = plan_string(j, mode="simple")
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+        assert "BroadcastHashJoin" not in plan
+        # correctness unchanged under the shuffle strategy
+        assert j.count() == li.count()  # every lineitem has an order
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
