@@ -90,37 +90,55 @@ def minhash_signatures(
     )
 
 
+# Cap on docs considered per LSH bucket: a degenerate bucket (e.g. empty
+# shingle sets all hashing identically) would otherwise emit O(bucket²)
+# pairs. Capped buckets keep their MAX_BUCKET smallest doc_ids — truncation
+# is deterministic, and true near-dup clusters that large are found via
+# transitive pairs among the kept members.
+MAX_BUCKET = 64
+
+
 def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """Band the signatures and emit unordered candidate pairs (a < b).
 
-    Each doc explodes to n_bands (band_id, band_hash) keys; a self-join on
-    the band key inside each bucket yields candidates. At 100 TB this is a
-    shuffle on band keys (linear in corpus size) — monster buckets (degenerate
-    shingles) are the skew risk; AQE skew-join handles moderate cases and a
-    bucket-size cap would bound adversarial ones."""
+    Shape: explode each doc into n_bands (band_id, band_hash) keys, then
+    ONE groupBy on the band key collects each bucket's doc list; pairs are
+    enumerated inside the bucket array (i<j nested transform) and exploded.
+    Compared to a banded self-join this computes the signature subtree once
+    (a self-join evaluates it per side) and gives a natural place for the
+    bucket-size skew cap — the all-pairs blowup of a degenerate bucket is
+    bounded at MAX_BUCKET² locally, never at join time."""
     r = N_HASHES // n_bands
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.xxhash64(F.slice(F.col("sig"), b * r + 1, r).cast("string")).alias(
-                "band_hash"
-            ),
-        ),
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(F.slice(F.col("sig"), b * r + 1, r).cast("string")).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(n_bands)
+        ]
     )
     banded = sigs.select("doc_id", F.explode(bands).alias("band")).select(
         "doc_id", "band.band_id", "band.band_hash"
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    buckets = banded.groupBy("band_id", "band_hash").agg(
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, MAX_BUCKET).alias("docs")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda a, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
         )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.filter(F.size("docs") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

@@ -1,0 +1,83 @@
+"""Regenerate PLANS.md: the physical plan of every headline query, as
+evidence that each got the `.explain` treatment the scale contract demands.
+
+Run: python tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+from parallel_map_reduce_word_counter_for_one_machine_spark.plans.inspect import (
+    plan_string,
+)
+from parallel_map_reduce_word_counter_for_one_machine_spark.session import get_spark
+
+HEADLINE = [
+    "word_count",
+    "sort_by_count_desc",
+    "star_join_agg",
+    "agg_group",
+    "window_rank",
+    "sort_limit_topk",
+    "join_asof",
+    "tfidf",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "stream_tumbling_agg",
+]
+
+NOTES = {
+    "word_count": "one exchange; partial+final HashAggregate around it",
+    "sort_by_count_desc": "agg exchange + single-partition rank window on the "
+    "distinct-word result (bounded by |vocabulary|)",
+    "star_join_agg": "three BroadcastHashJoins, zero pre-agg shuffles of the fact",
+    "agg_group": "pushdown of the shipdate filter into the scan; 7 aggregates in "
+    "one partial+final pass",
+    "window_rank": "single exchange on o_custkey shared by window sort",
+    "sort_limit_topk": "TakeOrderedAndProject — no global sort",
+    "join_asof": "hash join on user_id; argmax window re-uses no extra exchange "
+    "beyond its purchase_id partition",
+    "tfidf": "tokens aggregated twice (tf, df) then broadcast-joined — the big "
+    "relation is shuffled once per aggregate, never joined shuffled",
+    "dedup_minhash_lsh": "signature subtree computed once; bucket groupBy then "
+    "in-array pair enumeration; verify joins the (tiny) candidate set",
+    "similarity_topk": "broadcast of the query vectors; corpus scanned once; "
+    "one window exchange on query_id",
+    "stream_tumbling_agg": "windowed partial+final aggregate (same plan the "
+    "streaming run executes incrementally)",
+}
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark(app_name="plan-dump", cpus=4, shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = "/root/testdata/sf0.01"
+    out = ["# PLANS — physical plans of the headline queries (sf0.01, AQE on)",
+           "",
+           "Regenerate with `python tools/dump_plans.py`. Per-query notes state",
+           "the property that makes the plan scale; tests/test_plans.py pins the",
+           "load-bearing ones.",
+           ""]
+    for name in HEADLINE:
+        plan = plan_string(registry.QUERIES[name](spark, sf_dir), mode="simple")
+        out.append(f"## {name}")
+        out.append("")
+        out.append(f"*{NOTES[name]}*")
+        out.append("")
+        out.append("```")
+        out.append(plan.strip())
+        out.append("```")
+        out.append("")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
