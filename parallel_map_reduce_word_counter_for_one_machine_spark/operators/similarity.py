@@ -163,6 +163,104 @@ def label_centroids(vecs: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_centroids(
+    vecs: DataFrame, k: int = 10, iters: int = 3, dim: int = 64
+) -> DataFrame:
+    """Plain-DataFrame Lloyd's k-means for the IVF coarse quantizer — the
+    engine's iterative-algorithm pattern: a small state table (centroids)
+    is broadcast each iteration against one linear corpus scan; only the
+    k×dim centroid table ever reaches the driver. Deterministic init (the
+    k lowest vec_ids) so results are reproducible.
+
+    At 100 TB: per iteration one scan + one (cell,dim)-keyed aggregation;
+    k·dim floats of driver state. Sampling the corpus for training is the
+    standard cheapening — same code over a ``.sample()`` input."""
+    init = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(F.row_number().over(Window.orderBy("vec_id")).alias("rn"), "v")
+        .select((F.col("rn") - 1).alias("cell_id"), F.col("v").alias("centroid"))
+    )
+    cents = init
+    for _ in range(iters):
+        assigned = _assign_cells(vecs, cents)
+        exploded = assigned.select("cell_id", F.posexplode("v").alias("dim", "val"))
+        means = exploded.groupBy("cell_id", "dim").agg(F.avg("val").alias("mean"))
+        cents = (
+            means.groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm"))
+            .select(
+                "cell_id",
+                F.transform(F.col("dm"), lambda s: s.getField("mean")).alias("centroid"),
+            )
+        )
+        # Materialize the tiny centroid table: truncates the growing lineage
+        # (3 iterations of lazy plans would re-run every prior scan) and is
+        # the only collect in the algorithm — k×dim floats.
+        rows = cents.collect()
+        cents = vecs.sparkSession.createDataFrame(rows, cents.schema)
+    return cents
+
+
+def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast centroids, argmin by cosine
+    distance via one window over the (corpus × k) candidate scores."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "cell_id",
+        cosine(F.col("v"), F.col("centroid")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "cell_id")
+    )
+
+
+@query("similarity_topk_ivf_kmeans")  # rows-only: iterative ANN index build
+def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with a TRAINED coarse quantizer (3 Lloyd iterations)
+    instead of the label-derived cells — the full self-contained ANN path:
+    train centroids → assign corpus to cells → probe nprobe nearest cells
+    per query → exact cosine + per-query top-k among probed candidates."""
+    vecs = _vectors(spark, sf_dir)
+    cents = kmeans_centroids(vecs)
+    assigned = _assign_cells(vecs, cents)
+
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qc = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "qv", "cell_id",
+            cosine(F.col("qv"), F.col("centroid")).alias("cell_sim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    probes = (
+        qc.withColumn("cell_rk", F.row_number().over(wq))
+        .filter(F.col("cell_rk") <= N_PROBE)
+        .select("query_id", "qv", "cell_id")
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("cand_id"), "cell_id", F.col("v").alias("cv")
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        F.broadcast(probes)
+        .join(cands, "cell_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", sim.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
 @query("similarity_topk_ivf")  # rows-only: multi-stage ANN index, not ANSI SQL
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN top-k: (1) build/broadcast centroids, (2) per query

@@ -262,7 +262,11 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.filter(_words(), lambda w: w != "")).alias("word"),
     )
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    # df derived FROM tf (one row per (doc,word) ⇒ count per word = #docs
+    # containing it): aggregates the already-reduced tf relation instead of
+    # re-tokenizing + re-shuffling the raw token stream — at 100 TB the
+    # second full corpus scan this replaces is the dominant cost.
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = d.count()  # scalar (table count, not data); embedded as literal
     return tf.join(F.broadcast(df), "word").select(
         "doc_id",
@@ -302,7 +306,7 @@ def tfidf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gram").isNotNull()
     )
     tf = g.groupBy("doc_id", "gram").agg(F.count("*").alias("tf"))
-    df = g.groupBy("gram").agg(F.count_distinct("doc_id").alias("df"))
+    df = tf.groupBy("gram").agg(F.count("*").alias("df"))  # derived from tf
     n_docs = d.count()
     return tf.join(F.broadcast(df), "gram").select(
         "doc_id",

@@ -14,7 +14,12 @@ from .oracle import assert_matches_oracle
 registry.load_all()
 
 ORACLE_KEYS = ["dedup_exact", "dedup_ngram_jaccard", "dedup_embedding", "similarity_topk"]
-ROWS_ONLY_KEYS = ["dedup_minhash_lsh", "dedup_simhash", "similarity_topk_ivf"]
+ROWS_ONLY_KEYS = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_kmeans",
+]
 
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)
@@ -86,3 +91,18 @@ def test_ivf_recall_vs_exact(spark, sf_correct):
     # so IVF recall ~ fraction of corpus probed (5/10 cells). 0.6 asserts
     # the probe machinery works; on clustered data recall would be ~1.
     assert recall >= 0.6, f"IVF recall {recall:.2f} < 0.6 (hit {hit}/{n_exact})"
+
+
+def test_kmeans_ivf_recall_vs_exact(spark, sf_correct):
+    """The trained-quantizer IVF must reach the same recall bar as the
+    label-cell variant (k-means cells cover the space at least as evenly)."""
+    exact = registry.QUERIES["similarity_topk"](spark, sf_correct).select(
+        "query_id", "cand_id"
+    )
+    approx = registry.QUERIES["similarity_topk_ivf_kmeans"](spark, sf_correct).select(
+        "query_id", "cand_id"
+    )
+    n_exact = exact.count()
+    hit = exact.join(approx, ["query_id", "cand_id"], "left_semi").count()
+    recall = hit / n_exact
+    assert recall >= 0.6, f"kmeans IVF recall {recall:.2f} < 0.6 ({hit}/{n_exact})"
