@@ -1,0 +1,118 @@
+"""User-defined function surface: scalar pandas UDF, grouped-agg UDAF, and
+a Python UDTF (SURVEY.md §2b: the reference has no extension points at all
+— its tokenizer et al. are hard-coded into main()).
+
+Placement policy (the engine's UDF doctrine, enforced elsewhere by plan
+tests): builtins first — every UDF here exists because it demonstrates the
+extension surface, and each docstring states what would justify the Python
+round-trip in production (custom native libs, model inference, business
+logic that genuinely can't be expressed as expressions). All are
+Arrow-vectorized; none are row-at-a-time Python UDFs.
+
+NOTE: pandas_udf/udtf return-type DDL parsing requires an active
+SparkSession, so UDF objects are constructed lazily inside the query
+functions — module import stays session-free (the driver imports the
+contract module before building its session).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+
+def make_signed_log1p():
+    """Vectorized scalar pandas UDF: sign-preserving log1p — stands in for
+    any numpy-backed feature transform (Arrow batches, ~100x faster than a
+    row-at-a-time Python UDF)."""
+
+    @F.pandas_udf("double")
+    def signed_log1p(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(np.sign(v) * np.log1p(np.abs(v)))
+
+    return signed_log1p
+
+
+@query(
+    "udf_scalar_pandas",
+    oracle=(
+        # DuckDB computes the same transform natively; 6dp rounding absorbs
+        # libm-vs-numpy last-ulp differences in log1p.
+        "SELECT event_id, round(sign(value) * ln(1 + abs(value)), 6) AS slog "
+        "FROM events"
+    ),
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF applied over the events stream — checked against
+    the closed-form SQL equivalent."""
+    e = load_table(spark, sf_dir, "events")
+    slog = make_signed_log1p()
+    return e.select("event_id", F.round(slog("value"), 6).alias("slog"))
+
+
+def make_geomean():
+    """Grouped-aggregate pandas UDF (UDAF): geometric mean — the shape for
+    custom sketch merges or model-metric aggregations."""
+
+    @F.pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    return geomean
+
+
+@query(
+    "udf_grouped_agg",
+    oracle=(
+        "SELECT o_orderpriority, round(exp(avg(ln(o_totalprice))), 4) AS geo_price "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF via grouped-agg pandas UDF, oracle-checked against the
+    closed-form exp(avg(ln)). 4dp rounding: the UDAF averages per-group in
+    one numpy pass while the oracle's avg() accumulates in SQL order."""
+    o = load_table(spark, sf_dir, "orders")
+    geomean = make_geomean()
+    return o.groupBy("o_orderpriority").agg(
+        F.round(geomean("o_totalprice"), 4).alias("geo_price")
+    )
+
+
+class SplitWords:
+    """Python UDTF: one (word, position) row per token — the table-function
+    form of the tokenizer. Justified when tokenization needs a real
+    library (sentencepiece/tiktoken); here it mirrors split+posexplode so
+    tests can assert equivalence with the pure-expression plan."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        for i, w in enumerate(text.split(" ")):
+            if w:
+                yield (w, i)
+
+
+def register_udtf(spark: SparkSession) -> None:
+    spark.udtf.register("split_words", F.udtf(SplitWords, returnType="word: string, pos: int"))
+
+
+@query("udtf_split_words")  # rows-only: Python UDTF, no SQL oracle needed
+def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF in a LATERAL join — equivalence with posexplode asserted in
+    tests (the structural check for the UDTF surface)."""
+    register_udtf(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("v_docs_udtf")
+    return spark.sql(
+        "SELECT doc_id, s.word, s.pos "
+        "FROM v_docs_udtf, LATERAL split_words(text) AS s"
+    )

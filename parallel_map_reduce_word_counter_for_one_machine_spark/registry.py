@@ -52,4 +52,5 @@ def load_all() -> None:
         text,
         multimodal,
     )
+    from .functions import udfs  # noqa: F401
     from .streaming import tumbling  # noqa: F401
