@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "similarity_topk",
     "stream_tumbling_agg",
+    "curate_corpus",
 ]
 
 

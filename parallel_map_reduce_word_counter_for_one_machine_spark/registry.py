@@ -47,6 +47,7 @@ def load_all() -> None:
         relational2,
         temporal,
         sqlfront,
+        curate,
         dedup,
         similarity,
         text,
