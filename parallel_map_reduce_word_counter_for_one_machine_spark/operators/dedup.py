@@ -81,6 +81,7 @@ def minhash_signatures(
     transform per seed, inside one row expression) re-evaluated the
     shingle construction once PER SEED — 16× the work, measured 26s vs
     ~3s at sf0.1."""
+    docs = _fan_out_small_input(docs)
     ex = docs.select("doc_id", F.explode(_shingles(k=k)).alias("s"))
     mins = ex.groupBy("doc_id").agg(
         *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
@@ -88,6 +89,18 @@ def minhash_signatures(
     return mins.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
     )
+
+
+def _fan_out_small_input(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan has fewer splits than cores — a small
+    single-file input otherwise runs the whole expensive map side (shingling,
+    hashing) in one task. Measured: the sf0.1 documents parquet is 1 split,
+    serializing ~1.5s of shingle construction. At 100 TB the input has
+    thousands of splits and this is a no-op (no shuffle added)."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
 
 
 # Cap on docs considered per LSH bucket: a degenerate bucket (e.g. empty
@@ -153,7 +166,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
     cands = lsh_candidate_pairs(sigs)
-    sh = docs.select("doc_id", _shingles().alias("sh"))
+    sh = _fan_out_small_input(docs).select("doc_id", _shingles().alias("sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -201,7 +214,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     within hamming distance 3 must share ≥1 exact chunk — pigeonhole) →
     exact hamming verify ≤ HAMMING_MAX via bit_count(xor). Candidate
     generation is again a linear groupBy-shaped join on chunk keys."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _fan_out_small_input(load_table(spark, sf_dir, "documents"))
     tok_hashes = F.transform(_tokens(), lambda w: F.xxhash64(w))
     fps = docs.select("doc_id", simhash_column(tok_hashes).alias("fp"))
 
