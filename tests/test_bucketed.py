@@ -1,0 +1,44 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_word_counter_for_one_machine_spark.plans.inspect import (
+    plan_string,
+)
+from parallel_map_reduce_word_counter_for_one_machine_spark.sources.bucketed import (
+    bucketed_join,
+    write_bucketed_pair,
+)
+from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+    load_table,
+)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_correct, tmp_path):
+    """The whole point of bucketing: the fact-fact join plans with ZERO
+    Exchange operators (broadcast disabled to force the join to prove it)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o_name, l_name = write_bucketed_pair(
+            spark, sf_correct, str(tmp_path), "t1"
+        )
+        j = bucketed_join(spark, o_name, l_name)
+        plan = plan_string(j, mode="simple")
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+
+        # correctness: identical to the plain (shuffled) join
+        o = load_table(spark, sf_correct, "orders")
+        li = load_table(spark, sf_correct, "lineitem")
+        plain = o.join(li, o.o_orderkey == li.l_orderkey).select(
+            "o_orderkey", "l_linenumber", "o_totalprice", "l_quantity"
+        )
+        assert j.count() == plain.count()
+        a = j.agg(F.round(F.sum("l_quantity"), 2)).collect()[0][0]
+        b = plain.agg(F.round(F.sum("l_quantity"), 2)).collect()[0][0]
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_b_t1")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b_t1")
