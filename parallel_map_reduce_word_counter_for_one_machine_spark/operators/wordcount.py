@@ -215,6 +215,17 @@ def format_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wc.select(F.format_string("%s -> %d", "word", "cnt").alias("line"))
 
 
+@query("word_count_ref_tokenizer", oracle=_WORD_COUNT_ORACLE_BODY)
+def word_count_ref_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship through the FULL reference-parity byte-class tokenizer
+    (REF_DELIM_REGEX) instead of the space split. On the driver corpus every
+    token is pure ASCII letters (verified), so the result — and therefore
+    the oracle — is identical to ``word_count``; the adversarial fixture
+    suite covers the inputs where the two tokenizers differ."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tokenize_ref(docs).groupBy("word").agg(F.count("*").alias("cnt"))
+
+
 @query(
     "sort_alpha",
     oracle=(
