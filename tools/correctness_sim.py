@@ -4,6 +4,8 @@ values), count-only for rows-only entries. Exit non-zero on any mismatch.
 
 Run twice back-to-back to catch nondeterminism:
     python tools/correctness_sim.py && python tools/correctness_sim.py
+
+Optional argv[1]: sf dir (default /root/testdata/sf0.01).
 """
 
 from __future__ import annotations
@@ -18,7 +20,7 @@ import duckdb
 
 from pyspark.sql import SparkSession
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
