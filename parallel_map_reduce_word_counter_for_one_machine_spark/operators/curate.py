@@ -29,7 +29,7 @@ MIN_TTR = 0.3
         "  SELECT doc_id, text, lang, "
         "    len(list_filter(string_split(text,' '), w -> w <> '')) AS n_tokens, "
         "    CAST(len(list_distinct(list_filter(string_split(text,' '), w -> w <> ''))) AS DOUBLE)"
-        "      / len(list_filter(string_split(text,' '), w -> w <> '')) AS ttr "
+        "      / NULLIF(len(list_filter(string_split(text,' '), w -> w <> '')), 0) AS ttr "
         "  FROM documents), "
         "kept AS (SELECT * FROM scored WHERE n_tokens >= 20 AND ttr >= 0.3), "
         "dedup AS ("
@@ -45,7 +45,10 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
     n_tokens = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    # Guarded BEFORE the quality filter: ANSI mode evaluates the projection
+    # during the scan, so an unguarded division crashes on a zero-token doc
+    # even though the filter would discard it.
+    ttr = F.when(n_tokens > 0, F.size(F.array_distinct(toks)).cast("double") / n_tokens)
     scored = d.select(
         "doc_id",
         "text",

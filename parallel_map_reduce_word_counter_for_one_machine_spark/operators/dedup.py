@@ -42,9 +42,16 @@ def _tokens(col: str = "text") -> Column:
 
 
 def _shingles(col: str = "text", k: int = SHINGLE_K) -> Column:
-    """Word k-gram shingle set, built inside the array domain (no explode)."""
+    """Word k-gram shingle set, built inside the array domain (no explode).
+
+    Documents with fewer than k tokens yield an EMPTY shingle set — the
+    guard matters: ``sequence(1, 0)`` would produce the descending [1, 0]
+    (Spark auto-steps -1) and ``slice(w, 0, k)`` then throws."""
     w = _tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(0)))
+    n = F.size(w) - (k - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(w, i, k), " "))
     )
@@ -111,7 +118,9 @@ def _fan_out_small_input(df: DataFrame) -> DataFrame:
 MAX_BUCKET = 64
 
 
-def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
+) -> DataFrame:
     """Band the signatures and emit unordered candidate pairs (a < b).
 
     Shape: explode each doc into n_bands (band_id, band_hash) keys, then
@@ -121,7 +130,9 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     (a self-join evaluates it per side) and gives a natural place for the
     bucket-size skew cap — the all-pairs blowup of a degenerate bucket is
     bounded at MAX_BUCKET² locally, never at join time."""
-    r = N_HASHES // n_bands
+    if n_hashes % n_bands != 0:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by n_bands={n_bands}")
+    r = n_hashes // n_bands
     bands = F.array(
         *[
             F.struct(
@@ -171,7 +182,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    jac = inter.cast("double") / union
+    # NULL (dropped by the >= filter) when both shingle sets are empty —
+    # ANSI mode (Spark 4 default) would otherwise raise DIVIDE_BY_ZERO.
+    jac = F.when(union > 0, inter.cast("double") / union)
     return (
         cands.join(a, cands.doc_a == F.col("a.doc_id"))
         .join(b, cands.doc_b == F.col("b.doc_id"))
@@ -234,20 +247,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunked = fps.select("doc_id", "fp", F.explode(chunks).alias("c")).select(
         "doc_id", "fp", "c.chunk_id", "c.chunk_val"
     )
-    l, r = chunked.alias("l"), chunked.alias("r")
+    # Same bucket-capped groupBy shape as lsh_candidate_pairs: a degenerate
+    # chunk value (e.g. every empty doc fingerprinting to 0) would blow up
+    # O(bucket²) in a self-join; here it is bounded at MAX_BUCKET² locally.
+    buckets = chunked.groupBy("chunk_id", "chunk_val").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("doc_id", "fp"))), 1, MAX_BUCKET
+        ).alias("docs")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda a, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda b: F.struct(
+                    a.getField("doc_id").alias("doc_a"),
+                    b.getField("doc_id").alias("doc_b"),
+                    a.getField("fp").alias("fp_a"),
+                    b.getField("fp").alias("fp_b"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        l.join(
-            r,
-            (F.col("l.chunk_id") == F.col("r.chunk_id"))
-            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("l.fp").alias("fp_a"),
-            F.col("r.fp").alias("fp_b"),
-        )
+        buckets.filter(F.size("docs") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.fp_a", "p.fp_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
@@ -259,14 +284,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=(
+        # NULLIF: two empty token sets give union size 0 — NULL, not a crash.
         "WITH s AS (SELECT doc_id, list_distinct(list_filter("
         "string_split(text, ' '), w -> w <> '')) AS toks FROM documents) "
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
         "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) "
-        "/ len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard "
+        "/ NULLIF(len(list_distinct(list_concat(a.toks, b.toks))), 0) AS jaccard "
         "FROM s a JOIN s b ON a.doc_id < b.doc_id "
         "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) "
-        "/ len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8"
+        "/ NULLIF(len(list_distinct(list_concat(a.toks, b.toks))), 0) >= 0.8"
     ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,9 +303,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     s = docs.select("doc_id", F.array_distinct(_tokens()).alias("toks"))
     a, b = s.alias("a"), s.alias("b")
-    jac = (
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = F.when(
+        union > 0,
         F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
-        / F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+        / union,
     )
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
@@ -321,9 +349,12 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, t: acc + t
         )
 
-    cos = dot(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    norms = F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(
+        dot(F.col("b.v"), F.col("b.v"))
     )
+    # NULL for zero-norm vectors (padding/failed-encode rows) — dropped by
+    # the threshold filter rather than raising ANSI DIVIDE_BY_ZERO.
+    cos = F.when(norms > 0, dot(F.col("a.v"), F.col("b.v")) / norms)
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(

@@ -44,7 +44,11 @@ def dot(x: Column, y: Column) -> Column:
 
 
 def cosine(x: Column, y: Column) -> Column:
-    return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+    """NULL for zero-norm inputs (ANSI mode — Spark 4 default — would raise
+    DIVIDE_BY_ZERO); NULLs sort last in the desc rank windows, so zero
+    vectors simply never appear in a top-k."""
+    norms = F.sqrt(dot(x, x)) * F.sqrt(dot(y, y))
+    return F.when(norms > 0, dot(x, y) / norms)
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:

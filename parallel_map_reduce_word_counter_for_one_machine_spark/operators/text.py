@@ -49,7 +49,8 @@ def _words(col: str = "text") -> F.Column:
         "len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) "
         "  AS n_distinct_tokens, "
         "CAST(length(replace(text, ' ', '')) AS DOUBLE) "
-        "  / len(list_filter(string_split(text, ' '), w -> w <> '')) AS avg_token_len "
+        "  / NULLIF(len(list_filter(string_split(text, ' '), w -> w <> '')), 0)"
+        "  AS avg_token_len "
         "FROM documents"
     ),
 )
@@ -58,14 +59,17 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc arrays never leave the executor."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(_words(), lambda w: w != "")
+    n = F.size(toks)
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars_calc"),
-        F.size(toks).alias("n_tokens"),
+        n.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        (
+        # NULL for token-less docs (ANSI mode would raise DIVIDE_BY_ZERO)
+        F.when(
+            n > 0,
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
-            / F.size(toks)
+            / n,
         ).alias("avg_token_len"),
     )
 
@@ -81,8 +85,8 @@ def _lang_hits(lang: str) -> F.Column:
     oracle=(
         "WITH scored AS (SELECT doc_id, lang, "
         + ", ".join(
-            "len(list_intersect(string_split(text, ' '), "
-            f"{[w for w in ws]!r}::VARCHAR[])) AS hits_{lg}".replace("'", "'")
+            f"len(list_intersect(string_split(text, ' '), {ws!r}::VARCHAR[]))"
+            f" AS hits_{lg}"
             for lg, ws in STOPWORDS.items()
         )
         + " FROM documents) "
@@ -131,10 +135,10 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "['the','a','of','and','to','in','is']::VARCHAR[])) AS stop_hits "
         "FROM documents) "
         "SELECT doc_id, n_tokens, "
-        "CAST(n_distinct AS DOUBLE) / n_tokens AS ttr, "
-        "CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio, "
+        "CAST(n_distinct AS DOUBLE) / NULLIF(n_tokens, 0) AS ttr, "
+        "CAST(stop_hits AS DOUBLE) / NULLIF(n_tokens, 0) AS stop_ratio, "
         "(CASE WHEN n_tokens >= 20 THEN 1.0 ELSE CAST(n_tokens AS DOUBLE) / 20 END)"
-        " * (CAST(n_distinct AS DOUBLE) / n_tokens) AS quality "
+        " * (CAST(n_distinct AS DOUBLE) / NULLIF(n_tokens, 0)) AS quality "
         "FROM t"
     ),
 )
@@ -149,7 +153,8 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = F.size(
         F.array_intersect(_words(), F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
     )
-    ttr = n_distinct.cast("double") / n_tokens
+    # NULL ratios for token-less docs (ANSI divide-by-zero guard)
+    ttr = F.when(n_tokens > 0, n_distinct.cast("double") / n_tokens)
     length_damp = F.when(n_tokens >= 20, F.lit(1.0)).otherwise(
         n_tokens.cast("double") / 20
     )
@@ -157,7 +162,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_tokens.alias("n_tokens"),
         ttr.alias("ttr"),
-        (stop_hits.cast("double") / n_tokens).alias("stop_ratio"),
+        F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).alias("stop_ratio"),
         (length_damp * ttr).alias("quality"),
     )
 

@@ -63,23 +63,9 @@ def run_stateful_user_totals(
     """Stream events.parquet through the stateful per-user counter and
     return the final memory-sink contents (one row per user from the last
     micro-batch that touched them)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("user_id", "value")
-    )
+    from ..sources.tables import read_events_stream
+
+    stream = read_events_stream(spark, sf_dir).select("user_id", "value")
     out = stream.groupBy("user_id").applyInPandasWithState(
         _update_user_state,
         outputStructType=OUTPUT_SCHEMA,

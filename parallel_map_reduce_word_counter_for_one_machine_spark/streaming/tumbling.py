@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.tables import SCHEMAS, load_table
+from ..sources.tables import load_table, read_events_stream
 
 WATERMARK = "10 minutes"
 
@@ -86,12 +86,13 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     oracle=(
         # Session = maximal run of a user's events with gaps < 30 min.
-        "WITH g AS (SELECT user_id, ts, value, CASE WHEN ts - lag(ts) OVER "
+        "WITH g AS (SELECT user_id, event_id, ts, value, CASE WHEN ts - lag(ts) OVER "
         "(PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes' "
         "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
         "THEN 1 ELSE 0 END AS brk FROM events), "
+        # event_id tiebreak keeps the cumsum deterministic for duplicate ts
         "s AS (SELECT user_id, ts, value, sum(brk) OVER (PARTITION BY user_id "
-        "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM g) "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g) "
         "SELECT user_id, epoch_ms(min(ts)) AS session_start_ms, "
         "count(*) AS n_events, round(sum(value), 2) AS sum_value "
         "FROM s GROUP BY user_id, session_id"
@@ -119,30 +120,7 @@ def run_stream_tumbling(spark: SparkSession, sf_dir: str, query_name: str) -> Da
     ``readStream`` over events.parquet with a 10-minute watermark, complete
     mode into a memory sink. Returns the sink contents after the stream
     drains. Used by tests to assert stream ≡ batch."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        SCHEMAS["events"]
-        .fields
-    )
-    import pyspark.sql.types as T
-
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanosAsLong
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        .withWatermark("ts", WATERMARK)
-    )
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
     q = (
         _tumbling_plan(stream)
         .writeStream.format("memory")
