@@ -115,14 +115,15 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_stream_tumbling(spark: SparkSession, sf_dir: str, query_name: str) -> DataFrame:
-    """Execute the tumbling aggregation as a REAL stream: file-source
-    ``readStream`` over events.parquet with a 10-minute watermark, complete
-    mode into a memory sink. Returns the sink contents after the stream
-    drains. Used by tests to assert stream ≡ batch."""
+def _run_windowed_stream(
+    spark: SparkSession, sf_dir: str, query_name: str, plan_fn
+) -> DataFrame:
+    """Execute a windowed aggregation as a REAL stream: file-source
+    ``readStream`` with a 10-minute watermark, complete mode into a memory
+    sink; returns the sink contents after the stream drains."""
     stream = read_events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
     q = (
-        _tumbling_plan(stream)
+        plan_fn(stream)
         .writeStream.format("memory")
         .queryName(query_name)
         .outputMode("complete")
@@ -131,3 +132,41 @@ def run_stream_tumbling(spark: SparkSession, sf_dir: str, query_name: str) -> Da
     )
     q.awaitTermination(120)
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_tumbling(spark: SparkSession, sf_dir: str, query_name: str) -> DataFrame:
+    """Tumbling aggregation as a real stream (tests assert ≡ batch)."""
+    return _run_windowed_stream(spark, sf_dir, query_name, _tumbling_plan)
+
+
+def run_stream_sliding(spark: SparkSession, sf_dir: str, query_name: str) -> DataFrame:
+    """Sliding-window aggregation as a real stream (tests assert ≡ batch)."""
+
+    def plan(events: DataFrame) -> DataFrame:
+        return (
+            events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.unix_millis(F.col("w.start")).alias("bucket_ms"), "event_type", "n"
+            )
+        )
+
+    return _run_windowed_stream(spark, sf_dir, query_name, plan)
+
+
+def run_stream_session(spark: SparkSession, sf_dir: str, query_name: str) -> DataFrame:
+    """Session windows as a real stream — ``session_window`` state merges
+    overlapping per-key windows incrementally; the watermark bounds state."""
+
+    def plan(events: DataFrame) -> DataFrame:
+        return (
+            events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+                F.unix_millis(F.min("ts")).alias("session_start_ms"),
+            )
+            .select("user_id", "session_start_ms", "n_events", "sum_value")
+        )
+
+    return _run_windowed_stream(spark, sf_dir, query_name, plan)

@@ -5,6 +5,8 @@ from pyspark.sql import functions as F
 
 from parallel_map_reduce_word_counter_for_one_machine_spark import registry
 from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.tumbling import (
+    run_stream_session,
+    run_stream_sliding,
     run_stream_tumbling,
 )
 
@@ -37,6 +39,22 @@ def test_stream_equals_batch(spark, sf_correct):
     s = sorted(map(tuple, stream_df.collect()))
     b = sorted(map(tuple, batch_df.collect()))
     assert s == b
+
+
+def test_sliding_stream_equals_batch(spark, sf_correct):
+    stream_df = run_stream_sliding(spark, sf_correct, "t_stream_sliding")
+    batch_df = registry.QUERIES["stream_sliding_agg"](spark, sf_correct)
+    assert sorted(map(tuple, stream_df.collect())) == sorted(
+        map(tuple, batch_df.collect())
+    )
+
+
+def test_session_stream_equals_batch(spark, sf_correct):
+    stream_df = run_stream_session(spark, sf_correct, "t_stream_session")
+    batch_df = registry.QUERIES["stream_session_window"](spark, sf_correct)
+    assert sorted(map(tuple, stream_df.collect())) == sorted(
+        map(tuple, batch_df.collect())
+    )
 
 
 def test_multimodal_decode_deterministic(spark, sf_correct):
