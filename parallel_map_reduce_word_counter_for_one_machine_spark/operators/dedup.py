@@ -35,6 +35,11 @@ N_BANDS = 8  # => rows per band r = N_HASHES // N_BANDS = 2
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.5
 HAMMING_MAX = 8
+# Cosine near-dup threshold. The driver's synthetic embeddings are
+# near-random (no engineered duplicate pairs), so a production-style 0.9
+# matches zero pairs at sf0.01 and the oracle would compare empty sets;
+# 0.3 yields a ~1k-pair result the hash comparison actually exercises.
+COSINE_THRESHOLD = 0.3
 
 
 def _tokens(col: str = "text") -> Column:
@@ -330,7 +335,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS cos_sim "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]"
-        "), 6) >= 0.9"
+        f"), 6) >= {COSINE_THRESHOLD}"
     ),
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,5 +367,5 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             F.round(cos, 6).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.9)
+        .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
     )

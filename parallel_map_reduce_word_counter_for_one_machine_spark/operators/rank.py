@@ -1,0 +1,78 @@
+"""Distributed global rank (row_number over a total order, no single-owner
+partition).
+
+The naive ``row_number().over(Window.orderBy(...))`` — no ``partitionBy`` —
+funnels EVERY row through one task: fine for a k-row top-k, an anti-pattern
+for a full listing at 100 TB. This module computes the same global rank with
+the classic two-level scheme the reference's parallel merge sort
+hand-codes imperatively (reference src/main.cpp:24-36: per-thread sorted
+runs + merge):
+
+1. range-exchange on the sort keys (``repartitionByRange`` — partition ``i``
+   holds keys strictly below partition ``i+1``; sampled boundaries, the same
+   mechanism as ``orderBy``);
+2. local ``row_number`` within each range partition (window partitioned by
+   ``spark_partition_id()`` — every partition ranks in parallel);
+3. per-partition row counts → running offsets. This window IS
+   single-partition, but over P rows (the partition count), not |data|;
+4. broadcast the P-row offset table back and add.
+
+The range exchange appears in two branches of one plan and is planned once
+(``ReusedExchange``) — which also guarantees both branches see identical
+(sampled) range boundaries, keeping pid-consistency between the local ranks
+and the offsets. Verified in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+ColumnOrName = Union[Column, str]
+
+
+def global_rank(
+    df: DataFrame,
+    keys: Sequence[ColumnOrName],
+    rank_col: str = "rk",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Attach a 1-based global ``row_number`` over ``keys`` without a
+    whole-dataset single-partition window.
+
+    ``keys`` must induce a total order (unique combination per row) for the
+    rank to be deterministic — same contract as any oracle-checked sort.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(n, *keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+
+    local = parts.withColumn(
+        "_lrk", F.row_number().over(Window.partitionBy("_pid").orderBy(*keys))
+    )
+
+    # Running offset per range partition: sum of counts of all lower pids.
+    # P rows total (P = shuffle partition count), so the global window here
+    # is O(P), not O(|df|).
+    off_w = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"),
+        )
+    )
+
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_lrk") + F.col("_off")).cast("int"))
+        .drop("_pid", "_lrk", "_off")
+    )

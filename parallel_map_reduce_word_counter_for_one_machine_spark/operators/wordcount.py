@@ -134,16 +134,14 @@ def word_count_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     collation on both sides (std::string< ≡ Spark UTF8String binary order).
 
     The rank column materializes the order so the driver's order-insensitive
-    hash still detects ordering bugs (SURVEY.md §5). A global row_number is
-    a single-partition window — fine for a distinct-words result (|words| ≪
-    |corpus|); at 100 TB the full sorted listing itself is the anti-pattern
-    and callers would take ``word_count_topk`` instead.
+    hash still detects ordering bugs (SURVEY.md §5). Rank is computed
+    distributed (range exchange + local rank + broadcast offsets — see
+    operators/rank.py), never a whole-dataset single-partition window.
     """
-    from pyspark.sql.window import Window
+    from .rank import global_rank
 
     wc = word_counts(spark, sf_dir)
-    w = Window.orderBy("word")
-    return wc.select("word", "cnt", F.row_number().over(w).alias("rk"))
+    return global_rank(wc, ["word"]).select("word", "cnt", "rk")
 
 
 @query(
@@ -157,12 +155,14 @@ def sort_by_count_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """High→Low listing (output2.txt, reference src/main.cpp:247-266). The
     reference leaves tie order unspecified (unstable sort cutoff,
     src/main.cpp:255-258); we standardize (cnt DESC, word ASC) so the result
-    is deterministic and oracle-checkable (SURVEY.md §4)."""
-    from pyspark.sql.window import Window
+    is deterministic and oracle-checkable (SURVEY.md §4). Distributed rank
+    (operators/rank.py), no single-partition window."""
+    from .rank import global_rank
 
     wc = word_counts(spark, sf_dir)
-    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
-    return wc.select("word", "cnt", F.row_number().over(w).alias("rk"))
+    return global_rank(wc, [F.desc("cnt"), F.asc("word")]).select(
+        "word", "cnt", "rk"
+    )
 
 
 @query(

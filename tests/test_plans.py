@@ -69,3 +69,20 @@ def test_whole_stage_codegen_in_scalar_battery(spark, sf_dir):
     assert "* Project" in plan_string(df) or "*(1) Project" in plan_string(
         df, mode="simple"
     )
+
+
+def test_global_rank_distributed(spark, sf_dir):
+    # Full-listing ranks (word_count_alpha / sort_by_count_desc) must NOT
+    # funnel the data through a single-partition window. The distributed
+    # scheme (operators/rank.py): one range exchange REUSED by both the
+    # local-rank branch and the offsets branch (reuse also guarantees both
+    # see the same sampled boundaries), and the only SinglePartition
+    # exchange operates on the P-row per-partition counts.
+    df = registry.QUERIES["sort_by_count_desc"](spark, sf_dir)
+    df.collect()  # AQE: reuse appears in the final adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert "rangepartitioning" in final
+    # the full-data window is partitioned by _pid, not global
+    assert "windowspecdefinition(_pid" in final
