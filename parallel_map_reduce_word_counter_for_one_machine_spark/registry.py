@@ -42,6 +42,7 @@ def load_all() -> None:
     """Import every operator module for its registration side effects."""
     # Imports deferred so `import registry` stays cheap and cycle-free.
     from .operators import (  # noqa: F401
+        binarytok,
         wordcount,
         relational,
         relational2,
