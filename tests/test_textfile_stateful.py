@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from parallel_map_reduce_word_counter_for_one_machine_spark.sources.textfile import (
@@ -55,3 +57,18 @@ def test_stateful_user_totals_equals_batch(spark, sf_correct):
         assert s[uid][0] == b[uid][0], f"count mismatch for user {uid}"
         # pandas chunk-sum order differs from Spark's agg order: tolerance
         assert abs(s[uid][1] - b[uid][1]) < 1e-6, f"sum mismatch for user {uid}"
+
+
+def test_tws_gate_reports_missing_protobuf():
+    """transformWithStateInPandas (streaming/tws.py) is environment-gated:
+    its python state client needs google.protobuf, absent in this
+    container. The gate must report that instead of crashing the stream."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.tws import (
+        tws_available,
+        run_tws_user_totals,
+    )
+
+    if tws_available():
+        pytest.skip("protobuf present — covered by the real run elsewhere")
+    with pytest.raises(ImportError, match="protobuf"):
+        run_tws_user_totals(None, "/root/testdata/sf0.001", "t_tws")
