@@ -1,0 +1,121 @@
+"""Dedup clustering: connected components over the near-duplicate pair
+graph (driver contract § north-star extensions; no reference citation —
+the reference, src/main.cpp:78-281, has no multi-record operators).
+
+A real dedup pipeline is pairs → CLUSTERS → one survivor per cluster:
+near-dup similarity is not transitive, so candidate pairs (A~B, B~C) must
+be closed into components before choosing representatives, or the kept set
+still contains near-dups of each other. This module adds the missing
+closure step on top of ``dedup.py``'s pair generators.
+
+Algorithm: iterative min-label propagation to fixpoint — each node adopts
+the smallest doc_id reachable so far; converges in O(diameter) rounds.
+Every round is one shuffle (join + groupBy-min) over the EDGE set, not the
+corpus; ``localCheckpoint`` truncates lineage so plans stay flat across
+iterations. At 100 TB-scale graphs the same loop applies (near-dup
+components are shallow — diameter is small by construction); for
+adversarially long chains, switch to the large-star/small-star rounds of
+Kiveris et al. "Connected Components in MapReduce and Beyond" (SoCC'14),
+which square the propagation distance per round. The DuckDB oracle computes
+the same closure declaratively with a recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import ORACLES, query
+from .dedup import dedup_ngram_jaccard
+
+MAX_ROUNDS = 15
+
+# Compose the oracle from the registered pair oracle so the edge definition
+# cannot drift from dedup_ngram_jaccard's (dedup.py is imported above, so
+# its registrations have already run).
+_CC_ORACLE = (
+    "WITH RECURSIVE pairs AS (" + ORACLES["dedup_ngram_jaccard"] + "), "
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+    "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+    "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+    "walk(node, r) AS (SELECT node, node FROM nodes "
+    "UNION SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.r) "
+    "SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id "
+    "FROM walk GROUP BY node"
+)
+
+
+@query("dedup_clusters", oracle=_CC_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in at least one near-dup pair;
+    cluster_id = min doc_id of the component (its canonical survivor).
+
+    Iterative DataFrame-only label propagation — no driver-side data, only
+    a convergence counter per round.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+
+    # Labels only ever decrease, so sum(label) is strictly monotone until
+    # the fixpoint — a single scalar aggregate per round is the whole
+    # convergence check (no join against the previous round needed).
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(MAX_ROUNDS):
+        msgs = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        labels = (
+            msgs.union(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+@query(
+    "dedup_survivors",
+    oracle=(
+        "WITH cc AS (" + _CC_ORACLE + ") "
+        "SELECT d.doc_id, d.lang FROM documents d LEFT JOIN cc "
+        "ON d.doc_id = cc.doc_id "
+        "WHERE cc.doc_id IS NULL OR cc.cluster_id = d.doc_id"
+    ),
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated corpus after fuzzy dedup: every doc not in any near-dup
+    component, plus one canonical representative (min doc_id) per
+    component — the end product a training pipeline actually feeds to the
+    tokenizer. Left join against the cluster map, which is |dup-docs|-sized
+    — usually a small fraction of the corpus; AQE promotes it to broadcast
+    when it fits, and degrades to a shuffle join when it doesn't."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cc = dedup_clusters(spark, sf_dir)
+    return (
+        docs.join(
+            cc.withColumnRenamed("doc_id", "cc_doc"),
+            docs["doc_id"] == F.col("cc_doc"),
+            "left",
+        )
+        .filter(F.col("cc_doc").isNull() | (F.col("cluster_id") == docs["doc_id"]))
+        .select("doc_id", "lang")
+    )

@@ -1,0 +1,153 @@
+"""Training-corpus curation operators: PII scrubbing, deterministic
+sampling, and sequence packing (driver contract § north-star extensions;
+no reference citation — the reference, src/main.cpp:78-281, has no
+document-level operations beyond its tokenizer).
+
+Scale notes (100 TB):
+- ``pii_scrub``: pure per-row ``regexp_replace``/``regexp_count`` — runs
+  inside whole-stage codegen, zero shuffles, linear scan.
+- ``sample_hash`` / ``sample_stratified``: deterministic content-hash
+  sampling (the reproducible alternative to ``df.sample``'s seeded RNG —
+  resilient to partition re-splits, re-runs, and cluster-size changes,
+  which all reshuffle Bernoulli sampling). A filter on a hash prefix is
+  fully pushdown-friendly in the row-group sense: no shuffle, no state.
+- ``pack_sequences``: concat-and-chunk packing (the standard LLM
+  pretraining layout: documents concatenated in a fixed order and sliced
+  into ``CTX``-token windows). The global running token offset is computed
+  with the two-level distributed prefix sum from ``rank.py`` — NO
+  single-partition window over the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+from .rank import global_cumsum
+
+# Kept to syntax shared by Java regex (Spark) and RE2 (DuckDB oracle).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+CTX_TOKENS = 2048  # packing window length
+
+
+@query(
+    "pii_scrub",
+    oracle=(
+        # The synthetic corpus has no real PII, so both engines inject a
+        # deterministic email + phone per doc, then scrub — the redaction
+        # path is exercised on every row and the oracle is non-trivial.
+        "WITH withpii AS (SELECT doc_id, text || ' contact user' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text FROM documents) "
+        "SELECT doc_id, "
+        f"regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PHONE_RE}', '<PHONE>', 'g') AS clean_text, "
+        f"len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails, "
+        f"len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones "
+        "FROM withpii"
+    ),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails/phones and count redactions — per-row JVM regex only."""
+    d = load_table(spark, sf_dir, "documents")
+    withpii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return withpii.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("clean_text"),
+        F.regexp_count("text", F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(PHONE_RE)).alias("n_phones"),
+    )
+
+
+@query(
+    "sample_hash",
+    oracle=(
+        "SELECT doc_id, lang, source FROM documents "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'"
+    ),
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/16 sample: first hex digit of md5(key). Unlike
+    ``df.sample(seed=…)``, the kept set is a pure function of the data —
+    stable across partitioning, retries, and engine versions (md5 is
+    engine-independent, so the DuckDB oracle selects the identical rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.filter(digit == "0").select("doc_id", "lang", "source")
+
+
+@query(
+    "sample_stratified",
+    oracle=(
+        "SELECT doc_id, lang FROM documents "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= "
+        "CASE WHEN lang = 'en' THEN '3' ELSE 'b' END"
+    ),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic rates (downsample the dominant language):
+    en keeps hex digits 0-3 (4/16), the rest keep 0-b (12/16). Hex-digit
+    ordering is plain byte order, identical in both engines. The scalable
+    twin of ``df.sampleBy`` with the same reproducibility upgrade as
+    ``sample_hash``."""
+    d = load_table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    cap = F.when(F.col("lang") == "en", F.lit("3")).otherwise(F.lit("b"))
+    return d.filter(digit <= cap).select("doc_id", "lang")
+
+
+@query(
+    "pack_sequences",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens "
+        "FROM documents), "
+        "c AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+        "), 0) AS BIGINT) AS start_tok FROM t WHERE n_tokens > 0) "
+        "SELECT doc_id, n_tokens, start_tok, "
+        f"start_tok // {CTX_TOKENS} AS window_id, "
+        f"((start_tok + n_tokens - 1) // {CTX_TOKENS}) "
+        f"- (start_tok // {CTX_TOKENS}) + 1 AS n_windows "
+        "FROM c"
+    ),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing layout: with documents concatenated in
+    doc_id order, assign each doc its starting context window
+    (``window_id``) and how many windows it spans. The exclusive prefix
+    sum of token counts uses the two-level range-partitioned scheme
+    (``rank.global_cumsum``) — per-partition windows run in parallel and
+    only the P-row offset table is single-partition."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    t = d.select(
+        "doc_id", F.size(toks).cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    c = global_cumsum(t, ["doc_id"], "n_tokens", out_col="start_tok")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        F.expr(f"start_tok DIV {CTX_TOKENS}").alias("window_id"),
+        (
+            F.expr(f"(start_tok + n_tokens - 1) DIV {CTX_TOKENS}")
+            - F.expr(f"start_tok DIV {CTX_TOKENS}")
+            + F.lit(1)
+        ).alias("n_windows"),
+    )

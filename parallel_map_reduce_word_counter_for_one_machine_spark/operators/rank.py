@@ -76,3 +76,48 @@ def global_rank(
         .withColumn(rank_col, (F.col("_lrk") + F.col("_off")).cast("int"))
         .drop("_pid", "_lrk", "_off")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    keys: Sequence[ColumnOrName],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` over the total order induced by
+    ``keys`` — same two-level scheme as :func:`global_rank` (range exchange,
+    per-partition window in parallel, P-row offset table broadcast back), so
+    no single-partition window ever sees the full dataset.
+
+    ``keys`` must be a total order (unique per row) for determinism.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(n, *keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parts.withColumn(
+        "_lc", F.coalesce(F.sum(value_col).over(local_w), F.lit(0))
+    )
+
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_n"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"),
+        )
+    )
+
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_lc") + F.col("_off"))
+        .drop("_pid", "_lc", "_off")
+    )

@@ -50,9 +50,11 @@ def load_all() -> None:
         sqlfront,
         curate,
         dedup,
+        graphdedup,  # after dedup: composes its registered oracle
         similarity,
         text,
         multimodal,
+        pipeline,
     )
     from .functions import udfs  # noqa: F401
-    from .streaming import tumbling  # noqa: F401
+    from .streaming import joins, tumbling  # noqa: F401

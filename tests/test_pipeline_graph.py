@@ -1,0 +1,114 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from parallel_map_reduce_word_counter_for_one_machine_spark.operators.graphdedup import (
+    dedup_clusters,
+    dedup_survivors,
+)
+from parallel_map_reduce_word_counter_for_one_machine_spark.operators.dedup import (
+    dedup_ngram_jaccard,
+)
+from parallel_map_reduce_word_counter_for_one_machine_spark.operators.pipeline import (
+    pack_sequences,
+    sample_hash,
+    sample_stratified,
+)
+from parallel_map_reduce_word_counter_for_one_machine_spark.operators.rank import (
+    global_cumsum,
+)
+from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.joins import (
+    join_event_attribution,
+    run_stream_stream_join,
+)
+
+
+def test_global_cumsum_matches_single_window(spark):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7 + 1).alias("v")
+    )
+    got = {
+        r["id"]: r["cum"]
+        for r in global_cumsum(df, ["id"], "v", num_partitions=8).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["cum"]
+        for r in df.select(
+            "id", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("cum")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pack_sequences_contiguous(spark, sf_correct):
+    rows = sorted(
+        pack_sequences(spark, sf_correct).collect(), key=lambda r: r["doc_id"]
+    )
+    assert rows[0]["start_tok"] == 0
+    pos = 0
+    for r in rows:
+        assert r["start_tok"] == pos, "packing left a gap"
+        assert r["n_windows"] >= 1
+        pos += r["n_tokens"]
+
+
+def test_sample_rates(spark, sf_correct):
+    # 1/16 expected; the md5 digit is uniform, so allow a wide band.
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    n_total = load_table(spark, sf_correct, "documents").count()
+    n = sample_hash(spark, sf_correct).count()
+    assert 0.02 * n_total < n < 0.15 * n_total
+
+    strat = sample_stratified(spark, sf_correct).groupBy("lang").count()
+    rates = {r["lang"]: r["count"] for r in strat.collect()}
+    by_lang = {
+        r["lang"]: r["count"]
+        for r in load_table(spark, sf_correct, "documents")
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    # en downsampled to 4/16, the rest kept at 12/16
+    assert rates["en"] / by_lang["en"] < 0.45
+    assert rates["de"] / by_lang["de"] > 0.55
+
+
+def test_dedup_clusters_are_consistent(spark, sf_correct):
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(spark, sf_correct).collect()
+    }
+    # cluster_id is the min member of its own cluster
+    for cid in set(labels.values()):
+        members = [d for d, c in labels.items() if c == cid]
+        assert min(members) == cid
+    # every near-dup edge has both endpoints in the same cluster
+    pairs = dedup_ngram_jaccard(spark, sf_correct).select("doc_a", "doc_b")
+    for r in pairs.collect():
+        assert labels[r["doc_a"]] == labels[r["doc_b"]]
+
+
+def test_dedup_survivors_no_intra_cluster_pairs(spark, sf_correct):
+    keep = {r["doc_id"] for r in dedup_survivors(spark, sf_correct).collect()}
+    pairs = dedup_ngram_jaccard(spark, sf_correct).select("doc_a", "doc_b")
+    for r in pairs.collect():
+        assert not (
+            r["doc_a"] in keep and r["doc_b"] in keep
+        ), "two near-dups both survived"
+
+
+def test_stream_stream_join_equals_batch(spark, sf_correct):
+    batch = set(map(tuple, join_event_attribution(spark, sf_correct).collect()))
+    stream = set(
+        map(
+            tuple,
+            run_stream_stream_join(spark, sf_correct, "t_ss_join").collect(),
+        )
+    )
+    assert stream == batch
+    assert len(batch) > 0
