@@ -86,3 +86,17 @@ def test_global_rank_distributed(spark, sf_dir):
     assert "rangepartitioning" in final
     # the full-data window is partitioned by _pid, not global
     assert "windowspecdefinition(_pid" in final
+
+
+def test_pack_sequences_cumsum_distributed(spark, sf_dir):
+    # Same contract as global_rank for the prefix sum: the range exchange
+    # is planned once (ReusedExchange in the final adaptive plan, which
+    # also pins identical sampled boundaries for both branches) and the
+    # full-data cumsum window is per-_pid, not global.
+    df = registry.QUERIES["pack_sequences"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert "rangepartitioning" in final
+    assert "windowspecdefinition(_pid" in final

@@ -29,6 +29,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_topk",
     "stream_tumbling_agg",
+    "pack_sequences",
+    "join_event_attribution",
 ]
 
 NOTES = {
@@ -50,6 +52,11 @@ NOTES = {
     "one window exchange on query_id",
     "stream_tumbling_agg": "windowed partial+final aggregate (same plan the "
     "streaming run executes incrementally)",
+    "pack_sequences": "one range exchange planned once (ReusedExchange) feeds "
+    "both the per-partition cumsum windows and the P-row offset table; the "
+    "only single-partition window is over P rows",
+    "join_event_attribution": "equi-join on user_id carrying the event-time "
+    "range as a join-level filter; one exchange per side",
 }
 
 
