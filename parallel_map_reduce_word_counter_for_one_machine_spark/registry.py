@@ -57,4 +57,4 @@ def load_all() -> None:
         pipeline,
     )
     from .functions import udfs  # noqa: F401
-    from .streaming import joins, tumbling  # noqa: F401
+    from .streaming import dedupstream, joins, tumbling  # noqa: F401

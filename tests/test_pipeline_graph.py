@@ -112,3 +112,19 @@ def test_stream_stream_join_equals_batch(spark, sf_correct):
     )
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_stream_dedup_equals_batch(spark, sf_correct):
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.dedupstream import (
+        run_stream_dedup,
+        stream_dedup,
+    )
+
+    batch = sorted(map(tuple, stream_dedup(spark, sf_correct).collect()))
+    stream = sorted(
+        map(tuple, run_stream_dedup(spark, sf_correct, "t_sdedup").collect())
+    )
+    assert stream == batch
+    # the doubled feed really collapsed: one row per event_id
+    ids = [r[0] for r in stream]
+    assert len(ids) == len(set(ids)) > 0
