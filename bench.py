@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "similarity_topk",
     "stream_tumbling_agg",
     "curate_corpus",
+    "pii_scrub",
+    "pack_sequences",
 ]
 
 

@@ -1,0 +1,113 @@
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.utils import AnalysisException
+
+from parallel_map_reduce_word_counter_for_one_machine_spark.sources.jsonio import (
+    CORRUPT_COL,
+    quarantine_split,
+    read_jsonl,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+LINES = [
+    '{"id": 1, "text": "good"}',
+    '{"id": "not-a-number", "text": "bad type"}',
+    "{broken json",
+    '{"id": 4, "text": "also good"}',
+]
+
+
+@pytest.fixture()
+def jsonl_path(tmp_path):
+    p = tmp_path / "feed.jsonl"
+    p.write_text("\n".join(LINES) + "\n")
+    return str(p)
+
+
+def test_permissive_quarantines_malformed(spark, jsonl_path):
+    df = read_jsonl(spark, jsonl_path, SCHEMA)
+    assert CORRUPT_COL in df.columns
+    clean, bad = quarantine_split(df)
+    assert {r["id"] for r in clean.collect()} == {1, 4}
+    raw = [r[CORRUPT_COL] for r in bad.collect()]
+    assert len(raw) == 2
+    # the raw line is preserved for replay
+    assert any("broken json" in r for r in raw)
+
+
+def test_dropmalformed_drops(spark, jsonl_path):
+    df = read_jsonl(spark, jsonl_path, SCHEMA, mode="dropmalformed")
+    assert sorted(r["id"] for r in df.collect()) == [1, 4]
+
+
+def test_failfast_raises(spark, jsonl_path):
+    with pytest.raises(Exception) as ei:
+        read_jsonl(spark, jsonl_path, SCHEMA, mode="failfast").collect()
+    assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
+
+
+def test_bad_mode_rejected(spark, jsonl_path):
+    with pytest.raises(ValueError):
+        read_jsonl(spark, jsonl_path, SCHEMA, mode="lenient")
+
+
+def test_stream_resumes_across_restarts_with_new_files(
+    spark, sf_correct, tmp_path
+):
+    """Incremental resume: a checkpointed file stream picks up ONLY files
+    that arrived since the last run — no reprocessing, no loss. This is the
+    operational loop of a continuously-ingesting corpus (new crawl dumps
+    landing between runs)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    events = load_table(spark, sf_correct, "events").select(
+        "event_id", "event_type", "value"
+    )
+    chunks = events.randomSplit([0.25, 0.25, 0.25, 0.25], seed=7)
+
+    def land(i):
+        chunks[i].write.mode("overwrite").parquet(f"{src}/chunk={i}")
+
+    def drain():
+        q = (
+            spark.readStream.schema(events.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land(0)
+    land(1)
+    drain()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == chunks[0].count() + chunks[1].count()
+
+    land(2)
+    land(3)
+    drain()
+    sink = spark.read.parquet(out)
+    assert sink.count() == 10000
+    assert sink.agg(F.count_distinct("event_id")).collect()[0][0] == 10000
