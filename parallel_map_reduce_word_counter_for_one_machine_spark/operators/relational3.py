@@ -1,0 +1,108 @@
+"""Relational batch 3: filtered aggregates, RANGE window frames, and the
+array-function battery (extension surface — the reference has no
+aggregates beyond count/sum, no windows, and no array type at all;
+SURVEY.md §2b, reference src/main.cpp:78-281).
+
+All JVM-side expressions; the float policy follows the repo rule
+(aggregate doubles rounded on both engines, per-row arithmetic unrounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+
+@query(
+    "agg_filtered",
+    oracle=(
+        "SELECT l_returnflag, count(*) AS n_all, "
+        "count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted, "
+        "round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2) "
+        "  AS rev_bulk, "
+        "round(avg(l_tax) FILTER (WHERE l_returnflag <> 'A'), 4) AS avg_tax_nr "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates: several differently-filtered measures in
+    ONE partial+final hash-agg pass over the fact — the scalable form of
+    what would otherwise be N self-joined sub-aggregations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("count(*)").alias("n_all"),
+        F.expr("count(*) FILTER (WHERE l_discount > 0.05)").alias("n_discounted"),
+        F.expr(
+            "round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2)"
+        ).alias("rev_bulk"),
+        F.expr("round(avg(l_tax) FILTER (WHERE l_returnflag <> 'A'), 4)").alias(
+            "avg_tax_nr"
+        ),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, "
+        "round(sum(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) "
+        "RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d "
+        "FROM orders"
+    ),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day customer spend via a RANGE frame over epoch days —
+    value-based frames are well-defined under ties (every tie shares one
+    frame), so the result is deterministic without a unique sort key. One
+    exchange on o_custkey; the frame is evaluated with a sliding
+    accumulator per partition, not a rescan per row."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01"))
+    frame = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days.alias("d"))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(frame), 2).alias("spend_30d"),
+    )
+
+
+@query(
+    "array_funcs",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), w -> w <> '') AS toks "
+        "FROM documents) "
+        "SELECT doc_id, "
+        "array_to_string(list_sort(toks)[1:3], ',') AS first3_sorted, "
+        "list_contains(toks, 'the') AS has_the, "
+        "CAST(coalesce(list_position(toks, 'spark'), 0) AS BIGINT) "
+        "  AS spark_pos, "
+        "array_to_string(list_reverse(toks[1:2]), ' ') AS head_rev "
+        "FROM t"
+    ),
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery (sort/slice/join/contains/position/reverse)
+    — all inside whole-stage codegen; the token arrays never leave the
+    executor. Binary-collation `array_sort` matches DuckDB `list_sort`."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda word: word != "")
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice(F.array_sort(toks), 1, 3), ",").alias(
+            "first3_sorted"
+        ),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_position(toks, "spark").alias("spark_pos"),
+        F.array_join(F.reverse(F.slice(toks, 1, 2)), " ").alias("head_rev"),
+    )

@@ -67,3 +67,28 @@ def sql_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT explode(split(text, ' ')) AS word FROM documents"
         ") tok WHERE word <> '' GROUP BY word"
     )
+
+
+_Q5_SQL = (
+    "SELECT n_name, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997 "
+    "GROUP BY n_name"
+)
+
+
+@query("sql_local_supplier_volume", oracle=_Q5_SQL)
+def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: a 6-way join (two broadcast-able dims, a
+    customer=supplier nation equi-condition that is NOT a key join) ending
+    in a small grouped aggregate — the classic Catalyst join-reordering
+    showcase. The SQL text is identical on both engines (`year()` is the
+    portable NTZ-safe date filter); revenue follows the rounded-aggregate
+    policy."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q5_SQL)

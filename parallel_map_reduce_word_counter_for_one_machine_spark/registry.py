@@ -46,6 +46,7 @@ def load_all() -> None:
         wordcount,
         relational,
         relational2,
+        relational3,
         temporal,
         sqlfront,
         curate,

@@ -98,3 +98,52 @@ def run_stream_stream_join(
     )
     q.awaitTermination(120)
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+@query(
+    "stream_enrich",
+    oracle=(
+        "SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment "
+        "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"
+    ),
+)
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment: every event decorated
+    with a dimension attribute via a left join against the (small) static
+    customer table — planned as a BroadcastHashJoin, so the streaming
+    version needs no shuffle and no state at all."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return e.join(
+        F.broadcast(c), e["user_id"] == c["c_custkey"], "left"
+    ).select("event_id", "user_id", "event_type", "c_mktsegment")
+
+
+def run_stream_static_enrich(
+    spark: SparkSession, sf_dir: str, query_name: str
+) -> DataFrame:
+    """Real streaming run: the event stream left-joined to the static dim.
+    Stream-static joins are stateless — each micro-batch joins against the
+    (broadcast) table snapshot; no watermark required."""
+    e = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    out = e.join(
+        F.broadcast(c), e["user_id"] == c["c_custkey"], "left"
+    ).select("event_id", "user_id", "event_type", "c_mktsegment")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -128,3 +128,20 @@ def test_stream_dedup_equals_batch(spark, sf_correct):
     # the doubled feed really collapsed: one row per event_id
     ids = [r[0] for r in stream]
     assert len(ids) == len(set(ids)) > 0
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_correct):
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.joins import (
+        run_stream_static_enrich,
+        stream_enrich,
+    )
+
+    batch = sorted(map(tuple, stream_enrich(spark, sf_correct).collect()))
+    stream = sorted(
+        map(
+            tuple,
+            run_stream_static_enrich(spark, sf_correct, "t_enrich").collect(),
+        )
+    )
+    assert stream == batch
+    assert len(batch) == 10000
