@@ -106,3 +106,29 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_position(toks, "spark").alias("spark_pos"),
         F.array_join(F.reverse(F.slice(toks, 1, 2)), " ").alias("head_rev"),
     )
+
+
+@query(
+    "histogram",
+    oracle=(
+        # floor() BEFORE the int cast on both engines (Spark casts by
+        # truncation, DuckDB by rounding — the repo-wide float rule).
+        "SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, "
+        "count(*) AS n, round(sum(value), 2) AS total "
+        "FROM events GROUP BY 1"
+    ),
+)
+def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram — a groupBy on a computed bucket key:
+    partial+final hash agg, one exchange whose cardinality is the bucket
+    count, not the row count."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.floor(F.col("value") / 50.0).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )

@@ -138,3 +138,57 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.count_distinct("c_nationkey").alias("n_nations"),
     )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@query(
+    "sessionize",
+    oracle=(
+        "WITH g AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN lag(ts) OVER w IS NULL OR "
+        f"epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US} "
+        "THEN 1 ELSE 0 END AS new_s FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT user_id, ts, CAST(sum(new_s) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n FROM g) "
+        "SELECT user_id, session_n, count(*) AS n_events, "
+        "min(epoch_us(ts)) AS start_us, "
+        "max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us "
+        "FROM s GROUP BY user_id, session_n"
+    ),
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a gap > 30 min starts a new session
+    (lag-diff → boundary flag → running sum = session index → per-session
+    aggregate). The batch twin of streaming session windows
+    (stream_session_window), and the classic composition the reference
+    cannot express (no windows of any kind, SURVEY.md §2b).
+
+    Scale: both windows and the final agg are partitioned by user_id — one
+    hash exchange total (the window's exchange is reused by the groupBy),
+    no global ordering anywhere. Ties broken by event_id so the ROWS
+    frames are total-ordered and deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    boundary = F.when(
+        gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = e.select(
+        "user_id",
+        "ts",
+        F.sum(boundary).over(run).alias("session_n"),
+    )
+    return sess.groupBy("user_id", "session_n").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
+            "dur_us"
+        ),
+    )

@@ -100,3 +100,18 @@ def test_pack_sequences_cumsum_distributed(spark, sf_dir):
     assert "ReusedExchange" in final
     assert "rangepartitioning" in final
     assert "windowspecdefinition(_pid" in final
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    # hashpartitioning(user_id) satisfies the groupBy's
+    # ClusteredDistribution(user_id, session_n) — the windows' exchange is
+    # the ONLY one in the whole sessionization plan.
+    p = plan_string(registry.QUERIES["sessionize"](spark, sf_dir), mode="simple")
+    assert p.count("Exchange") == 1
+
+
+def test_stream_enrich_broadcasts_dim(spark, sf_dir):
+    p = plan_string(
+        registry.QUERIES["stream_enrich"](spark, sf_dir), mode="simple"
+    )
+    assert "BroadcastHashJoin" in p
