@@ -119,3 +119,90 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cc_doc").isNull() | (F.col("cluster_id") == docs["doc_id"]))
         .select("doc_id", "lang")
     )
+
+
+def _min_star(edges: DataFrame) -> DataFrame:
+    """m(u) = min(u ∪ Γ(u)) for a symmetric edge list (src, dst)."""
+    return (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least("src", "_mn").alias("m"))
+    )
+
+
+def connected_components_star(edges_sym: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al., SoCC'14
+    "Connected Components in MapReduce and Beyond") — the scale path for
+    graphs with LONG chains, where plain min-label propagation needs
+    O(diameter) rounds: each large+small round roughly squares the
+    distance information travels, giving O(log² n) rounds worst-case.
+
+    Input: symmetric edge list (src, dst), src ≠ dst. Output:
+    (node, component) with component = min node id of the component.
+    Every round is two join+groupBy passes over the current edge set.
+    """
+    e = edges_sym.select("src", "dst").localCheckpoint()
+    prev_sig = None
+    for _ in range(max_rounds):
+        # Large-star: for every u, link its LARGER neighbors to m(u).
+        m = _min_star(e)
+        large = (
+            e.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        e1 = (
+            large.union(large.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # Small-star: for every u, link its SMALLER-or-equal neighbors
+        # (and u itself) to m(u).
+        m1 = _min_star(e1)
+        small = (
+            e1.join(m1, "src")
+            .filter(F.col("dst") <= F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(m1.select(F.col("src"), F.col("m").alias("dst")))
+        )
+        e = (
+            small.union(small.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # Converged when the edge multiset stops changing (cheap signature:
+        # count + sum of endpoint ids — both monotone non-increasing here).
+        sig = tuple(
+            e.agg(
+                F.count("*"), F.sum("src") + F.sum("dst")
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # Star state: every non-root points at its root; add the roots.
+    stars = e.filter(F.col("src") > F.col("dst")).select(
+        F.col("src").alias("node"), F.col("dst").alias("component")
+    )
+    roots = stars.select(F.col("component").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return stars.union(roots)
+
+
+@query("dedup_clusters_bigstar", oracle=_CC_ORACLE)
+def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as dedup_clusters, computed with the
+    large-star/small-star algorithm — registered under the SAME recursive
+    CTE oracle, so both algorithms are independently verified against the
+    declarative closure (and transitively against each other)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF(
+        "src", "dst"
+    )
+    cc = connected_components_star(edges)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

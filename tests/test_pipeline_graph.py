@@ -145,3 +145,32 @@ def test_stream_static_enrich_equals_batch(spark, sf_correct):
     )
     assert stream == batch
     assert len(batch) == 10000
+
+
+def test_bigstar_cc_on_long_chains(spark):
+    """Adversarial topology for plain min-label propagation: long chains.
+    The star algorithm must resolve them in O(log^2 n) rounds and produce
+    min-id components."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.graphdedup import (
+        connected_components_star,
+    )
+
+    chain = spark.range(999).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    c2 = spark.range(2000, 2500).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    pair = spark.createDataFrame([(5000, 5001)], "src long, dst long")
+    e = chain.union(c2).union(pair)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components_star(sym).collect()
+    }
+    assert len(comp) == 1000 + 501 + 2
+    assert all(comp[n] == 0 for n in range(1000))
+    assert all(comp[n] == 2000 for n in range(2000, 2501))
+    assert comp[5000] == comp[5001] == 5000
