@@ -174,3 +174,23 @@ def test_bigstar_cc_on_long_chains(spark):
     assert all(comp[n] == 0 for n in range(1000))
     assert all(comp[n] == 2000 for n in range(2000, 2501))
     assert comp[5000] == comp[5001] == 5000
+
+
+def test_stream_word_count_equals_batch(spark, sf_correct):
+    """The flagship as an incremental stream: final update-mode state must
+    equal the one-shot batch word count exactly."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.wordcount import (
+        word_count,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.wordcount import (
+        run_stream_word_count,
+    )
+
+    batch = sorted(map(tuple, word_count(spark, sf_correct).collect()))
+    stream = sorted(
+        map(
+            tuple,
+            run_stream_word_count(spark, sf_correct, "t_swc").collect(),
+        )
+    )
+    assert stream == batch
