@@ -132,3 +132,24 @@ def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total"),
         )
     )
+
+
+@query("percentiles_approx")  # rows-only: sketch internals are engine-specific
+def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (`percentile_approx`, GK-style): each
+    partition builds a bounded-size summary, merged at the driver side of
+    the agg — ONE pass, no global sort, state O(accuracy) per group. The
+    scale path for percentiles; the exact `percentiles` query is its
+    oracle-checked counterpart (and the error-bound test pins this one
+    against it to rank error 1/accuracy)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("q"),
+        F.count("*").alias("n"),
+    ).select(
+        "event_type",
+        F.col("q")[0].alias("p50"),
+        F.col("q")[1].alias("p90"),
+        F.col("q")[2].alias("p99"),
+        "n",
+    )

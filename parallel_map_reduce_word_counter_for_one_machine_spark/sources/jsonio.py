@@ -60,3 +60,30 @@ def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = df.filter(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
     bad = df.filter(df[CORRUPT_COL].isNotNull())
     return clean, bad
+
+
+def read_csv_robust(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    mode: str = "permissive",
+    header: bool = True,
+) -> DataFrame:
+    """CSV twin of :func:`read_jsonl`: declared schema + explicit
+    malformed-row policy (same three modes, same quarantine column). CSV
+    needs it even more than JSON at scale — quoting/escaping bugs in
+    producers are the norm, and inference over 100 TB is two passes."""
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {sorted(_MODES)}, got {mode!r}")
+    full = schema
+    if mode == "permissive" and CORRUPT_COL not in schema.fieldNames():
+        full = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+        )
+    return (
+        spark.read.schema(full)
+        .option("mode", mode.upper())
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .csv(path)
+    )

@@ -111,3 +111,30 @@ def test_stream_resumes_across_restarts_with_new_files(
     sink = spark.read.parquet(out)
     assert sink.count() == 10000
     assert sink.agg(F.count_distinct("event_id")).collect()[0][0] == 10000
+
+
+CSV_LINES = [
+    "id,text",
+    "1,good",
+    "not-a-number,bad id",
+    "4,also good",
+]
+
+
+def test_csv_robust_modes(spark, tmp_path):
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.jsonio import (
+        read_csv_robust,
+    )
+
+    p = tmp_path / "feed.csv"
+    p.write_text("\n".join(CSV_LINES) + "\n")
+
+    df = read_csv_robust(spark, str(p), SCHEMA)
+    clean, bad = quarantine_split(df)
+    assert {r["id"] for r in clean.collect()} == {1, 4}
+    # collect (not count): count() would prune the scan down to the corrupt
+    # column alone, hitting QUERY_ONLY_CORRUPT_RECORD_COLUMN again.
+    assert len(bad.collect()) == 1
+
+    dropped = read_csv_robust(spark, str(p), SCHEMA, mode="dropmalformed")
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 4]

@@ -194,3 +194,32 @@ def test_stream_word_count_equals_batch(spark, sf_correct):
         )
     )
     assert stream == batch
+
+
+def test_percentiles_approx_rank_error(spark, sf_correct):
+    """approx_percentile guarantees rank error <= n/accuracy; with
+    accuracy=10000 and n~2000 per group that is exact-or-adjacent. Assert
+    each approx quantile lies within the exact values at p +/- 0.005."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.relational3 import (
+        percentiles_approx,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+    import math
+
+    approx = {
+        r["event_type"]: r for r in percentiles_approx(spark, sf_correct).collect()
+    }
+    vals = {}
+    for r in load_table(spark, sf_correct, "events").select(
+        "event_type", "value"
+    ).collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for et, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        for p, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            lo = xs[max(0, math.floor((p - 0.005) * n) - 1)]
+            hi = xs[min(n - 1, math.ceil((p + 0.005) * n))]
+            assert lo <= approx[et][col] <= hi, (et, col)
