@@ -153,3 +153,36 @@ def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q")[2].alias("p99"),
         "n",
     )
+
+
+@query(
+    "hof_funcs",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), w -> w <> '') AS toks "
+        "FROM documents) "
+        "SELECT doc_id, "
+        "len(list_filter(toks, w -> length(w) > 6)) > 0 AS any_long, "
+        "len(list_filter(toks, w -> length(w) >= 20)) = 0 AS all_short, "
+        "CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) "
+        "AS BIGINT) AS total_len "
+        "FROM t"
+    ),
+)
+def hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function battery (exists / forall / transform +
+    aggregate) — per-row array lambdas inside whole-stage codegen, zero
+    shuffles. The DuckDB twins are list_filter/list_transform/list_sum
+    compositions computing identical values."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    return d.select(
+        "doc_id",
+        F.exists(toks, lambda w: F.length(w) > 6).alias("any_long"),
+        F.forall(toks, lambda w: F.length(w) < 20).alias("all_short"),
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_len"),
+    )

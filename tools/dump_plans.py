@@ -30,6 +30,7 @@ HEADLINE = [
     "similarity_topk",
     "stream_tumbling_agg",
     "pack_sequences",
+    "sessionize",
     "join_event_attribution",
 ]
 
@@ -57,6 +58,8 @@ NOTES = {
     "only single-partition window is over P rows",
     "join_event_attribution": "equi-join on user_id carrying the event-time "
     "range as a join-level filter; one exchange per side",
+    "sessionize": "ONE exchange total: hashpartitioning(user_id) satisfies "
+    "the groupBy's (user_id, session_n) clustering requirement",
 }
 
 
