@@ -151,3 +151,32 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1)
         ).alias("n_windows"),
     )
+
+
+@query(
+    "dataset_split",
+    oracle=(
+        # First two md5 hex digits = uniform 0..255: <230 train (~90%),
+        # <243 val (~5%), rest test. Byte-order string compare is identical
+        # cross-engine; the split is a pure function of the key.
+        "SELECT doc_id, CASE "
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train' "
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val' "
+        "ELSE 'test' END AS split FROM documents"
+    ),
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/5/5 train/val/test assignment from a hash prefix.
+    Same reproducibility property as sample_hash: membership is a pure
+    function of the key — survives reshards, retries, incremental corpus
+    growth (new docs never move old ones between splits), and is
+    recomputable by any engine."""
+    d = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        F.when(h2 < "e6", "train")
+        .when(h2 < "f3", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
