@@ -223,3 +223,52 @@ def test_percentiles_approx_rank_error(spark, sf_correct):
             lo = xs[max(0, math.floor((p - 0.005) * n) - 1)]
             hi = xs[min(n - 1, math.ceil((p + 0.005) * n))]
             assert lo <= approx[et][col] <= hi, (et, col)
+
+
+import random
+
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_cc_algorithms_match_union_find_on_random_graphs(spark):
+    """Differential check of BOTH distributed CC algorithms against a
+    driver-side union-find on random graphs (seeded, 3 topologies)."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.graphdedup import (
+        connected_components_star,
+    )
+    from pyspark.sql import functions as F
+
+    for seed, n, m in [(1, 120, 80), (2, 200, 300), (3, 150, 40)]:
+        rng = random.Random(seed)
+        edges = list(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(m)
+            }
+        )
+        nodes = sorted({x for e in edges for x in e})
+        want = _union_find_components(edges, nodes)
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components_star(sym).collect()
+        }
+        assert got == want, f"seed {seed}: star CC diverged from union-find"
