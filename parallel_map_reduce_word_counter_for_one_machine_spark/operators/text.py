@@ -322,3 +322,49 @@ def tfidf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
         ).alias("tfidf"),
     )
+
+
+# Lexicon-based sentiment (PAPERS.md: "Large Scale Sentiment Analysis on
+# Twitter with Spark", EDBT 2016 — the classic lexicon baseline): counts of
+# polarity words, score = (pos - neg) / (pos + neg).
+POS_WORDS = ["fast", "good", "great", "win", "best", "value"]
+NEG_WORDS = ["slow", "bad", "error", "fail", "worst", "crash"]
+
+
+@query(
+    "sentiment_score",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), w -> w <> '') AS toks "
+        "FROM documents), c AS (SELECT doc_id, "
+        f"len(list_filter(toks, w -> list_contains({POS_WORDS!r}, w))) AS n_pos, "
+        f"len(list_filter(toks, w -> list_contains({NEG_WORDS!r}, w))) AS n_neg "
+        "FROM t) "
+        "SELECT doc_id, n_pos, n_neg, "
+        "CAST(n_pos - n_neg AS DOUBLE) / NULLIF(n_pos + n_neg, 0) AS polarity "
+        "FROM c"
+    ),
+)
+def sentiment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment — counts polarity TOKENS (not set membership, so
+    repeated words weigh in), per-row only, no shuffle. Division guarded
+    (ANSI mode) and emitted unrounded: both engines run the identical
+    IEEE op on integer-valued doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_words(), lambda w: w != "")
+    pos_arr = F.array(*[F.lit(w) for w in POS_WORDS])
+    neg_arr = F.array(*[F.lit(w) for w in NEG_WORDS])
+    n_pos = F.size(F.filter(toks, lambda w: F.array_contains(pos_arr, w)))
+    n_neg = F.size(F.filter(toks, lambda w: F.array_contains(neg_arr, w)))
+    c = d.select(
+        "doc_id", n_pos.alias("n_pos"), n_neg.alias("n_neg")
+    )
+    tot = F.col("n_pos") + F.col("n_neg")
+    return c.select(
+        "doc_id",
+        "n_pos",
+        "n_neg",
+        F.when(
+            tot > 0, (F.col("n_pos") - F.col("n_neg")).cast("double") / tot
+        ).alias("polarity"),
+    )
