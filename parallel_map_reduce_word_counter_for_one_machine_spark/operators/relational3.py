@@ -186,3 +186,34 @@ def hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("total_len"),
     )
+
+
+@query(
+    "unpivot_measures",
+    oracle=(
+        # Portable long-form twin: UNION ALL of one SELECT per measure —
+        # exactly what unpivot lowers to (Spark plans it as Expand).
+        "SELECT l_orderkey, l_linenumber, 'quantity' AS measure, "
+        "l_quantity AS val FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'price', l_extendedprice "
+        "FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem"
+    ),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (`unpivot`/melt, the inverse of `pivot_status`).
+    Plans as a single Expand over one scan — three output rows per input
+    row WITHOUT three scans or a shuffle; values are carried verbatim
+    (no float math), so the oracle matches bit-exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_tax"],
+        "measure",
+        "val",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_quantity", "quantity")
+        .when(F.col("measure") == "l_extendedprice", "price")
+        .otherwise("tax"),
+    )
