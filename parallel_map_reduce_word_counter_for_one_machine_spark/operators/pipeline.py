@@ -180,3 +180,68 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+MIN_TOKENS = 5  # quality gate for the composite pipeline
+
+
+@query(
+    "prepare_training_corpus",
+    oracle=(
+        "WITH q AS (SELECT doc_id, text, "
+        "len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens "
+        "FROM documents), "
+        f"ok AS (SELECT * FROM q WHERE n_tokens >= {MIN_TOKENS}), "
+        "dedup AS (SELECT doc_id, n_tokens FROM ok WHERE doc_id IN "
+        "(SELECT min(doc_id) FROM ok GROUP BY md5(text))), "
+        "sp AS (SELECT doc_id, n_tokens, CASE "
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train' "
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val' "
+        "ELSE 'test' END AS split FROM dedup), "
+        "c AS (SELECT doc_id, split, n_tokens, CAST(coalesce(sum(n_tokens) "
+        "OVER (PARTITION BY split ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+        "AS start_tok FROM sp) "
+        "SELECT doc_id, split, n_tokens, start_tok, "
+        f"start_tok // {CTX_TOKENS} AS window_id FROM c"
+    ),
+)
+def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data pipeline as one declarative plan:
+    quality gate → exact dedup (min-doc_id winner per content hash) →
+    deterministic train/val/test split → per-split concat-and-chunk
+    packing. What a user of this engine actually runs before tokenizing.
+
+    Scale shape: one linear scan computes tokens+hash; the dedup is one
+    hash-key exchange; the split is a free projection; the per-split
+    running offset uses the two-level prefix sum with ``reset_keys`` —
+    per-partition windows stay parallel even with only 3 splits (a plain
+    Window.partitionBy(split) cumsum would funnel ~1/3 of the corpus
+    through each of 3 tasks)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    q = d.select(
+        "doc_id",
+        F.md5("text").alias("_fp"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= MIN_TOKENS)
+
+    keep = q.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    dedup = q.join(keep, ["_fp", "doc_id"]).select("doc_id", "n_tokens")
+
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    sp = dedup.withColumn(
+        "split",
+        F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test"),
+    )
+
+    c = global_cumsum(
+        sp, ["doc_id"], "n_tokens", out_col="start_tok", reset_keys=["split"]
+    )
+    return c.select(
+        "doc_id",
+        "split",
+        "n_tokens",
+        "start_tok",
+        F.expr(f"start_tok DIV {CTX_TOKENS}").alias("window_id"),
+    )

@@ -84,21 +84,31 @@ def global_cumsum(
     value_col: str,
     out_col: str = "cum",
     num_partitions: Optional[int] = None,
+    reset_keys: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Exclusive prefix sum of ``value_col`` over the total order induced by
     ``keys`` — same two-level scheme as :func:`global_rank` (range exchange,
     per-partition window in parallel, P-row offset table broadcast back), so
     no single-partition window ever sees the full dataset.
 
-    ``keys`` must be a total order (unique per row) for determinism.
+    ``reset_keys``: optional grouping columns at which the sum restarts
+    (e.g. one running offset per dataset split). They are prepended to the
+    range-partitioning keys so each group's rows stay key-ordered across
+    partitions, and the offset table gets one row per (partition, group) —
+    still O(P × groups), tiny. With few huge groups this beats a plain
+    ``Window.partitionBy(group)`` cumsum, which would funnel each group
+    through ONE task.
+
+    ``keys`` (with ``reset_keys``) must be a total order for determinism.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parts = df.repartitionByRange(n, *keys).withColumn(
+    rk = list(reset_keys or [])
+    parts = df.repartitionByRange(n, *rk, *keys).withColumn(
         "_pid", F.spark_partition_id()
     )
 
     local_w = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_pid", *rk)
         .orderBy(*keys)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -106,18 +116,23 @@ def global_cumsum(
         "_lc", F.coalesce(F.sum(value_col).over(local_w), F.lit(0))
     )
 
-    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_w = (
+        Window.partitionBy(*rk)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = (
-        parts.groupBy("_pid")
+        parts.groupBy("_pid", *rk)
         .agg(F.sum(value_col).alias("_n"))
         .select(
             "_pid",
+            *rk,
             F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"),
         )
     )
 
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(offsets), ["_pid", *rk])
         .withColumn(out_col, F.col("_lc") + F.col("_off"))
         .drop("_pid", "_lc", "_off")
     )

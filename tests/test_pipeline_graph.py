@@ -272,3 +272,31 @@ def test_cc_algorithms_match_union_find_on_random_graphs(spark):
             for r in connected_components_star(sym).collect()
         }
         assert got == want, f"seed {seed}: star CC diverged from union-find"
+
+
+def test_global_cumsum_reset_keys(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(600).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 5 + 1).alias("v"),
+    )
+    got = {
+        (r["g"], r["id"]): r["cum"]
+        for r in global_cumsum(
+            df, ["id"], "v", num_partitions=8, reset_keys=["g"]
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        (r["g"], r["id"]): r["cum"]
+        for r in df.select(
+            "g", "id", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("cum")
+        ).collect()
+    }
+    assert got == want
