@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "curate_corpus",
     "pii_scrub",
     "pack_sequences",
+    "prepare_training_corpus",
 ]
 
 

@@ -32,6 +32,7 @@ HEADLINE = [
     "pack_sequences",
     "sessionize",
     "join_event_attribution",
+    "prepare_training_corpus",
 ]
 
 NOTES = {
@@ -60,6 +61,9 @@ NOTES = {
     "range as a join-level filter; one exchange per side",
     "sessionize": "ONE exchange total: hashpartitioning(user_id) satisfies "
     "the groupBy's (user_id, session_n) clustering requirement",
+    "prepare_training_corpus": "quality+hash in the scan projection; one "
+    "fingerprint exchange for dedup; per-split packing offsets via the "
+    "reused range exchange (grouped two-level prefix sum)",
 }
 
 
