@@ -33,6 +33,15 @@ from ..sources.tables import load_table
 N_HASHES = 16
 N_BANDS = 8  # => rows per band r = N_HASHES // N_BANDS = 2
 SHINGLE_K = 3
+# Operating point for the CLUSTER-edge path (lsh_verified_pairs): 32 hashes
+# in 16 bands of 2 rows → P[miss a J=0.8 pair] = (1-0.8²)^16 ≈ 8e-8, and a
+# 256-doc bucket cap. Closure-equality against the exact O(n²) truth was
+# measured at sf0.001 AND sf0.01 (exact match, tests/test_pipeline_graph.py);
+# the driver corpus is adversarially dense (one ~350-doc near-dup component),
+# so these are the smallest parameters that reproduce the truth closure.
+CLUSTER_N_HASHES = 32
+CLUSTER_N_BANDS = 16
+CLUSTER_MAX_BUCKET = 256
 JACCARD_THRESHOLD = 0.5
 HAMMING_MAX = 8
 # Cosine near-dup threshold. The driver's synthetic embeddings are
@@ -94,7 +103,15 @@ def minhash_signatures(
     shingle construction once PER SEED — 16× the work, measured 26s vs
     ~3s at sf0.1."""
     docs = _fan_out_small_input(docs)
-    ex = docs.select("doc_id", F.explode(_shingles(k=k)).alias("s"))
+    sets = docs.select("doc_id", _shingles(k=k).alias("elems"))
+    return _signatures_of_sets(sets, n_hashes)
+
+
+def _signatures_of_sets(sets: DataFrame, n_hashes: int) -> DataFrame:
+    """(doc_id, elems: array<string>) → (doc_id, sig: array<long>); the
+    explode → n× min(xxhash64(elem, seed)) single-pass formulation shared by
+    the shingle and token-set MinHash paths."""
+    ex = sets.select("doc_id", F.explode("elems").alias("s"))
     mins = ex.groupBy("doc_id").agg(
         *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
     )
@@ -124,7 +141,10 @@ MAX_BUCKET = 64
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
+    sigs: DataFrame,
+    n_bands: int = N_BANDS,
+    n_hashes: int = N_HASHES,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Band the signatures and emit unordered candidate pairs (a < b).
 
@@ -153,7 +173,7 @@ def lsh_candidate_pairs(
         "doc_id", "band.band_id", "band.band_hash"
     )
     buckets = banded.groupBy("band_id", "band_hash").agg(
-        F.slice(F.array_sort(F.collect_list("doc_id")), 1, MAX_BUCKET).alias("docs")
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_bucket).alias("docs")
     )
     pairs = F.flatten(
         F.transform(
@@ -203,6 +223,68 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alias of ``dedup_minhash_lsh`` under the SURVEY.md §2c inventory key:
     fuzzy (near-duplicate) document dedup via shingle MinHash-LSH."""
     return dedup_minhash_lsh(spark, sf_dir)
+
+
+def lsh_verified_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    n_hashes: int = CLUSTER_N_HASHES,
+    n_bands: int = CLUSTER_N_BANDS,
+    max_bucket: int = CLUSTER_MAX_BUCKET,
+) -> DataFrame:
+    """PRODUCTION near-dup edge source for the clustering operators: the
+    same pair semantics as the exact O(n²) truth (token-set Jaccard ≥
+    ``threshold``, the ``dedup_ngram_jaccard`` definition) computed without
+    any all-pairs join:
+
+    1. Exact-collapse: group docs by an md5 fingerprint of their sorted
+       distinct token set; same-fingerprint docs have J = 1.0 by definition,
+       so each group contributes rep→member STAR edges (O(group), verified
+       by construction) and only the group representative enters LSH. This
+       is the standard scale move — exact dup mass (the bulk at 100 TB)
+       never reaches the quadratic-ish stage.
+    2. Token-set MinHash over representatives → band buckets → in-bucket
+       pair enumeration (``lsh_candidate_pairs``, bucket-capped).
+    3. Exact-Jaccard verify of candidates at ``threshold`` — precision 1.0
+       vs the truth by construction; recall set by (n_hashes, n_bands,
+       max_bucket), closure-equality-tested at the defaults.
+
+    Empty-token docs are excluded (their truth Jaccard is NULL — never a
+    pair), so md5('') cannot weld unrelated empty docs together.
+    """
+    docs = _fan_out_small_input(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.array_sort(F.array_distinct(_tokens())).alias("toks")
+    ).filter(F.size("toks") > 0)
+    groups = toks.groupBy(F.md5(F.array_join("toks", "\x01")).alias("fp")).agg(
+        F.min("doc_id").alias("rep"),
+        F.collect_list("doc_id").alias("members"),
+        F.first("toks").alias("toks"),
+    )
+    star = groups.select(
+        F.col("rep").alias("doc_a"), F.explode("members").alias("doc_b")
+    ).filter(F.col("doc_a") != F.col("doc_b"))
+
+    reps = groups.select(F.col("rep").alias("doc_id"), "toks")
+    sigs = _signatures_of_sets(reps.withColumnRenamed("toks", "elems"), n_hashes)
+    cands = lsh_candidate_pairs(
+        sigs, n_bands=n_bands, n_hashes=n_hashes, max_bucket=max_bucket
+    )
+    a, b = reps.alias("a"), reps.alias("b")
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = F.when(
+        union > 0,
+        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
+        / union,
+    )
+    verified = (
+        cands.join(a, cands.doc_a == F.col("a.doc_id"))
+        .join(b, cands.doc_b == F.col("b.doc_id"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    return star.union(verified).distinct()
 
 
 def simhash_column(hashes: Column, n_bits: int = 64) -> Column:

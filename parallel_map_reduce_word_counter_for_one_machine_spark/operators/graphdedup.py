@@ -5,28 +5,39 @@ the reference, src/main.cpp:78-281, has no multi-record operators).
 A real dedup pipeline is pairs → CLUSTERS → one survivor per cluster:
 near-dup similarity is not transitive, so candidate pairs (A~B, B~C) must
 be closed into components before choosing representatives, or the kept set
-still contains near-dups of each other. This module adds the missing
-closure step on top of ``dedup.py``'s pair generators.
+still contains near-dups of each other. This module adds the closure step
+on top of ``dedup.py``'s pair generators.
 
-Algorithm: iterative min-label propagation to fixpoint — each node adopts
-the smallest doc_id reachable so far; converges in O(diameter) rounds.
-Every round is one shuffle (join + groupBy-min) over the EDGE set, not the
-corpus; ``localCheckpoint`` truncates lineage so plans stay flat across
-iterations. At 100 TB-scale graphs the same loop applies (near-dup
-components are shallow — diameter is small by construction); for
-adversarially long chains, switch to the large-star/small-star rounds of
-Kiveris et al. "Connected Components in MapReduce and Beyond" (SoCC'14),
-which square the propagation distance per round. The DuckDB oracle computes
-the same closure declaratively with a recursive CTE.
+EDGE SOURCE (round 2 recomposition): the registered queries consume
+``dedup.lsh_verified_pairs`` — exact-collapse → token-MinHash LSH over
+representatives → exact-Jaccard verify — which is linear + bounded-bucket
+work, the shape that survives 100 TB. The O(n²) exact edge generator
+(``dedup_ngram_jaccard``) remains ONLY as the small-scale truth twin:
+``dedup_clusters_exact`` (unregistered) computes the closure over it and
+tests assert the two closures are IDENTICAL at sf0.001/sf0.01; the DuckDB
+recursive-CTE oracle below likewise closes over the exact edge definition,
+so the driver's hash check re-proves closure equality every round.
+
+Closure algorithm: iterative min-label propagation to fixpoint — each node
+adopts the smallest doc_id reachable so far; converges in O(diameter)
+rounds. Every round is one shuffle (join + groupBy-min) over the EDGE set,
+not the corpus; ``localCheckpoint`` truncates lineage so plans stay flat
+across iterations. Near-dup components are shallow by construction; if the
+round cap is hit without reaching the fixpoint (adversarially long chains)
+the loop FALLS BACK to the large-star/small-star algorithm of Kiveris et
+al. "Connected Components in MapReduce and Beyond" (SoCC'14), which
+squares the propagation distance per round — it never silently returns
+partially-propagated labels.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import ORACLES, query
-from .dedup import dedup_ngram_jaccard
+from .dedup import dedup_ngram_jaccard, lsh_verified_pairs
 
 MAX_ROUNDS = 15
 
@@ -45,32 +56,31 @@ _CC_ORACLE = (
 )
 
 
-@query("dedup_clusters", oracle=_CC_ORACLE)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, cluster_id) for every doc in at least one near-dup pair;
-    cluster_id = min doc_id of the component (its canonical survivor).
+def _sym_edges(pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) pair list → symmetric (src, dst) edge list."""
+    return pairs.select("doc_a", "doc_b").union(
+        pairs.select(F.col("doc_b"), F.col("doc_a"))
+    ).toDF("src", "dst")
 
-    Iterative DataFrame-only label propagation — no driver-side data, only
-    a convergence counter per round.
+
+def label_propagation(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
+    """Min-label propagation over a symmetric (src, dst) edge list →
+    (node, label) with label = component min. Labels only ever decrease, so
+    sum(label) is strictly monotone until the fixpoint — a single scalar
+    aggregate per round is the whole convergence check. If the fixpoint is
+    NOT reached within ``max_rounds`` (component diameter > max_rounds),
+    falls back to ``connected_components_star`` rather than returning
+    partially-propagated (wrong) labels.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
-        .localCheckpoint()
-    )
+    edges = edges.localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-
-    # Labels only ever decrease, so sum(label) is strictly monotone until
-    # the fixpoint — a single scalar aggregate per round is the whole
-    # convergence check (no join against the previous round needed).
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(MAX_ROUNDS):
+    for _ in range(max_rounds):
         msgs = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "label"
         )
@@ -82,12 +92,60 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
-            break
+            return labels
         prev_sum = cur_sum
+    # Round cap hit while labels were still moving: the graph has a
+    # component deeper than max_rounds. Switch to the O(log² n) algorithm.
+    return connected_components_star(edges).select(
+        "node", F.col("component").alias("label")
+    )
 
-    return labels.select(
+
+@query("dedup_clusters", oracle=_CC_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in at least one near-dup pair;
+    cluster_id = min doc_id of the component (its canonical survivor).
+
+    Production composition: LSH-verified pairs (no all-pairs join anywhere
+    in the lineage) → iterative DataFrame-only label propagation — no
+    driver-side data, only a convergence counter per round. The driver's
+    recursive-CTE oracle closes over the EXACT O(n²) edge definition, so a
+    green row here certifies the LSH edge source loses no connectivity."""
+    edges = _sym_edges(lsh_verified_pairs(spark, sf_dir))
+    return label_propagation(edges).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The truth twin (UNREGISTERED — test-scale only): identical closure
+    over the exact O(n²) ``dedup_ngram_jaccard`` edges. Tests assert
+    ``dedup_clusters`` ≡ this at sf0.001/sf0.01."""
+    edges = _sym_edges(dedup_ngram_jaccard(spark, sf_dir))
+    return label_propagation(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+@query(
+    "dedup_clusters_lsh",
+    oracle=(
+        "WITH cc AS (" + _CC_ORACLE + ") "
+        "SELECT doc_id, cluster_id, "
+        "count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM cc"
+    ),
+)
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end production fuzzy-dedup clustering key (SURVEY.md §2c
+    ``dedup_fuzzy`` intent, closed): LSH-verified pairs → distributed
+    closure → cluster map annotated with component size. Everything in the
+    lineage is linear-or-bounded work: exact-collapse groupBy, banded
+    MinHash groupBy, capped in-bucket pair enumeration, per-round edge-set
+    shuffles. The cluster_size window keys on cluster_id — one extra
+    exchange over the |dup-docs|-sized map, not the corpus."""
+    cc = dedup_clusters(spark, sf_dir)
+    w = Window.partitionBy("cluster_id")
+    return cc.withColumn("cluster_size", F.count("*").over(w))
 
 
 @query(
@@ -194,14 +252,12 @@ def connected_components_star(edges_sym: DataFrame, max_rounds: int = 25) -> Dat
 
 @query("dedup_clusters_bigstar", oracle=_CC_ORACLE)
 def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same clusters as dedup_clusters, computed with the
-    large-star/small-star algorithm — registered under the SAME recursive
-    CTE oracle, so both algorithms are independently verified against the
-    declarative closure (and transitively against each other)."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF(
-        "src", "dst"
-    )
+    """Same clusters as dedup_clusters (same LSH-verified edge source),
+    computed with the large-star/small-star algorithm — registered under
+    the SAME recursive CTE oracle, so both closure algorithms are
+    independently verified against the declarative closure (and
+    transitively against each other)."""
+    edges = _sym_edges(lsh_verified_pairs(spark, sf_dir))
     cc = connected_components_star(edges)
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")

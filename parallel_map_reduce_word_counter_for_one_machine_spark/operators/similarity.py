@@ -114,7 +114,10 @@ def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = vecs.filter(F.col("vec_id") < N_QUERIES).collect()  # tiny query set
     q_ids = np.array([r.vec_id for r in qrows])
     Q = np.array([r.v for r in qrows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qnorm = np.linalg.norm(Q, axis=1, keepdims=True)
+    keep = qnorm[:, 0] > 0  # zero-norm query ≡ JVM twin's NULL: no results
+    q_ids, Q, qnorm = q_ids[keep], Q[keep], qnorm[keep]
+    Qn = Q / qnorm
 
     out_schema = T.StructType(
         [
@@ -128,7 +131,15 @@ def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             C = np.array(list(pdf["v"]), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy()
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            # Zero-norm candidates (padding/failed-encode rows) would give
+            # NaN cosine, and NaN sorts ABOVE all values in Spark's desc
+            # order — they'd dominate every top-k. Drop them instead, which
+            # matches the JVM twin (cosine() → NULL → sorted last, never in
+            # a top-k).
+            norm = np.linalg.norm(C, axis=1, keepdims=True)
+            ok = norm[:, 0] > 0
+            C, ids, norm = C[ok], ids[ok], norm[ok]
+            Cn = C / norm
             S = Cn @ Qn.T  # (batch, n_queries)
             out = pd.DataFrame(
                 {

@@ -39,23 +39,33 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 def load_all() -> None:
-    """Import every operator module for its registration side effects."""
+    """Import every operator module for its registration side effects.
+
+    ORDER MATTERS for the driver: it walks ``queries()`` in registration
+    order under a per-round budget (round 1 stamped only the first ~50
+    keys). Registration order is therefore priority order — the reference
+    word-count surface first, then the LLM-pipeline operators (dedup,
+    similarity, text, multimodal, curation, streaming — the round-1 gap),
+    then the relational long-tail that already carries round-1 stamps.
+    """
     # Imports deferred so `import registry` stays cheap and cycle-free.
     from .operators import (  # noqa: F401
         binarytok,
         wordcount,
-        relational,
-        relational2,
-        relational3,
-        temporal,
-        sqlfront,
-        curate,
         dedup,
         graphdedup,  # after dedup: composes its registered oracle
         similarity,
         text,
         multimodal,
         pipeline,
+        curate,
     )
     from .functions import udfs  # noqa: F401
     from .streaming import dedupstream, joins, tumbling  # noqa: F401
+    from .operators import (  # noqa: F401
+        relational,
+        relational2,
+        relational3,
+        temporal,
+        sqlfront,
+    )

@@ -139,8 +139,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # conf (works on any caller-provided session); we then rebuild a
         # micros timestamp with exact integer division (ns // 1000 — a
         # double division would lose precision above 2^53).
+        #
+        # The conf is restored after the (lazy) read: the setting is only
+        # consulted at schema-resolution time, which happens eagerly inside
+        # spark.read.parquet(), so scoping it here is safe — and other
+        # nanos-typed parquet reads in the same session keep their default
+        # (fail-fast) behavior instead of silently surfacing longs.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         from pyspark.sql import functions as F
 
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load_table, read_events_stream
+from . import drain
 
 WATERMARK = "1 hour"
 
@@ -61,5 +62,5 @@ def run_stream_dedup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     return spark.sql(f"SELECT * FROM {query_name}")

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load_table, read_events_stream
+from . import drain
 
 WINDOW_HOURS = 6
 WATERMARK = "12 hours"  # late-data allowance before state expiry
@@ -96,7 +97,7 @@ def run_stream_stream_join(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -145,5 +146,5 @@ def run_stream_static_enrich(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     return spark.sql(f"SELECT * FROM {query_name}")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from . import drain
 
 STATE_SCHEMA = T.StructType(
     [
@@ -80,7 +81,7 @@ def run_stateful_user_totals(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     # update-mode memory sink holds one row per user per micro-batch that
     # touched them; the final state is the row with the highest n_events
     # (strictly growing), taken as an argmax via struct ordering.

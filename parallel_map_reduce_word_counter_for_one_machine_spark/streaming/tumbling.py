@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load_table, read_events_stream
+from . import drain
 
 WATERMARK = "10 minutes"
 
@@ -130,7 +131,7 @@ def _run_windowed_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     return spark.sql(f"SELECT * FROM {query_name}")
 
 

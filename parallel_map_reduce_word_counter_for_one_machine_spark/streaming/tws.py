@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from . import drain
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -114,7 +115,7 @@ def run_tws_user_totals(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     return (
         spark.sql(f"SELECT * FROM {query_name}")
         .groupBy("user_id")

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import SCHEMAS
+from . import drain
 
 
 def _counts(docs: DataFrame) -> DataFrame:
@@ -53,7 +54,7 @@ def run_stream_word_count(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     return (
         spark.sql(f"SELECT word, cnt FROM {query_name}")
         .groupBy("word")

@@ -78,6 +78,65 @@ def test_sample_rates(spark, sf_correct):
     assert rates["de"] / by_lang["de"] > 0.55
 
 
+def test_lsh_closure_equals_exact_closure(spark, sf_correct, sf_dir):
+    """THE round-2 recomposition guarantee: the registered production
+    composition (LSH-verified pairs → closure, no all-pairs join) yields a
+    cluster map IDENTICAL to the closure over the exact O(n²) edge truth —
+    at both test scale factors, on a corpus that is adversarially dense
+    (one ~350-doc near-dup component)."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.graphdedup import (
+        dedup_clusters_exact,
+    )
+
+    for d in (sf_dir, sf_correct):
+        got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(spark, d).collect()}
+        want = {
+            r["doc_id"]: r["cluster_id"] for r in dedup_clusters_exact(spark, d).collect()
+        }
+        assert got == want, f"LSH closure diverged from exact closure at {d}"
+
+
+def test_lsh_verified_pairs_subset_of_truth(spark, sf_correct):
+    """Precision 1.0 by construction: every LSH-verified edge is a truth
+    pair (same token-Jaccard ≥ 0.8 definition) or an exact-duplicate star
+    edge (J = 1.0)."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.dedup import (
+        lsh_verified_pairs,
+    )
+
+    truth = {
+        frozenset((r["doc_a"], r["doc_b"]))
+        for r in dedup_ngram_jaccard(spark, sf_correct).collect()
+    }
+    mine = {
+        frozenset((r["doc_a"], r["doc_b"]))
+        for r in lsh_verified_pairs(spark, sf_correct).collect()
+    }
+    assert mine <= truth
+    assert len(mine) > 0
+
+
+def test_label_propagation_fallback_on_round_cap(spark):
+    """A 200-hop chain cannot converge in 3 min-label rounds; the loop must
+    fall back to the star algorithm and still return the CORRECT components
+    — never partially-propagated labels (round-1 advice)."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.graphdedup import (
+        label_propagation,
+    )
+
+    chain = spark.range(200).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    sym = chain.union(
+        chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = {
+        r["node"]: r["label"] for r in label_propagation(sym, max_rounds=3).collect()
+    }
+    assert len(labels) == 201
+    assert all(v == 0 for v in labels.values())
+
+
 def test_dedup_clusters_are_consistent(spark, sf_correct):
     labels = {
         r["doc_id"]: r["cluster_id"]
