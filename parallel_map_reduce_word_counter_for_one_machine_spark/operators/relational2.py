@@ -202,16 +202,31 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct")  # rows-only: HLL estimates are engine-specific
+@query(
+    "approx_distinct",
+    oracle=(
+        # Tolerance-checked oracle (round-2 upgrade from rows-only): the HLL
+        # estimate itself is sketch-algorithm-specific and can't be compared
+        # cross-engine, but the BOUND CHECK can — the oracle asserts the
+        # exact count and `TRUE` for the documented ±5% envelope (2.5× the
+        # configured rsd=0.02), and the Spark side emits the actually-
+        # evaluated bound, so a drifting sketch flips the hash match.
+        "SELECT count(DISTINCT o_custkey) AS exact_customers, "
+        "TRUE AS within_bound FROM orders"
+    ),
+)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimation — THE cardinality operator at
-    100 TB (fixed-size sketch vs the unbounded exact-distinct hash). Checked
-    for 2% relative error against the exact count in tests (estimates are
-    sketch-algorithm-specific, so no cross-engine oracle)."""
+    100 TB (fixed-size sketch vs the unbounded exact-distinct hash). The
+    estimate is checked in-query against the exact count at a ±5% envelope
+    (rsd 0.02 ⇒ |err| < 2.5σ with probability ≈ 0.988; observed error on
+    this column is ≪ 1%); the driver oracle pins exact count + bound."""
     o = load_table(spark, sf_dir, "orders")
+    est = F.approx_count_distinct("o_custkey", 0.02)
+    exact = F.count_distinct("o_custkey")
     return o.agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
-        F.count_distinct("o_custkey").alias("exact_customers"),
+        exact.alias("exact_customers"),
+        (F.abs(est - exact) <= 0.05 * exact).alias("within_bound"),
     )
 
 

@@ -252,22 +252,54 @@ def word_count_bulk(spark: SparkSession, sf_dir: str, copies: int = 512) -> Data
     return tokenize(bulk).groupBy("word").agg(F.count("*").alias("cnt"))
 
 
-def write_listings(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+# The reference's sink header lines, byte-for-byte (src/main.cpp:231, :262).
+ALPHA_HEADER = "=== Final Word Counts (A → Z) ==="
+BY_COUNT_HEADER = "=== Final Word Counts (High → Low) ==="
+
+
+def listing_lines(counts: DataFrame, order_cols, header: str | None) -> DataFrame:
+    """One sorted ``word -> count`` listing as DataFrame[line: string],
+    optionally preceded by the reference's header line. The header is a
+    synthetic row with sort key 0 unioned ahead of the body (key 1): the
+    range-partitioned sort places it in the first output split, so a
+    distributed ``.text()`` write concatenates to exactly the reference's
+    file shape — no coalesce(1) driver funnel needed."""
+    line = F.format_string("%s -> %d", "word", "cnt")
+    body = counts.select(
+        F.lit(1).alias("_h"), "word", F.col("cnt").cast("long").alias("cnt"),
+        line.alias("line"),
+    )
+    if header is None:
+        return body.orderBy(*order_cols).select("line")
+    head = counts.sparkSession.range(1).select(
+        F.lit(0).alias("_h"),
+        F.lit("").alias("word"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(header).alias("line"),
+    )
+    return head.unionByName(body).orderBy("_h", *order_cols).select("line")
+
+
+def write_listings(
+    spark: SparkSession, sf_dir: str, out_dir: str, headers: bool = True
+) -> None:
     """Both reference sinks end-to-end: alpha listing → ``alpha/``, frequency
     listing → ``by_count/`` (reference output.txt / output2.txt,
-    src/main.cpp:226-266). Distributed text write — one file per partition;
-    a 100 TB listing never funnels through the driver."""
+    src/main.cpp:226-266), including the header lines (src/main.cpp:231,
+    :262) unless ``headers=False``. Distributed text write — one file per
+    partition; a 100 TB listing never funnels through the driver."""
     wc = word_counts(spark, sf_dir)
-    line = F.format_string("%s -> %d", "word", "cnt").alias("line")
     (
-        wc.orderBy("word")
-        .select(line)
+        listing_lines(wc, [F.asc("word")], ALPHA_HEADER if headers else None)
         .write.mode("overwrite")
         .text(f"{out_dir}/alpha")
     )
     (
-        wc.orderBy(F.desc("cnt"), F.asc("word"))
-        .select(line)
+        listing_lines(
+            wc,
+            [F.desc("cnt"), F.asc("word")],
+            BY_COUNT_HEADER if headers else None,
+        )
         .write.mode("overwrite")
         .text(f"{out_dir}/by_count")
     )

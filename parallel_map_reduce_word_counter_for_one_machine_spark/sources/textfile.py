@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.wordcount import REF_DELIM_REGEX
+from ..operators.wordcount import (
+    ALPHA_HEADER,
+    BY_COUNT_HEADER,
+    REF_DELIM_REGEX,
+    listing_lines,
+)
 
 
 def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
@@ -26,16 +31,20 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
-def run_reference_pipeline(spark: SparkSession, in_path: str, out_dir: str) -> DataFrame:
+def run_reference_pipeline(
+    spark: SparkSession, in_path: str, out_dir: str, headers: bool = True
+) -> DataFrame:
     """The reference program end-to-end (src/main.cpp:78-281), Spark-first:
 
     text scan → reference-parity tokenize → groupBy count →
     alpha listing → ``{out_dir}/alpha`` ; frequency listing →
-    ``{out_dir}/by_count``; returns the counts DataFrame.
+    ``{out_dir}/by_count``; returns the counts DataFrame. Header lines
+    match the reference byte-for-byte (src/main.cpp:231, :262) —
+    tests/test_textfile_stateful.py diffs the alpha listing against the
+    compiled reference binary's output.txt.
 
-    Differences by design (SURVEY.md §4): frequency ties are pinned to
-    (cnt DESC, word ASC) where the reference is unstable-sort-unspecified;
-    header lines are not emitted (sink cosmetics).
+    Difference by design (SURVEY.md §4): frequency ties are pinned to
+    (cnt DESC, word ASC) where the reference is unstable-sort-unspecified.
     """
     lines = read_text_lines(spark, in_path)
     counts = (
@@ -44,11 +53,17 @@ def run_reference_pipeline(spark: SparkSession, in_path: str, out_dir: str) -> D
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
-    line = F.format_string("%s -> %d", "word", "cnt").alias("line")
-    counts.orderBy("word").select(line).write.mode("overwrite").text(f"{out_dir}/alpha")
     (
-        counts.orderBy(F.desc("cnt"), F.asc("word"))
-        .select(line)
+        listing_lines(counts, [F.asc("word")], ALPHA_HEADER if headers else None)
+        .write.mode("overwrite")
+        .text(f"{out_dir}/alpha")
+    )
+    (
+        listing_lines(
+            counts,
+            [F.desc("cnt"), F.asc("word")],
+            BY_COUNT_HEADER if headers else None,
+        )
         .write.mode("overwrite")
         .text(f"{out_dir}/by_count")
     )

@@ -1,10 +1,11 @@
 """Custom stateful streaming operator via ``applyInPandasWithState``.
 
 Demonstrates the arbitrary-state API the engine exposes for operators that
-windowed aggregation can't express: here, a per-user running counter with
-a session-style timeout that emits one row per micro-batch per active user.
-State is a single (count, sum) pair per key — O(active keys) executor
-memory, dropped on timeout; the watermark bounds how long idle keys live.
+windowed aggregation can't express: here, a per-user running counter that
+emits one row per micro-batch per active user. State is a single
+(count, sum) pair per key — O(active keys) executor memory. Idle-key
+eviction on an unbounded production stream belongs to EventTimeTimeout +
+watermark (see the NoTimeout note in run_stateful_user_totals).
 
 This is the Structured Streaming replacement for hand-rolled stateful
 consumers; batch-mode equivalence (a plain groupBy) is asserted in tests.
@@ -51,7 +52,6 @@ def _update_user_state(
         n += len(pdf)
         total += float(pdf["value"].sum())
     state.update((n, total))
-    state.setTimeoutDuration(60 * 60 * 1000)  # drop idle users after 1h
     yield pd.DataFrame(
         [{"user_id": key[0], "n_events": n, "sum_value": total}],
         columns=[f.name for f in OUTPUT_SCHEMA.fields],
@@ -72,7 +72,14 @@ def run_stateful_user_totals(
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        # NoTimeout: with ProcessingTimeTimeout every batch leaves pending
+        # timeouts, and the availableNow trigger keeps scheduling empty
+        # micro-batches to fire them — the query NEVER terminates (observed:
+        # 750+ epochs before drain() aborted it; round-1 code masked this by
+        # ignoring awaitTermination's return and leaking the running query).
+        # A production continuous stream that needs idle-key eviction should
+        # use EventTimeTimeout against the watermark instead.
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
     q = (
         out.writeStream.format("memory")

@@ -84,6 +84,36 @@ def test_byte_tokenizer_matches_reference_binary(spark, ref_binary, tmp_path):
     assert got == expected
 
 
+def test_listing_files_byte_identical_to_reference(spark, ref_binary, tmp_path):
+    """Full sink-shape parity: run the COMPILED reference on a fixture file
+    and byte-diff its output.txt / output2.txt against our distributed
+    listings (part files concatenated in name order) — headers included.
+    Word counts in the fixture are all distinct, so the reference's
+    unstable frequency tie order cannot differ from our pinned one."""
+    text = "ccc bbb aaa\nbbb aaa ccc\naaa ccc\nccc\n"  # aaa=3 bbb=2 ccc=4
+    inp = tmp_path / "input.txt"
+    inp.write_text(text, encoding="utf-8")
+    subprocess.run(
+        [str(ref_binary), str(inp)], cwd=tmp_path, check=True, capture_output=True
+    )
+    ref_alpha = (tmp_path / "output.txt").read_bytes()
+    ref_freq = (tmp_path / "output2.txt").read_bytes()
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.textfile import (
+        run_reference_pipeline,
+    )
+
+    out = tmp_path / "spark_out"
+    run_reference_pipeline(spark, str(inp), str(out))
+
+    def concat_parts(d):
+        parts = sorted((out / d).glob("part-*"))
+        return b"".join(p.read_bytes() for p in parts)
+
+    assert concat_parts("alpha") == ref_alpha
+    assert concat_parts("by_count") == ref_freq
+
+
 def test_byte_tokenizer_agrees_with_regex_on_valid_utf8(spark):
     """On valid UTF-8 the byte tokenizer and the JVM-side regex tokenizer
     must produce identical token streams (decoded)."""

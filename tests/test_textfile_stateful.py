@@ -35,11 +35,18 @@ def test_reference_pipeline_roundtrip(spark, tmp_path):
         "score": 1,
         "again": 1,
     }
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.wordcount import (
+        ALPHA_HEADER,
+        BY_COUNT_HEADER,
+    )
+
     alpha = [r.value for r in spark.read.text(f"{out}/alpha").collect()]
-    assert alpha[0] == "Brien -> 1"  # binary collation: uppercase first
+    assert alpha[0] == ALPHA_HEADER  # reference src/main.cpp:231
+    assert alpha[1] == "Brien -> 1"  # binary collation: uppercase first
     assert "Hello -> 2" in alpha
     by_count = [r.value for r in spark.read.text(f"{out}/by_count").collect()]
-    assert by_count[0] == "Hello -> 2"  # highest count first
+    assert by_count[0] == BY_COUNT_HEADER  # reference src/main.cpp:262
+    assert by_count[1] == "Hello -> 2"  # highest count first
 
 
 def test_stateful_user_totals_equals_batch(spark, sf_correct):

@@ -38,9 +38,16 @@ def test_write_listings(spark, sf_dir, tmp_path):
         write_listings,
     )
 
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.wordcount import (
+        ALPHA_HEADER,
+        BY_COUNT_HEADER,
+    )
+
     out = str(tmp_path / "out")
     write_listings(spark, sf_dir, out)
-    alpha = spark.read.text(f"{out}/alpha")
-    assert alpha.count() > 0
-    first = alpha.limit(1).collect()[0][0]
-    assert " -> " in first
+    alpha = [r[0] for r in spark.read.text(f"{out}/alpha").collect()]
+    assert alpha[0] == ALPHA_HEADER  # reference src/main.cpp:231
+    assert len(alpha) > 1 and all(" -> " in l for l in alpha[1:])
+    by_count = [r[0] for r in spark.read.text(f"{out}/by_count").collect()]
+    assert by_count[0] == BY_COUNT_HEADER  # reference src/main.cpp:262
+    assert len(by_count) == len(alpha)
