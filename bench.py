@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "sort_limit_topk",
     "tfidf",
     "dedup_minhash_lsh",
+    "dedup_clusters_lsh",
     "similarity_topk",
     "stream_tumbling_agg",
     "curate_corpus",
@@ -47,17 +48,38 @@ BENCH_QUERIES = [
 ]
 
 
-def run_one(spark, name: str, sf_dir: str) -> float:
-    """Best of two runs — the second run measures steady-state (codegen
-    compiled, file listings cached), which is the regime that matters at
-    cluster scale where a query's stages run thousands of times."""
-    df = registry.QUERIES[name](spark, sf_dir)
-    best = float("inf")
+def run_one(spark, name: str, sf_dir: str) -> tuple[float, float]:
+    """(cold, best-of-two): the first run includes codegen compilation and
+    file-listing costs (honesty baseline); the second measures steady-state
+    — the regime that matters at cluster scale where a query's stages run
+    thousands of times. Both are reported in the JSON."""
+    times = []
     for _ in range(2):
+        # Query CONSTRUCTION is inside the timer: iterative operators
+        # (dedup_clusters*, kmeans IVF) do real distributed work eagerly
+        # while building (localCheckpoint rounds); timing only the final
+        # noop write would undercount them to near zero.
         t0 = time.monotonic()
+        df = registry.QUERIES[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
-        best = min(best, time.monotonic() - t0)
-    return best
+        times.append(time.monotonic() - t0)
+    return times[0], min(times)
+
+
+def run_stream_real(spark, sf_dir: str) -> tuple[float, float]:
+    """A REAL readStream→writeStream execution (file source, availableNow,
+    watermark, windowed agg into a memory sink), timed end-to-end start→
+    drain — the streaming path's round-over-round regression guard."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.tumbling import (
+        run_stream_tumbling,
+    )
+
+    times = []
+    for i in range(2):
+        t0 = time.monotonic()
+        run_stream_tumbling(spark, sf_dir, f"bench_stream_{i}").collect()
+        times.append(time.monotonic() - t0)
+    return times[0], min(times)
 
 
 def run_bulk(spark, sf_dir: str) -> float:
@@ -71,7 +93,7 @@ def run_bulk(spark, sf_dir: str) -> float:
     )
 
     df = word_count_bulk(spark, sf_dir, copies=512)
-    return _best_of_two(df)
+    return _cold_and_best(df)
 
 
 def run_bulk_agg(spark, sf_dir: str) -> float:
@@ -90,16 +112,16 @@ def run_bulk_agg(spark, sf_dir: str) -> float:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
-    return _best_of_two(agg)
+    return _cold_and_best(agg)
 
 
-def _best_of_two(df) -> float:
-    best = float("inf")
+def _cold_and_best(df) -> tuple[float, float]:
+    times = []
     for _ in range(2):
         t0 = time.monotonic()
         df.write.mode("overwrite").format("noop").save()
-        best = min(best, time.monotonic() - t0)
-    return best
+        times.append(time.monotonic() - t0)
+    return times[0], min(times)
 
 
 def main() -> None:
@@ -111,10 +133,16 @@ def main() -> None:
     run_one(spark, "word_count", sf_dir)  # warm-up (JVM/codegen/page cache)
 
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        times[name] = round(run_one(spark, name, sf_dir), 3)
-    times["word_count_761mb_bulk"] = round(run_bulk(spark, sf_dir), 3)
-    times["agg_group_60m_rows_bulk"] = round(run_bulk_agg(spark, sf_dir), 3)
+        c, b = run_one(spark, name, sf_dir)
+        times[name], cold[name] = round(b, 3), round(c, 3)
+    c, b = run_stream_real(spark, sf_dir)
+    times["stream_tumbling_real"], cold["stream_tumbling_real"] = round(b, 3), round(c, 3)
+    c, b = run_bulk(spark, sf_dir)
+    times["word_count_761mb_bulk"], cold["word_count_761mb_bulk"] = round(b, 3), round(c, 3)
+    c, b = run_bulk_agg(spark, sf_dir)
+    times["agg_group_60m_rows_bulk"], cold["agg_group_60m_rows_bulk"] = round(b, 3), round(c, 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -124,6 +152,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_cold_first_run": cold,
                 "sf": float(sf),
             }
         )

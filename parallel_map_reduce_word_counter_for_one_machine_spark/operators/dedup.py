@@ -201,8 +201,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py (recall on high-similarity pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
-    cands = lsh_candidate_pairs(sigs)
-    sh = _fan_out_small_input(docs).select("doc_id", _shingles().alias("sh"))
+    # Explicit broadcast: the candidate list is tiny BY DESIGN (LSH pruned
+    # the quadratic space), but its size ESTIMATE is opaque to Catalyst
+    # (post-explode/groupBy lineage), so without the hint the verify joins
+    # sometimes plan as sort-merge — shuffling the full shingle table twice
+    # (measured 3× slower at sf0.1).
+    cands = F.broadcast(lsh_candidate_pairs(sigs))
+    # Materialized shingle table: both verify sides consume it; without
+    # the checkpoint each side re-scans the corpus and recomputes the
+    # shingling (2 extra scans). Production equivalent: the shingle table
+    # written once between signature and verify stages.
+    sh = (
+        _fan_out_small_input(docs)
+        .select("doc_id", _shingles().alias("sh"))
+        .localCheckpoint()
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -262,6 +275,13 @@ def lsh_verified_pairs(
         F.collect_list("doc_id").alias("members"),
         F.first("toks").alias("toks"),
     )
+    # Materialize the collapsed-representative table ONCE: four downstream
+    # subtrees consume it (star edges, signatures, both verify sides) and
+    # without this the lineage re-reads + re-tokenizes the corpus per
+    # subtree — the plan showed 8 parquet scans. This is the in-session
+    # form of persisting the rep/shingle table, which is exactly what a
+    # 100 TB pipeline writes out between the collapse and LSH stages.
+    groups = groups.localCheckpoint()
     star = groups.select(
         F.col("rep").alias("doc_a"), F.explode("members").alias("doc_b")
     ).filter(F.col("doc_a") != F.col("doc_b"))

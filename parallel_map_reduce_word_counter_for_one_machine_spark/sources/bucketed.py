@@ -13,8 +13,12 @@ being recomputed per run.
 
 from __future__ import annotations
 
+import hashlib
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 
+from ..registry import query
 from .tables import load_table
 
 N_BUCKETS = 8
@@ -55,3 +59,36 @@ def bucketed_join(spark: SparkSession, o_name: str, l_name: str) -> DataFrame:
     return o.join(li, o.o_orderkey == li.l_orderkey).select(
         "o_orderkey", "l_linenumber", "o_totalprice", "l_quantity"
     )
+
+
+# One bucketed layout per (session, sf_dir): the write is the one-off
+# index-build step, exactly like a real warehouse pays the bucketing
+# shuffle once at ingest and then never again.
+_BUILT: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BUILT:
+        base = tempfile.mkdtemp(prefix="pmrwc_buckets_")
+        suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        _BUILT[key] = write_bucketed_pair(spark, sf_dir, base, suffix)
+    return _BUILT[key]
+
+
+@query(
+    "join_bucketed",
+    oracle=(
+        "SELECT o.o_orderkey, l.l_linenumber, o.o_totalprice, l.l_quantity "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+    ),
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join over the pre-bucketed layout: first call per
+    session pays the one-off bucketed write; the join itself plans with
+    ZERO Exchange operators (plan-asserted in tests/test_bucketed.py) —
+    the durable, storage-level form of the reference's hash-partitioned
+    merge insight (hash(word)%stripes, reference src/main.cpp:132-133).
+    Result is oracle-identical to the plain shuffled join."""
+    o_name, l_name = bucketed_pair(spark, sf_dir)
+    return bucketed_join(spark, o_name, l_name)

@@ -42,3 +42,24 @@ def test_bucketed_join_has_no_exchange(spark, sf_correct, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS orders_b_t1")
         spark.sql("DROP TABLE IF EXISTS lineitem_b_t1")
+
+
+def test_registered_join_bucketed_no_exchange_and_correct(spark, sf_correct):
+    """The REGISTERED query key (driver-stamped): zero Exchange in the
+    plan with broadcast disabled, and row/sum parity with the plain join."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.bucketed import (
+        join_bucketed,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = join_bucketed(spark, sf_correct)
+        plan = plan_string(j, mode="simple")
+        assert "Exchange" not in plan, plan
+        o = load_table(spark, sf_correct, "orders")
+        li = load_table(spark, sf_correct, "lineitem")
+        plain = o.join(li, o.o_orderkey == li.l_orderkey)
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

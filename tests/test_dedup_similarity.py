@@ -69,6 +69,46 @@ def test_minhash_lsh_recall_on_high_similarity(spark, sf_correct):
     assert missed == 0, f"LSH missed {missed} high-similarity pairs"
 
 
+def test_lsh_recall_at_production_params(spark, sf_correct):
+    """The documented 100 TB operating point (128 hashes / 32 bands × 4
+    rows, SCALE.md §Dedup sweep table): verified-pair recall vs the exact
+    all-pairs shingle-Jaccard ≥ 0.5 truth must be ≥ 0.9 (measured 1.0 at
+    sf0.01 and sf0.1)."""
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    sh = docs.select("doc_id", D._shingles().alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = F.when(
+        union > 0,
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+        / union,
+    )
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= D.JACCARD_THRESHOLD)
+        .collect()
+    }
+    assert truth, "truth set empty — fixture corpus changed?"
+
+    sigs = D.minhash_signatures(docs, n_hashes=128)
+    cands = D.lsh_candidate_pairs(sigs, n_bands=32, n_hashes=128, max_bucket=256)
+    verified = (
+        cands.join(a, cands.doc_a == F.col("a.doc_id"))
+        .join(b, cands.doc_b == F.col("b.doc_id"))
+        .filter(jac >= D.JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    got = {(r.doc_a, r.doc_b) for r in verified.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"production-params recall {recall:.3f} < 0.9"
+
+
 def test_simhash_pairs_symmetric_and_bounded(spark, sf_correct):
     pairs = registry.QUERIES["dedup_simhash"](spark, sf_correct)
     assert pairs.filter(F.col("hamming") > D.HAMMING_MAX).count() == 0

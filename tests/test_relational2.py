@@ -32,9 +32,21 @@ def test_oracle_match(spark, sf_correct, name):
 
 
 def test_approx_distinct_error_bound(spark, sf_correct):
+    """The query now evaluates the ±5% HLL envelope in-query (tolerance
+    oracle); independently re-derive the raw estimate here and check it."""
     row = registry.QUERIES["approx_distinct"](spark, sf_correct).collect()[0]
-    rel_err = abs(row.approx_customers - row.exact_customers) / row.exact_customers
+    assert row.within_bound and row.exact_customers > 0
+
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_correct}/orders.parquet")
+    raw = o.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("a"),
+        F.count_distinct("o_custkey").alias("e"),
+    ).collect()[0]
+    rel_err = abs(raw.a - raw.e) / raw.e
     assert rel_err < 0.05, f"HLL error {rel_err:.3f} too large"
+    assert raw.e == row.exact_customers
 
 
 def test_dedup_fuzzy_alias_matches_lsh(spark, sf_correct):

@@ -27,6 +27,8 @@ HEADLINE = [
     "join_asof",
     "tfidf",
     "dedup_minhash_lsh",
+    "dedup_clusters_lsh",
+    "join_bucketed",
     "similarity_topk",
     "stream_tumbling_agg",
     "pack_sequences",
@@ -49,7 +51,14 @@ NOTES = {
     "tfidf": "tokens aggregated twice (tf, df) then broadcast-joined — the big "
     "relation is shuffled once per aggregate, never joined shuffled",
     "dedup_minhash_lsh": "signature subtree computed once; bucket groupBy then "
-    "in-array pair enumeration; verify joins the (tiny) candidate set",
+    "in-array pair enumeration; verify broadcast-joins the (tiny) candidate "
+    "set against the checkpointed shingle table (no corpus re-scan)",
+    "dedup_clusters_lsh": "final labels after LSH→closure: the plan shows "
+    "only the label table + cluster_size window — the iterative rounds ran "
+    "as bounded edge-set shuffles over localCheckpoint'd frames (no O(n²) "
+    "anywhere in the lineage; closure ≡ exact truth by the CTE oracle)",
+    "join_bucketed": "ZERO Exchange: both sides scan pre-bucketed files "
+    "whose bucket spec satisfies the join distribution requirement",
     "similarity_topk": "broadcast of the query vectors; corpus scanned once; "
     "one window exchange on query_id",
     "stream_tumbling_agg": "windowed partial+final aggregate (same plan the "
