@@ -319,3 +319,32 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+@query(
+    "embedding_centroids",
+    oracle=(
+        # Long-form (cell_id, dim, mean) rather than arrays: hash-stable and
+        # exactly what the IVF build step aggregates. ::DOUBLE[] cast +
+        # round(4): avg summation order differs between engines.
+        "WITH e AS (SELECT label, unnest(embedding::DOUBLE[]) AS val, "
+        "generate_subscripts(embedding, 1) AS dim FROM embeddings) "
+        "SELECT label AS cell_id, CAST(dim AS INT) AS dim, "
+        "round(avg(val), 4) AS mean FROM e GROUP BY label, dim"
+    ),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form — the registered,
+    oracle-checked face of the IVF coarse-quantizer build (label_centroids
+    collects the same means back into arrays). One posexplode (|corpus|×64
+    narrow rows) and one (label, dim)-keyed partial+final aggregate; the
+    shuffle carries k×dim aggregate states, not the corpus."""
+    vecs = _vectors(spark, sf_dir)
+    ex = vecs.select("label", F.posexplode("v").alias("dim0", "val"))
+    return (
+        ex.groupBy(
+            F.col("label").alias("cell_id"),
+            (F.col("dim0") + 1).cast("int").alias("dim"),
+        )
+        .agg(F.round(F.avg("val"), 4).alias("mean"))
+    )

@@ -368,3 +368,50 @@ def sentiment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             tot > 0, (F.col("n_pos") - F.col("n_neg")).cast("double") / tot
         ).alias("polarity"),
     )
+
+
+FREQ_SUPPORT = 0.02  # heavy-hitter threshold: words in >= 2% of all tokens
+
+
+@query(
+    "frequent_words_sketch",
+    oracle=(
+        # Tolerance oracle (same pattern as approx_distinct): freqItems'
+        # single-pass Karp-Frequent sketch guarantees a SUPERSET of the true
+        # heavy hitters; the Spark side verifies containment in-query and
+        # the oracle pins the exact heavy-hitter count + an all-TRUE verdict.
+        "WITH t AS (SELECT unnest(list_filter(string_split(text,' '), "
+        "w->w<>'')) AS word FROM documents), "
+        "c AS (SELECT word, count(*) AS cnt, sum(count(*)) OVER () AS total "
+        "FROM t GROUP BY word) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_true_heavy, "
+        f"TRUE AS all_contained FROM c WHERE cnt >= {FREQ_SUPPORT} * total"
+    ),
+)
+def frequent_words_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters over the token stream via
+    ``DataFrame.stat.freqItems`` (single-pass Karp et al. frequent-items
+    sketch — O(1/support) state per partition, merged associatively): THE
+    shape for vocabulary-pruning decisions at 100 TB, where an exact
+    count-then-filter needs a full vocabulary shuffle first.
+
+    The sketch result is a guaranteed superset of the true >= support
+    items (false positives possible, false negatives impossible), so the
+    verdict checked against the oracle is "every exact heavy hitter is in
+    the sketch output". The sketch list itself is O(1/support) = 50 items
+    of driver data — bounded, not corpus-sized."""
+    from .wordcount import tokenize
+
+    toks = tokenize(load_table(spark, sf_dir, "documents"))
+    sketch = set(toks.stat.freqItems(["word"], FREQ_SUPPORT).collect()[0][0])
+    wc = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = wc.agg(F.sum("cnt").alias("total"))
+    heavy = wc.join(F.broadcast(total)).filter(
+        F.col("cnt") >= FREQ_SUPPORT * F.col("total")
+    )
+    return heavy.agg(
+        F.count("*").alias("n_true_heavy"),
+        F.coalesce(
+            F.bool_and(F.col("word").isin(list(sketch))), F.lit(True)
+        ).alias("all_contained"),
+    )

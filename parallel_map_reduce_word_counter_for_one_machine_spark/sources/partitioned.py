@@ -11,8 +11,12 @@ a roundtrip preserves content.
 
 from __future__ import annotations
 
+import hashlib
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 
+from ..registry import query
 from .tables import load_table
 
 
@@ -32,3 +36,36 @@ def read_language(spark: SparkSession, out_dir: str, lang: str) -> DataFrame:
     """Partition-pruned scan: the lang filter is resolved at file listing
     time, never per-row."""
     return spark.read.parquet(out_dir).filter(f"lang = '{lang}'")
+
+
+# One partitioned layout per (session, sf_dir) — the write is the one-off
+# ingest step, like the bucketed layout in bucketed.py.
+_BUILT: dict[tuple[str, str], str] = {}
+
+
+def partitioned_documents_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BUILT:
+        base = tempfile.mkdtemp(
+            prefix="pmrwc_part_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        )
+        write_partitioned_documents(spark, sf_dir, base)
+        _BUILT[key] = base
+    return _BUILT[key]
+
+
+@query(
+    "scan_partition_pruned",
+    oracle=(
+        "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'de'"
+    ),
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language scan over the lang-partitioned layout: the filter is a
+    PartitionFilter (plan-asserted in tests/test_temporal_partitioned.py)
+    resolved at directory-listing time — at 100 TB / 30 languages only the
+    matching ~1/30th of files is ever opened. First call per session pays
+    the one-off partitioned write; result is oracle-identical to filtering
+    the flat table."""
+    d = read_language(spark, partitioned_documents_dir(spark, sf_dir), "de")
+    return d.select("doc_id", "lang", "n_chars")

@@ -146,3 +146,36 @@ def test_kmeans_ivf_recall_vs_exact(spark, sf_correct):
     hit = exact.join(approx, ["query_id", "cand_id"], "left_semi").count()
     recall = hit / n_exact
     assert recall >= 0.6, f"kmeans IVF recall {recall:.2f} < 0.6 ({hit}/{n_exact})"
+
+
+def test_frequent_words_sketch_verdict(spark, sf_correct):
+    """freqItems must contain every exact heavy hitter (sketch supersets
+    the truth by construction) — the in-query verdict must hold."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.text import (
+        frequent_words_sketch,
+    )
+
+    row = frequent_words_sketch(spark, sf_correct).collect()[0]
+    assert row.n_true_heavy > 0  # non-vacuous on this corpus
+    assert row.all_contained
+
+
+def test_embedding_centroids_match_label_centroids(spark, sf_correct):
+    """Long-form registered key ≡ array-form IVF build helper."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.similarity import (
+        _vectors,
+        embedding_centroids,
+        label_centroids,
+    )
+
+    long_form = {
+        (r.cell_id, r.dim): r.mean
+        for r in embedding_centroids(spark, sf_correct).collect()
+    }
+    arrays = label_centroids(_vectors(spark, sf_correct)).collect()
+    n = 0
+    for r in arrays:
+        for i, v in enumerate(r.centroid):
+            assert abs(long_form[(r.cell_id, i + 1)] - round(v, 4)) <= 1e-4
+            n += 1
+    assert n == len(long_form) > 0

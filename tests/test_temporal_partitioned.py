@@ -57,3 +57,23 @@ def test_asof_join_no_extra_exchange(spark, sf_dir):
     # window partitioned by purchase_id adds its own exchange. Guard against
     # pathological plans only:
     assert plan.count("Exchange") <= 3
+
+
+def test_registered_partition_pruned_scan(spark, sf_correct):
+    """The registered key: PartitionFilters in the plan (pruning happens at
+    file-listing time) and parity with filtering the flat table."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.plans.inspect import (
+        plan_string,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.partitioned import (
+        scan_partition_pruned,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    df = scan_partition_pruned(spark, sf_correct)
+    plan = plan_string(df, mode="formatted")
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    flat = load_table(spark, sf_correct, "documents").filter("lang = 'de'")
+    assert df.count() == flat.count() > 0
