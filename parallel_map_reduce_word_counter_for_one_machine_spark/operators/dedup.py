@@ -406,10 +406,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard over all pairs — the oracle-checkable ground
     truth the LSH tiers are validated against. O(n²) by construction: run
     at test scale only; at 100 TB use dedup_minhash_lsh (this query exists
-    precisely so the LSH recall is measurable)."""
+    precisely so the LSH recall is measurable).
+
+    Size-ratio prefilter (result-preserving): |A∩B| ≤ min(|A|,|B|) and
+    |A∪B| ≥ max(|A|,|B|), so J ≤ min/max — any pair with
+    min(|A|,|B|) < t·max(|A|,|B|) cannot reach the threshold. The two
+    integer comparisons sit INSIDE the (nested-loop) join condition, where
+    codegen's short-circuit And rejects most pairs before the per-pair
+    array_intersect/array_union ever evaluates."""
     docs = load_table(spark, sf_dir, "documents")
-    s = docs.select("doc_id", F.array_distinct(_tokens()).alias("toks"))
+    s = docs.select(
+        "doc_id", F.array_distinct(_tokens()).alias("toks")
+    ).withColumn("n", F.size("toks"))
     a, b = s.alias("a"), s.alias("b")
+    # 0.8 = this query's threshold (filter below + the oracle SQL literal),
+    # NOT the module-wide JACCARD_THRESHOLD (0.5, the LSH verify point).
+    ratio_ok = (F.col("a.n").cast("double") >= 0.8 * F.col("b.n")) & (
+        F.col("b.n").cast("double") >= 0.8 * F.col("a.n")
+    )
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
     jac = F.when(
         union > 0,
@@ -417,7 +431,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         / union,
     )
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & ratio_ok)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
