@@ -130,61 +130,29 @@ SCHEMAS: dict[str, T.StructType] = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar scan of one test table; Catalyst prunes columns/pushes filters."""
+    """Columnar scan of one test table; Catalyst prunes columns/pushes filters.
+
+    The declared schema is passed explicitly, which pins the surfaced types
+    against reader-inference drift: the files store timestamps as naive
+    micros, which Spark 4 would otherwise infer as TIMESTAMP_NTZ
+    (``spark.sql.parquet.inferTimestampNTZ.enabled`` defaults true), while an
+    explicit TimestampType reads the stored micros as epoch micros directly —
+    session-timezone-independent and exactly what DuckDB's ``epoch_ms`` sees,
+    so oracle hashes agree on any caller-provided session."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects by default. nanosAsLong is a runtime-settable SQL
-        # conf (works on any caller-provided session); we then rebuild a
-        # micros timestamp with exact integer division (ns // 1000 — a
-        # double division would lose precision above 2^53).
-        #
-        # The conf is restored after the (lazy) read: the setting is only
-        # consulted at schema-resolution time, which happens eagerly inside
-        # spark.read.parquet(), so scoping it here is safe — and other
-        # nanos-typed parquet reads in the same session keep their default
-        # (fail-fast) behavior instead of silently surfacing longs.
-        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        try:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-            else:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        from pyspark.sql import functions as F
-
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming source for the events table — the single place that knows
-    the nanos-as-long schema and the exact ns→µs conversion (shared by the
-    windowed and stateful streaming operators; see ``load_table`` for the
-    batch-side twin)."""
-    from pyspark.sql import functions as F
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Streaming source for the events table (shared by the windowed and
+    stateful streaming operators; see ``load_table`` for the batch-side twin
+    and the explicit-schema rationale — file streams require an explicit
+    schema anyway)."""
     return (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(SCHEMAS["events"])
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
 
 

@@ -1,26 +1,15 @@
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def _events_stream(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        read_events_stream,
     )
-    return (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("event_id", "event_type", "value")
+
+    return read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value"
     )
 
 
