@@ -115,3 +115,22 @@ def test_stream_enrich_broadcasts_dim(spark, sf_dir):
         registry.QUERIES["stream_enrich"](spark, sf_dir), mode="simple"
     )
     assert "BroadcastHashJoin" in p
+
+
+def test_events_ts_predicate_pushes_to_scan(spark, sf_dir):
+    # The events table is read with its declared schema (ts: timestamp), so
+    # a time-range predicate reaches the parquet scan as a pushed filter —
+    # at 100 TB this is what turns "last 6 hours" into a footer-stats skip
+    # of almost every row group instead of a full scan.
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-01-02 00:00:00").cast("timestamp")
+    )
+    plan = plan_string(e)
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "GreaterThanOrEqual(ts" in pushed
+    assert "timestamp" in plan.split("ReadSchema")[1].splitlines()[0]
