@@ -45,8 +45,11 @@ def dot(x: Column, y: Column) -> Column:
 
 def cosine(x: Column, y: Column) -> Column:
     """NULL for zero-norm inputs (ANSI mode — Spark 4 default — would raise
-    DIVIDE_BY_ZERO); NULLs sort last in the desc rank windows, so zero
-    vectors simply never appear in a top-k."""
+    DIVIDE_BY_ZERO). The top-k rankers additionally FILTER these NULLs out
+    before ranking: NULL sorts last, but when a query has fewer than k
+    scored candidates a zero-norm row would otherwise pad the tail of the
+    listing with an undefined similarity (and the numpy twin drops them) —
+    caught by tests/test_edge_cases.py on a synthetic zero-vector corpus."""
     norms = F.sqrt(dot(x, x)) * F.sqrt(dot(y, y))
     return F.when(norms > 0, dot(x, y) / norms)
 
@@ -92,6 +95,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(queries)
         .join(cands, F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim").isNotNull())  # zero-norm rows: see cosine()
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
     )
@@ -271,6 +275,7 @@ def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cands, "cell_id")
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim").isNotNull())  # zero-norm rows: see cosine()
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
     )
@@ -316,6 +321,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cands, "cell_id")
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim").isNotNull())  # zero-norm rows: see cosine()
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
     )

@@ -94,3 +94,48 @@ def test_simhash_survives_empty_docs_with_cap(spark, weird_docs):
     # empty docs fingerprint to 0 (all votes negative) and must not blow up
     assert rows[2] == 0 and rows[3] == 0
     assert rows[4] == rows[5]  # identical docs, identical fingerprints
+
+
+def test_pandas_similarity_zero_norm_matches_jvm(spark):
+    """ADVICE round 2: a zero-norm vector (padding/failed-encode row) must
+    behave identically in the numpy mapInPandas path and the JVM twin —
+    dropped from every top-k (JVM: NULL cosine sorts last; numpy: masked),
+    never a NaN that desc-sorts above everything."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators import (
+        similarity as S2,
+    )
+
+    rows = [
+        # queries are vec_id < 5; id 3 is a zero-norm QUERY
+        (0, 0, [1.0, 0.0, 0.0, 0.0]),
+        (1, 0, [0.0, 1.0, 0.0, 0.0]),
+        (2, 0, [1.0, 1.0, 0.0, 0.0]),
+        (3, 0, [0.0, 0.0, 0.0, 0.0]),
+        (4, 0, [0.5, 0.5, 0.5, 0.5]),
+        # candidates; id 7 is a zero-norm CANDIDATE
+        (5, 1, [1.0, 2.0, 0.0, 0.0]),
+        (6, 1, [0.0, 0.0, 1.0, 0.0]),
+        (7, 1, [0.0, 0.0, 0.0, 0.0]),
+        (8, 1, [2.0, 1.0, 1.0, 0.0]),
+        (9, 1, [1.0, 1.0, 1.0, 1.0]),
+    ]
+    fake = spark.createDataFrame(rows, ["vec_id", "label", "v"])
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(S2, "_vectors", lambda _s, _d: fake)
+        jvm = sorted(map(tuple, S2.similarity_topk(spark, "ignored").collect()))
+        pd_ = sorted(
+            map(tuple, S2.similarity_topk_pandas(spark, "ignored").collect())
+        )
+    finally:
+        mp.undo()
+    assert jvm == pd_
+    assert jvm, "expected non-empty top-k"
+    query_ids = {t[0] for t in jvm}
+    cand_ids = {t[1] for t in jvm}
+    assert 3 not in query_ids  # zero-norm query emits no results
+    assert 7 not in cand_ids  # zero-norm candidate never ranks
+    assert all(t[2] == t[2] for t in jvm)  # no NaN survived
