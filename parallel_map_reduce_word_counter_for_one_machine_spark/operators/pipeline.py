@@ -245,3 +245,66 @@ def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_tok",
         F.expr(f"start_tok DIV {CTX_TOKENS}").alias("window_id"),
     )
+
+
+# Every 20th doc stands in for the benchmark/eval suite; at production the
+# eval set is its own (tiny) table and the modulus trick disappears.
+DECONTAM_EVAL_MOD = 20
+
+
+@query(
+    "decontaminate",
+    oracle=(
+        "WITH sh AS (SELECT doc_id, list_distinct(list_transform("
+        "range(1, greatest(len(w) - 1, 1)), "
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM ("
+        "SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w "
+        "FROM documents) s), "
+        f"ev AS (SELECT DISTINCT unnest(shingles) AS g FROM sh "
+        f"WHERE doc_id % {DECONTAM_EVAL_MOD} = 0), "
+        f"tr AS (SELECT doc_id, unnest(shingles) AS g FROM sh "
+        f"WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0), "
+        "hits AS (SELECT tr.doc_id, count(DISTINCT tr.g) AS n_hits "
+        "FROM tr JOIN ev USING (g) GROUP BY tr.doc_id) "
+        f"SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_eval_shingles, "
+        "coalesce(h.n_hits, 0) > 0 AS contaminated "
+        f"FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id "
+        f"WHERE d.doc_id % {DECONTAM_EVAL_MOD} <> 0"
+    ),
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag every training document sharing a
+    word 3-gram with the (held-out) benchmark set — the standard guard
+    against benchmark leakage in a pretraining corpus.
+
+    Plan shape for 100 TB: the eval suite's distinct shingle set is TINY
+    (benchmarks are a few MB — here it's broadcast explicitly), so the
+    check is one linear scan of the training corpus: explode its shingles,
+    broadcast-hash-join against the eval set, count hits per doc. No
+    corpus-sized shuffle of text anywhere; the only exchange carries
+    (doc_id, hit) pairs for docs that actually collide."""
+    from .dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles().alias("shingles"))
+    ev = (
+        sh.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+    hits = (
+        train.select("doc_id", F.explode("shingles").alias("g"))
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_eval_shingles"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

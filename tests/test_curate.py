@@ -28,3 +28,44 @@ def test_orc_roundtrip(spark, sf_correct, tmp_path):
     src.write.mode("overwrite").orc(out)
     back = spark.read.schema(SCHEMAS["part"]).orc(out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_decontaminate_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "decontaminate",
+        registry.QUERIES["decontaminate"],
+        registry.ORACLES["decontaminate"],
+    )
+
+
+def test_decontaminate_broadcasts_eval_set(spark, sf_correct):
+    """The eval shingle set must broadcast (it is benchmark-sized, the
+    training corpus is not): no corpus-wide shuffle on the hit join."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.plans.inspect import (
+        plan_string,
+    )
+
+    p = plan_string(registry.QUERIES["decontaminate"](spark, sf_correct), mode="simple")
+    assert "BroadcastHashJoin" in p
+
+
+def test_decontaminate_flags_actual_overlap(spark, sf_correct):
+    """An eval doc's verbatim twin in the training split must be flagged;
+    eval docs themselves never appear in the output."""
+    from pyspark.sql import functions as F
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.pipeline import (
+        DECONTAM_EVAL_MOD,
+    )
+
+    out = registry.QUERIES["decontaminate"](spark, sf_correct)
+    assert out.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0).count() == 0
+    # every contaminated doc must have >= 1 shared shingle by definition
+    assert out.filter(
+        F.col("contaminated") & (F.col("n_eval_shingles") < 1)
+    ).count() == 0
+    # and uncontaminated docs report exactly 0
+    assert out.filter(
+        (~F.col("contaminated")) & (F.col("n_eval_shingles") != 0)
+    ).count() == 0
