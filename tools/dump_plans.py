@@ -35,6 +35,8 @@ HEADLINE = [
     "sessionize",
     "join_event_attribution",
     "prepare_training_corpus",
+    "decontaminate",
+    "inverted_index",
 ]
 
 NOTES = {
@@ -73,6 +75,12 @@ NOTES = {
     "prepare_training_corpus": "quality+hash in the scan projection; one "
     "fingerprint exchange for dedup; per-split packing offsets via the "
     "reused range exchange (grouped two-level prefix sum)",
+    "decontaminate": "benchmark shingle set broadcast (BroadcastHashJoin) "
+    "against one linear corpus scan — the hit join shuffles only colliding "
+    "(doc_id, shingle) pairs, never text",
+    "inverted_index": "word_count's exchange shape with posting-list "
+    "aggregation state; partial aggregation bounds the shuffle by "
+    "per-task vocabulary, posting lists capped at 100 ids",
 }
 
 
