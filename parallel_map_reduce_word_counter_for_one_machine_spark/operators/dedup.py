@@ -138,6 +138,22 @@ def _fan_out_small_input(df: DataFrame) -> DataFrame:
 # is deterministic, and true near-dup clusters that large are found via
 # transitive pairs among the kept members.
 MAX_BUCKET = 64
+# Over-cap bucket members are NOT dropped: every bucket member additionally
+# pairs with its NEIGHBOR_W successors in rotated-signature sort order
+# (sketch sorting à la Broder — near-dups agree on ~J of their signature
+# positions, so they sort adjacently; each band rotates the signature by its
+# own offset, giving n_bands quasi-independent orderings). Linear cost via a
+# window lead(), sort-based and spillable — no giant arrays, survives a
+# million-doc degenerate bucket. Measured at sf0.1 (round 2): one ~3.9k-doc
+# colliding bucket overflowed the 256 cap; pure truncation lost all pairs
+# for 422 docs (closure diverged on 604), random-anchor probing still left
+# ~36 docs whose ONLY near-dup partner was also over-cap, sketch-sort
+# neighbors reduced the divergence to the noise documented in ROUND2_NOTES.
+NEIGHBOR_W = 4
+# Rotated-signature prefix length used as the neighbor sort key: enough
+# positions to discriminate within a bucket (the band's own r positions are
+# constant there) while keeping the banded shuffle row narrow at scale.
+NEIGHBOR_SORT_PREFIX = 16
 
 
 def lsh_candidate_pairs(
@@ -154,7 +170,18 @@ def lsh_candidate_pairs(
     Compared to a banded self-join this computes the signature subtree once
     (a self-join evaluates it per side) and gives a natural place for the
     bucket-size skew cap — the all-pairs blowup of a degenerate bucket is
-    bounded at MAX_BUCKET² locally, never at join time."""
+    bounded at MAX_BUCKET² locally, never at join time.
+
+    Bucket members beyond the cap are covered by a second, linear candidate
+    source: sketch-sort neighbors. Each member pairs with its NEIGHBOR_W
+    successors in rotated-signature order within the bucket (window lead(),
+    sort-based/spillable — works on a bucket of any size). Near-dup pairs
+    agree on ~J of their signature positions, so they sort adjacently; the
+    per-band rotation gives n_bands quasi-independent orderings, so a true
+    pair both of whose docs are over-cap in every shared bucket still
+    surfaces (measured at sf0.1 — see ROUND2_NOTES.md)."""
+    from pyspark.sql.window import Window
+
     if n_hashes % n_bands != 0:
         raise ValueError(f"n_hashes={n_hashes} not divisible by n_bands={n_bands}")
     r = n_hashes // n_bands
@@ -165,12 +192,23 @@ def lsh_candidate_pairs(
                 F.xxhash64(F.slice(F.col("sig"), b * r + 1, r).cast("string")).alias(
                     "band_hash"
                 ),
+                # Band-rotated sort key for sketch-sort neighbors. Starts at
+                # the band's own slice (constant within a bucket — harmless)
+                # and wraps; prefix-truncated to keep the shuffled row narrow.
+                F.slice(
+                    F.concat(
+                        F.slice(F.col("sig"), b * r + 1, n_hashes - b * r),
+                        F.slice(F.col("sig"), 1, b * r),
+                    ),
+                    1,
+                    NEIGHBOR_SORT_PREFIX,
+                ).alias("rot"),
             )
             for b in range(n_bands)
         ]
     )
     banded = sigs.select("doc_id", F.explode(bands).alias("band")).select(
-        "doc_id", "band.band_id", "band.band_hash"
+        "doc_id", "band.band_id", "band.band_hash", "band.rot"
     )
     buckets = banded.groupBy("band_id", "band_hash").agg(
         F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_bucket).alias("docs")
@@ -184,12 +222,37 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    return (
+    core = (
         buckets.filter(F.size("docs") > 1)
         .select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
+    # Tie-break by a BAND-SEEDED hash of doc_id, not doc_id itself: docs
+    # with equal sort prefixes (e.g. signature-identical groups) form tie
+    # blocks, and a global doc_id tie-break would order every band's block
+    # identically — the band fan-out would add zero diversity inside blocks
+    # (measured at sf0.1: a 32/32-identical-signature pair colliding in all
+    # 16 bands was still missed under doc_id tie-break). A per-band shuffle
+    # gives each band an independent 2W-window shot at every tie-block pair.
+    w = Window.partitionBy("band_id", "band_hash").orderBy(
+        "rot", F.xxhash64("doc_id", "band_id")
+    )
+    nbr = banded.select(
+        "doc_id",
+        *[F.lead("doc_id", k).over(w).alias(f"n{k}") for k in range(1, NEIGHBOR_W + 1)],
+    )
+    neighbors = (
+        nbr.selectExpr(
+            f"explode(array({', '.join(f'n{k}' for k in range(1, NEIGHBOR_W + 1))})) AS other",
+            "doc_id",
+        )
+        .filter(F.col("other").isNotNull())
+        .select(
+            F.least("doc_id", "other").alias("doc_a"),
+            F.greatest("doc_id", "other").alias("doc_b"),
+        )
+    )
+    return core.union(neighbors).distinct()
 
 
 @query("dedup_minhash_lsh")  # rows-only: multi-stage LSH is not ANSI-SQL-expressible
