@@ -1,0 +1,144 @@
+"""Event-sequence analytics over the ``events`` table: funnel conversion
+and cohort retention — the two classic product-analytics shapes a
+warehouse-replacement engine is expected to answer (absent from the
+reference, whose only dataset is a word→count map — SURVEY.md §2b; these
+extend the §2c event-time family alongside ``sessionize`` and
+``join_event_attribution``).
+
+Both are single-digit-shuffle DataFrame plans:
+
+- ``event_funnel`` folds each user's time-sorted event array through a
+  greedy subsequence matcher (pure JVM ``aggregate`` HOF — one shuffle on
+  user_id, state is two scalars per user, never a re-scan per step). The
+  greedy fold is equivalent to the nested min-timestamp formulation the
+  DuckDB oracle uses: if any ordered (view < click < purchase) subsequence
+  exists, matching each step at its earliest qualifying time finds one.
+- ``cohort_retention`` derives each user's cohort week from their first
+  event, then counts distinct active users per (cohort week, week offset).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+# Ordered funnel: a user converts step k only after having converted step
+# k-1 at a strictly earlier event time.
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@query(
+    "event_funnel",
+    oracle=(
+        "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+        "  WHERE event_type = 'view' GROUP BY user_id), "
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+        "  JOIN s1 ON e.user_id = s1.user_id "
+        "  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id), "
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+        "  JOIN s2 ON e.user_id = s2.user_id "
+        "  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id) "
+        "SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS users "
+        "UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2) "
+        "UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)"
+    ),
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users reaching each ordered funnel step (view → click → purchase).
+
+    One shuffle: groupBy(user_id) collects each user's (time, type) events,
+    and an ``aggregate`` fold advances a (stage, last_time) state machine
+    through the sorted array — strictly-later matching, identical to the
+    oracle's chained min-timestamp joins. The per-user state is two scalars
+    regardless of event count, and the final step counts reduce to one row,
+    so nothing here grows with corpus size except the single exchange the
+    per-user grouping always costs."""
+    steps = F.array(*[F.lit(s) for s in FUNNEL_STEPS])
+    evs = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(FUNNEL_STEPS))
+        .select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("us"), F.col("event_type").alias("et")
+            ).alias("e"),
+        )
+    )
+    per_user = evs.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("e")).alias("seq")
+    )
+    # F.get is 0-based and null-safe: at stage == len(steps) the lookup
+    # yields NULL and the equality is never true, so the fold saturates
+    # without ANSI out-of-bounds errors.
+    state = F.aggregate(
+        F.col("seq"),
+        F.struct(
+            F.lit(0).alias("stage"), F.lit(-1).cast("long").alias("last")
+        ),
+        lambda acc, e: F.when(
+            (e["us"] > acc["last"]) & (e["et"] == F.get(steps, acc["stage"])),
+            F.struct((acc["stage"] + 1).alias("stage"), e["us"].alias("last")),
+        ).otherwise(acc),
+    )
+    stages = per_user.select(state["stage"].alias("stage"))
+    counts = stages.agg(
+        *[
+            F.count_if(F.col("stage") >= k + 1).alias(f"s{k + 1}")
+            for k in range(len(FUNNEL_STEPS))
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k + 1).alias("step"),
+                F.lit(name).alias("step_name"),
+                F.col(f"s{k + 1}").alias("users"),
+            )
+            for k, name in enumerate(FUNNEL_STEPS)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select(
+        "r.step", "r.step_name", "r.users"
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle=(
+        "WITH first AS (SELECT user_id, date_trunc('week', min(ts)) AS cw "
+        "  FROM events GROUP BY user_id), "
+        "act AS (SELECT DISTINCT e.user_id, f.cw, "
+        "  date_trunc('week', e.ts) AS aw "
+        "  FROM events e JOIN first f ON e.user_id = f.user_id) "
+        "SELECT CAST(cw AS DATE) AS cohort_week, "
+        "CAST(date_diff('day', cw, aw) // 7 AS INTEGER) AS week_offset, "
+        "count(*) AS active_users "
+        "FROM act GROUP BY cw, aw"
+    ),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by the week of their
+    first event, counted once per week they were active, keyed by the
+    offset (in weeks) from their cohort week.
+
+    Plan shape: one groupBy(user_id) for first-event week, an equi-join
+    back on user_id (co-partitioned with the grouping's exchange), a
+    distinct on (user, cohort, week) and the final small aggregation. Both
+    engines truncate weeks to Monday, so the oracle matches without any
+    session-timezone dependence (timestamps are naive micros)."""
+    evs = load_table(spark, sf_dir, "events")
+    first = evs.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    act = (
+        evs.join(first, "user_id")
+        .select("user_id", "cw", F.date_trunc("week", F.col("ts")).alias("aw"))
+        .distinct()
+    )
+    return act.groupBy(
+        F.to_date("cw").alias("cohort_week"),
+        (F.datediff("aw", "cw") / 7).cast("int").alias("week_offset"),
+    ).agg(F.count("*").alias("active_users"))

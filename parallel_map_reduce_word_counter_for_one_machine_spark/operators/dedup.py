@@ -548,3 +548,75 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
     )
+
+
+# Rolling-span width for dedup_spans, in tokens. 8 is small enough that the
+# synthetic corpus's near-dup families overlap heavily on spans and large
+# enough that independent docs essentially never collide.
+SPAN_K = 8
+
+
+@query(
+    "dedup_spans",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        "  list_filter(string_split(text, ' '), w -> w <> '') AS t "
+        "  FROM documents), "
+        "spans AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS span "
+        "  FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) AS g(i) "
+        "  WHERE len(t) >= 8), "
+        "rep AS (SELECT span FROM spans GROUP BY span "
+        "  HAVING count(DISTINCT doc_id) > 1) "
+        "SELECT s.doc_id, count(*) AS n_spans, "
+        "count(r.span) AS n_repeated, "
+        "round(count(r.span) * 1.0 / count(*), 6) AS repeated_frac "
+        "FROM spans s LEFT JOIN rep r ON s.span = r.span GROUP BY s.doc_id"
+    ),
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span statistics: for every doc, the fraction of its rolling
+    SPAN_K-token windows that also occur in at least one OTHER doc — the
+    signal behind span/substring-level dedup of training corpora (drop or
+    trim documents that are mostly copied text). Near-dup family members
+    score near 1.0 here; unique docs score 0.
+
+    Scale shape: explode is linear in corpus tokens; spans shuffle by an
+    8-byte xxhash of the span (the oracle groups the span STRING — outputs
+    carry only counts, so the engines agree unless two distinct spans
+    collide in 64 bits, odds ~n²/2⁶⁵). The repeated-span join lands on the
+    same span-hash partitioning the groupBy just produced, and per-doc
+    counts are one further exchange on doc_id. No all-pairs anything."""
+    docs = _fan_out_small_input(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", _tokens().alias("t"))
+    starts = F.when(
+        F.size("t") >= SPAN_K, F.sequence(F.lit(1), F.size("t") - SPAN_K + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.xxhash64(F.array_join(F.slice(F.col("t"), i, SPAN_K), " ")),
+            )
+        ).alias("span_h"),
+    )
+    # Two consumers (repeated-span agg + per-doc join side) — materialize
+    # the span stream once instead of re-scanning and re-hashing the corpus
+    # per subtree, the in-session analog of writing the span table out
+    # between pipeline stages (same move as lsh_verified_pairs' groups).
+    spans = spans.localCheckpoint()
+    rep = (
+        spans.groupBy("span_h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("span_h", F.lit(True).alias("is_rep"))
+    )
+    return (
+        spans.join(rep, "span_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count("is_rep").alias("n_repeated"),
+            F.round(F.count("is_rep") / F.count("*"), 6).alias("repeated_frac"),
+        )
+    )

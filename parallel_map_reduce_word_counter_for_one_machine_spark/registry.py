@@ -59,6 +59,7 @@ def load_all() -> None:
         multimodal,
         pipeline,
         curate,
+        analytics,
     )
     from .functions import udfs  # noqa: F401
     from .streaming import dedupstream, joins, tumbling  # noqa: F401

@@ -1,0 +1,116 @@
+"""Event-sequence analytics (operators/analytics.py) and span-level dedup
+stats (operators/dedup.py::dedup_spans): oracle equivalence plus the
+semantic properties the oracle's order-insensitive hash can't see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+    load_table,
+)
+
+from .oracle import assert_matches_oracle
+
+registry.load_all()
+
+
+def test_event_funnel_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "event_funnel",
+        registry.QUERIES["event_funnel"],
+        registry.ORACLES["event_funnel"],
+    )
+
+
+def test_event_funnel_monotone(spark, sf_correct):
+    """Funnel counts can only shrink step to step, and step 1 equals the
+    count of users with at least one 'view' event."""
+    rows = {
+        r["step"]: r["users"]
+        for r in registry.QUERIES["event_funnel"](spark, sf_correct).collect()
+    }
+    assert rows[1] >= rows[2] >= rows[3] >= 0
+    viewers = (
+        load_table(spark, sf_correct, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[1] == viewers
+
+
+def test_cohort_retention_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "cohort_retention",
+        registry.QUERIES["cohort_retention"],
+        registry.ORACLES["cohort_retention"],
+    )
+
+
+def test_cohort_retention_offset_zero_complete(spark, sf_correct):
+    """Every user is active in their own cohort week by definition, so the
+    offset-0 counts across cohorts must sum to the distinct user count."""
+    df = registry.QUERIES["cohort_retention"](spark, sf_correct)
+    at_zero = (
+        df.filter(F.col("week_offset") == 0)
+        .agg(F.sum("active_users").alias("s"))
+        .collect()[0]["s"]
+    )
+    users = (
+        load_table(spark, sf_correct, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert at_zero == users
+    assert df.filter(F.col("week_offset") < 0).count() == 0
+
+
+def test_dedup_spans_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "dedup_spans",
+        registry.QUERIES["dedup_spans"],
+        registry.ORACLES["dedup_spans"],
+    )
+
+
+def test_dedup_spans_invariants(spark, sf_correct):
+    """Structural invariants the oracle hash can't articulate: per-doc span
+    count equals max(tokens - K + 1, 0); 0 ≤ n_repeated ≤ n_spans; and
+    cross-doc repetition can never mark exactly ONE doc (a repeated span by
+    definition occurs in at least two)."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.dedup import (
+        SPAN_K,
+    )
+
+    out = registry.QUERIES["dedup_spans"](spark, sf_correct).cache()
+    assert out.filter(
+        (F.col("n_repeated") < 0) | (F.col("n_repeated") > F.col("n_spans"))
+    ).count() == 0
+
+    docs = load_table(spark, sf_correct, "documents")
+    ntok = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("nt"),
+    )
+    joined = out.join(ntok, "doc_id")
+    mismatch = joined.filter(
+        F.col("n_spans") != F.greatest(F.col("nt") - SPAN_K + 1, F.lit(0))
+    ).count()
+    assert mismatch == 0
+
+    flagged = out.filter(F.col("n_repeated") > 0).count()
+    assert flagged != 1
+    # the sf0.01 corpus has near-dup families sharing long runs — the
+    # operator should actually fire on it
+    assert flagged > 1
+    out.unpersist()
