@@ -37,6 +37,8 @@ HEADLINE = [
     "prepare_training_corpus",
     "decontaminate",
     "inverted_index",
+    "event_funnel",
+    "dedup_spans",
 ]
 
 NOTES = {
@@ -81,6 +83,13 @@ NOTES = {
     "inverted_index": "word_count's exchange shape with posting-list "
     "aggregation state; partial aggregation bounds the shuffle by "
     "per-task vocabulary, posting lists capped at 100 ids",
+    "event_funnel": "ONE corpus exchange on user_id; the funnel state "
+    "machine folds inside the aggregate (two scalars per user), final "
+    "step counts collapse to a SinglePartition row — vs one shuffle per "
+    "funnel step in the naive join formulation",
+    "dedup_spans": "explode is linear; repeated-span agg and per-doc join "
+    "share the span-hash partitioning; span stream localCheckpoint'd so "
+    "the corpus is scanned and hashed once",
 }
 
 
