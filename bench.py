@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "tfidf",
     "dedup_minhash_lsh",
     "dedup_clusters_lsh",
+    "dedup_spans",
     "similarity_topk",
     "stream_tumbling_agg",
     "curate_corpus",
