@@ -106,10 +106,23 @@ def register_udtf(spark: SparkSession) -> None:
     spark.udtf.register("split_words", F.udtf(SplitWords, returnType="word: string, pos: int"))
 
 
-@query("udtf_split_words")  # rows-only: Python UDTF, no SQL oracle needed
+@query(
+    "udtf_split_words",
+    oracle=(
+        # enumerate() numbers EMPTY tokens too (then skips them), so pos is
+        # the 0-based index in the raw split — mirrored by filtering AFTER
+        # the series join.
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents) "
+        "SELECT doc_id, a[i] AS word, CAST(i - 1 AS INTEGER) AS pos "
+        "FROM t, LATERAL unnest(generate_series(1, len(a))) g(i) "
+        "WHERE a[i] <> ''"
+    ),
+)
 def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UDTF in a LATERAL join — equivalence with posexplode asserted in
-    tests (the structural check for the UDTF surface)."""
+    """UDTF in a LATERAL join — posexplode equivalence asserted in tests,
+    and the full (doc_id, word, pos) relation value-checked against the
+    DuckDB oracle: the Python UDTF path is held to the same hard gate as
+    the pure-expression operators."""
     register_udtf(spark)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("v_docs_udtf")
     return spark.sql(

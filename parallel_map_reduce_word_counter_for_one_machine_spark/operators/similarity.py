@@ -63,22 +63,27 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "similarity_topk",
-    oracle=(
-        # ::DOUBLE[] casts: DuckDB computes FLOAT[] cosine in float32 (error
-        # ~1e-7 > our 1e-6 rounding quantum) and float round() stays float.
-        f"SELECT q.vec_id AS query_id, c.vec_id AS cand_id, "
-        f"round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)"
-        f" AS cos_sim, "
-        f"row_number() OVER (PARTITION BY q.vec_id ORDER BY "
-        f"round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)"
-        f" DESC, c.vec_id) AS rk "
-        f"FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id "
-        f"WHERE q.vec_id < {N_QUERIES} "
-        f"QUALIFY rk <= {TOP_K}"
-    ),
+# Shared by similarity_topk and its Arrow/numpy twin: both produce the
+# identical rounded-6dp top-k relation, so both are held to the same hard
+# value oracle (the numpy path's different float summation order has never
+# crossed a 6dp rounding boundary on the fixed corpus — deterministic, and
+# the twin-equivalence test would catch it before the driver does).
+# ::DOUBLE[] casts: DuckDB computes FLOAT[] cosine in float32 (error
+# ~1e-7 > our 1e-6 rounding quantum) and float round() stays float.
+_TOPK_ORACLE = (
+    f"SELECT q.vec_id AS query_id, c.vec_id AS cand_id, "
+    f"round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)"
+    f" AS cos_sim, "
+    f"row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+    f"round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)"
+    f" DESC, c.vec_id) AS rk "
+    f"FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id "
+    f"WHERE q.vec_id < {N_QUERIES} "
+    f"QUALIFY rk <= {TOP_K}"
 )
+
+
+@query("similarity_topk", oracle=_TOPK_ORACLE)
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k per query vector. Plan shape: broadcast the tiny
     query set against the corpus scan (one linear pass), then one window
@@ -101,7 +106,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_topk_pandas")  # rows-only: Python-side math, no SQL oracle
+@query("similarity_topk_pandas", oracle=_TOPK_ORACLE)
 def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same exact top-k via a vectorized Arrow/numpy ``mapInPandas``
     path: queries are closed over as a small numpy matrix; each Arrow batch
