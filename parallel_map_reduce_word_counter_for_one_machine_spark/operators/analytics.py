@@ -1,11 +1,11 @@
-"""Event-sequence analytics over the ``events`` table: funnel conversion
-and cohort retention — the two classic product-analytics shapes a
-warehouse-replacement engine is expected to answer (absent from the
-reference, whose only dataset is a word→count map — SURVEY.md §2b; these
-extend the §2c event-time family alongside ``sessionize`` and
-``join_event_attribution``).
+"""Event-sequence analytics over the ``events`` table: funnel conversion,
+cohort retention, and z-score anomaly flagging — classic product-analytics
+/ data-quality shapes a warehouse-replacement engine is expected to answer
+(absent from the reference, whose only dataset is a word→count map —
+SURVEY.md §2b; these extend the §2c event-time family alongside
+``sessionize`` and ``join_event_attribution``).
 
-Both are single-digit-shuffle DataFrame plans:
+All are single-digit-shuffle DataFrame plans:
 
 - ``event_funnel`` folds each user's time-sorted event array through a
   greedy subsequence matcher (pure JVM ``aggregate`` HOF — one shuffle on
@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources.tables import load_table
@@ -142,3 +143,51 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("cw").alias("cohort_week"),
         (F.datediff("aw", "cw") / 7).cast("int").alias("week_offset"),
     ).agg(F.count("*").alias("active_users"))
+
+
+@query(
+    "events_anomaly",
+    oracle=(
+        "WITH st AS (SELECT event_id, user_id, event_type, value, "
+        "  avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd, "
+        "  count(*) OVER w AS n "
+        "  FROM events WINDOW w AS (PARTITION BY user_id, event_type)) "
+        "SELECT event_id, user_id, event_type, "
+        "round((value - mu) / sd, 4) AS z "
+        "FROM st WHERE n >= 10 AND sd > 0 "
+        "AND abs((value - mu) / sd) >= 2.5"
+    ),
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event_type) z-score outliers: events whose value sits
+    ≥ 2.5 sample standard deviations from that key's mean. The data-quality
+    gate of an ingestion pipeline (flag broken sensors / abusive users)
+    expressed as one keyed window — a single exchange on the group key, no
+    global pass. Groups under 10 events are skipped (z-scores on tiny
+    samples are noise; at sf0.01 the synthetic events average ~13 rows per
+    (user, type) group, so the floor still leaves a non-trivial result).
+
+    Float policy: mu/sd are aggregate doubles (summation order differs
+    cross-engine), so z is rounded on BOTH sides; the ≥ threshold is
+    applied to the UNROUNDED z in both engines so the cut and the printed
+    value can't disagree."""
+    w = Window.partitionBy("user_id", "event_type")
+    st = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("*").over(w).alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        st.filter((F.col("n") >= 10) & (F.col("sd") > 0) & (F.abs(z) >= 2.5))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(z, 4).alias("z"),
+        )
+    )

@@ -114,3 +114,22 @@ def test_dedup_spans_invariants(spark, sf_correct):
     # operator should actually fire on it
     assert flagged > 1
     out.unpersist()
+
+
+def test_events_anomaly_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "events_anomaly",
+        registry.QUERIES["events_anomaly"],
+        registry.ORACLES["events_anomaly"],
+    )
+
+
+def test_events_anomaly_thresholds(spark, sf_correct):
+    """Flagged rows really sit beyond the cut, and the result is non-empty
+    on the gate corpus (a 0-row pass would be a vacuous oracle match)."""
+    df = registry.QUERIES["events_anomaly"](spark, sf_correct)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(abs(r["z"]) >= 2.5 for r in rows)
