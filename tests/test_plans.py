@@ -134,3 +134,22 @@ def test_events_ts_predicate_pushes_to_scan(spark, sf_dir):
     pushed = plan.split("PushedFilters")[1].splitlines()[0]
     assert "GreaterThanOrEqual(ts" in pushed
     assert "timestamp" in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_event_funnel_single_corpus_exchange(spark, sf_dir):
+    # The funnel folds inside the per-user aggregate: ONE hashpartitioning
+    # exchange over event rows; the only other exchange is the
+    # SinglePartition gather of the (single-row) step counts. A regression
+    # to the per-step join formulation would add an exchange per step.
+    p = plan_string(registry.QUERIES["event_funnel"](spark, sf_dir), mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Exchange SinglePartition") == 1
+    # the type filter reaches the parquet scan
+    assert "PushedFilters" in p and "event_type" in p.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_events_anomaly_single_exchange(spark, sf_dir):
+    # One keyed window exchange on (user_id, event_type); no global pass.
+    p = plan_string(registry.QUERIES["events_anomaly"](spark, sf_dir), mode="simple")
+    assert p.count("Exchange") == 1
+    assert "SinglePartition" not in p
