@@ -31,6 +31,43 @@ from ..sources.tables import load_table
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
+def funnel_stages(evs: DataFrame) -> DataFrame:
+    """(user_id, us: long, event_type) → (user_id, stage): how many ordered
+    FUNNEL_STEPS each user completed, each step at a strictly later event
+    time than the previous. One shuffle: groupBy(user_id) collects the
+    (time, type) events and an ``aggregate`` fold advances a
+    (stage, last_time) state machine through the sorted array — the
+    per-user state is two scalars regardless of event count. Exposed
+    separately so tests can run the EXACT production fold on synthetic
+    event frames (randomized differential test in test_analytics.py)."""
+    steps = F.array(*[F.lit(s) for s in FUNNEL_STEPS])
+    per_user = (
+        evs.filter(F.col("event_type").isin(FUNNEL_STEPS))
+        .select(
+            "user_id",
+            F.struct(F.col("us").alias("us"), F.col("event_type").alias("et")).alias(
+                "e"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("seq"))
+    )
+    # F.get is 0-based and null-safe: at stage == len(steps) the lookup
+    # yields NULL and the equality is never true, so the fold saturates
+    # without ANSI out-of-bounds errors.
+    state = F.aggregate(
+        F.col("seq"),
+        F.struct(
+            F.lit(0).alias("stage"), F.lit(-1).cast("long").alias("last")
+        ),
+        lambda acc, e: F.when(
+            (e["us"] > acc["last"]) & (e["et"] == F.get(steps, acc["stage"])),
+            F.struct((acc["stage"] + 1).alias("stage"), e["us"].alias("last")),
+        ).otherwise(acc),
+    )
+    return per_user.select("user_id", state["stage"].alias("stage"))
+
+
 @query(
     "event_funnel",
     oracle=(
@@ -48,43 +85,14 @@ FUNNEL_STEPS = ["view", "click", "purchase"]
     ),
 )
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Users reaching each ordered funnel step (view → click → purchase).
-
-    One shuffle: groupBy(user_id) collects each user's (time, type) events,
-    and an ``aggregate`` fold advances a (stage, last_time) state machine
-    through the sorted array — strictly-later matching, identical to the
-    oracle's chained min-timestamp joins. The per-user state is two scalars
-    regardless of event count, and the final step counts reduce to one row,
-    so nothing here grows with corpus size except the single exchange the
-    per-user grouping always costs."""
-    steps = F.array(*[F.lit(s) for s in FUNNEL_STEPS])
-    evs = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin(FUNNEL_STEPS))
-        .select(
-            "user_id",
-            F.struct(
-                F.unix_micros("ts").alias("us"), F.col("event_type").alias("et")
-            ).alias("e"),
-        )
+    """Users reaching each ordered funnel step (view → click → purchase):
+    ``funnel_stages`` over the events table, reduced to one row of step
+    counts — identical to the oracle's chained min-timestamp joins (greedy
+    earliest matching finds an ordered subsequence iff one exists)."""
+    evs = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_type"
     )
-    per_user = evs.groupBy("user_id").agg(
-        F.array_sort(F.collect_list("e")).alias("seq")
-    )
-    # F.get is 0-based and null-safe: at stage == len(steps) the lookup
-    # yields NULL and the equality is never true, so the fold saturates
-    # without ANSI out-of-bounds errors.
-    state = F.aggregate(
-        F.col("seq"),
-        F.struct(
-            F.lit(0).alias("stage"), F.lit(-1).cast("long").alias("last")
-        ),
-        lambda acc, e: F.when(
-            (e["us"] > acc["last"]) & (e["et"] == F.get(steps, acc["stage"])),
-            F.struct((acc["stage"] + 1).alias("stage"), e["us"].alias("last")),
-        ).otherwise(acc),
-    )
-    stages = per_user.select(state["stage"].alias("stage"))
+    stages = funnel_stages(evs)
     counts = stages.agg(
         *[
             F.count_if(F.col("stage") >= k + 1).alias(f"s{k + 1}")

@@ -133,3 +133,52 @@ def test_events_anomaly_thresholds(spark, sf_correct):
     rows = df.collect()
     assert len(rows) > 0
     assert all(abs(r["z"]) >= 2.5 for r in rows)
+
+
+def test_funnel_fold_matches_python_reference_on_random_sequences(spark):
+    """Randomized differential test of the greedy-subsequence fold: 300
+    users × random event sequences (including duplicate timestamps, the
+    tie case the SQL formulation resolves via strict '>'), stages computed
+    by a 10-line Python reference and compared exactly."""
+    import random
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.analytics import (
+        FUNNEL_STEPS,
+        event_funnel,
+    )
+
+    rng = random.Random(20240813)
+    types = FUNNEL_STEPS + ["error", "signup"]
+    rows = []
+    for uid in range(300):
+        n = rng.randint(0, 12)
+        # coarse timestamps on purpose: plenty of exact ties
+        evs = [(rng.randint(0, 5) * 1_000_000, rng.choice(types)) for _ in range(n)]
+        rows.extend((uid, us, et) for us, et in evs)
+
+    def py_stage(evs):
+        stage, last = 0, -1
+        for us, et in sorted(evs):  # (us, et) lexicographic = the fold's order
+            if stage < len(FUNNEL_STEPS) and us > last and et == FUNNEL_STEPS[stage]:
+                stage, last = stage + 1, us
+        return stage
+
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for uid, us, et in rows:
+        by_user[uid].append((us, et))
+    expected = [0, 0, 0]
+    for evs in by_user.values():
+        s = py_stage(evs)
+        for k in range(s):
+            expected[k] += 1
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.analytics import (
+        funnel_stages,
+    )
+
+    df = spark.createDataFrame(rows, "user_id long, us long, event_type string")
+    got_stages = [r["stage"] for r in funnel_stages(df).collect()]
+    got = [sum(1 for s in got_stages if s >= k + 1) for k in range(len(FUNNEL_STEPS))]
+    assert got == expected
