@@ -499,3 +499,33 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("top_bigram_n"),
         (F.max("n").cast("double") / F.sum("n")).alias("repetition_ratio"),
     )
+
+
+@query(
+    "corpus_stats",
+    oracle=(
+        "SELECT source, lang, count(*) AS n_docs, "
+        "sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) "
+        "AS total_tokens, "
+        "sum(length(text)) AS total_chars, "
+        "round(avg(len(list_filter(string_split(text, ' '), w -> w <> ''))), 4) "
+        "AS avg_tokens_per_doc "
+        "FROM documents GROUP BY source, lang"
+    ),
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus accounting — the report a training-data
+    pipeline runs before and after every curation stage (token budgets per
+    slice, mixture weights). One partial+final aggregate pass; the token
+    counting is a per-row array expression that never leaves the executor,
+    so the shuffle carries one row per (source, lang) cell, not per doc.
+    avg is an aggregate double → rounded on both sides (float policy,
+    operators/relational.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(_words(), lambda w: w != ""))
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens_per_doc"),
+    )

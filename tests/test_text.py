@@ -95,3 +95,35 @@ def test_quality_repetition_flags_spam(spark, sf_correct):
         .agg((F.max("n").cast("double") / F.sum("n")).alias("ratio"))
     )
     assert counts.collect()[0].ratio == 1.0
+
+
+def test_corpus_stats_oracle(spark, sf_correct):
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "corpus_stats",
+        registry.QUERIES["corpus_stats"],
+        registry.ORACLES["corpus_stats"],
+    )
+
+
+def test_corpus_stats_totals_consistent(spark, sf_correct):
+    """Cell totals must add up to whole-corpus totals (no doc dropped or
+    double-counted by the grouping)."""
+    import pyspark.sql.functions as F
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    df = registry.QUERIES["corpus_stats"](spark, sf_correct)
+    got = df.agg(
+        F.sum("n_docs").alias("d"), F.sum("total_chars").alias("c")
+    ).collect()[0]
+    docs = load_table(spark, sf_correct, "documents")
+    want = docs.agg(
+        F.count("*").alias("d"), F.sum(F.length("text")).alias("c")
+    ).collect()[0]
+    assert (got["d"], got["c"]) == (want["d"], want["c"])
