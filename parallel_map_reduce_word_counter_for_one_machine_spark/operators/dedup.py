@@ -185,6 +185,12 @@ def lsh_candidate_pairs(
     if n_hashes % n_bands != 0:
         raise ValueError(f"n_hashes={n_hashes} not divisible by n_bands={n_bands}")
     r = n_hashes // n_bands
+    # Two consumers since the sketch-sort addition (bucket groupBy for core
+    # pairs + the neighbor window) with different projections — Catalyst
+    # can't reuse one exchange across them, so without materialization the
+    # whole MinHash subtree (shingle explode + n_hashes mins, the expensive
+    # part) would compute twice. One row per doc of n_hashes longs.
+    sigs = sigs.localCheckpoint()
     bands = F.array(
         *[
             F.struct(
@@ -237,19 +243,36 @@ def lsh_candidate_pairs(
     w = Window.partitionBy("band_id", "band_hash").orderBy(
         "rot", F.xxhash64("doc_id", "band_id")
     )
-    nbr = banded.select(
-        "doc_id",
-        *[F.lead("doc_id", k).over(w).alias(f"n{k}") for k in range(1, NEIGHBOR_W + 1)],
+    # Only pairs touching an OVER-CAP member survive: core already
+    # enumerates every kept×kept pair, so a kept→kept sketch-sort neighbor
+    # is redundant by construction — filtering it changes NOTHING in the
+    # candidate set while cutting the neighbor volume from
+    # O(N · bands · W) to O(tail · bands · W). At 15 B docs the unfiltered
+    # form would shuffle ~4× the banded-signature volume in pure
+    # redundancy; with the filter, normal (under-cap) buckets contribute
+    # zero neighbor rows. Both windows share one exchange (same partition
+    # keys; the doc_id rank sort and the rot sort are per-partition).
+    w_rank = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
+    me = F.struct(
+        F.col("doc_id").alias("id"),
+        (F.row_number().over(w_rank) > max_bucket).alias("tail"),
+    )
+    flagged = banded.withColumn("m", me)
+    nbr = flagged.select(
+        "m",
+        *[F.lead("m", k).over(w).alias(f"n{k}") for k in range(1, NEIGHBOR_W + 1)],
     )
     neighbors = (
-        nbr.selectExpr(
-            f"explode(array({', '.join(f'n{k}' for k in range(1, NEIGHBOR_W + 1))})) AS other",
-            "doc_id",
+        nbr.select(
+            "m",
+            F.explode(
+                F.array(*[F.col(f"n{k}") for k in range(1, NEIGHBOR_W + 1)])
+            ).alias("o"),
         )
-        .filter(F.col("other").isNotNull())
+        .filter(F.col("o").isNotNull() & (F.col("m.tail") | F.col("o.tail")))
         .select(
-            F.least("doc_id", "other").alias("doc_a"),
-            F.greatest("doc_id", "other").alias("doc_b"),
+            F.least("m.id", "o.id").alias("doc_a"),
+            F.greatest("m.id", "o.id").alias("doc_b"),
         )
     )
     return core.union(neighbors).distinct()
