@@ -79,3 +79,24 @@ def test_tws_gate_reports_missing_protobuf():
         pytest.skip("protobuf present — covered by the real run elsewhere")
     with pytest.raises(ImportError, match="protobuf"):
         run_tws_user_totals(None, "/root/testdata/sf0.001", "t_tws")
+
+
+def test_gzip_text_source_transparent(spark, tmp_path):
+    """Compressed text ingestion: Hadoop's codec layer decompresses .gz
+    transparently in the same spark.read.text call — a 100 TB web-text
+    corpus ships compressed, so the line scan must not care. (gzip is not
+    splittable — one file maps to one task — so a production layout shards
+    into many files or uses zstd; the SEMANTICS are what this pins.)"""
+    import gzip
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.textfile import (
+        read_text_lines,
+    )
+
+    # interior empty line IS a record; a trailing newline does not add one
+    lines = ["alpha beta", "", "beta GAMMA", "täällä a b"]
+    p = tmp_path / "corpus.txt.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+    got = [r["value"] for r in read_text_lines(spark, str(p)).collect()]
+    assert sorted(got) == sorted(lines)
