@@ -54,9 +54,10 @@ NOTES = {
     "beyond its purchase_id partition",
     "tfidf": "tokens aggregated twice (tf, df) then broadcast-joined — the big "
     "relation is shuffled once per aggregate, never joined shuffled",
-    "dedup_minhash_lsh": "signature subtree computed once; bucket groupBy then "
-    "in-array pair enumeration; verify broadcast-joins the (tiny) candidate "
-    "set against the checkpointed shingle table (no corpus re-scan)",
+    "dedup_minhash_lsh": "signature table checkpointed once (two consumers: "
+    "bucket groupBy core pairs + sketch-sort neighbor window, tail-only "
+    "emission); verify broadcast-joins the (tiny) candidate set against the "
+    "checkpointed shingle table (no corpus re-scan)",
     "dedup_clusters_lsh": "final labels after LSH→closure: the plan shows "
     "only the label table + cluster_size window — the iterative rounds ran "
     "as bounded edge-set shuffles over localCheckpoint'd frames (no O(n²) "
