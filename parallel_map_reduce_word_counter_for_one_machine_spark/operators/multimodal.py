@@ -130,3 +130,44 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     opaque payloads. Scales by partition count; no shuffle, no collect."""
     b = blobs(spark, sf_dir).select("doc_id", "payload")
     return b.mapInPandas(_fake_decode_batch, schema=_FEATURE_SCHEMA)
+
+
+_RESIZE_TARGET = (64, 64)
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+    ]
+)
+
+
+def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """DETERMINISTIC FAKE RESIZE (no image libs in this container).
+
+    Emits a fixed-size pseudo-thumbnail derived from the payload bytes.
+    Replace the body with a real resampler (PIL.Image.resize /
+    torchvision.transforms) without touching the Spark plumbing: binary in
+    → binary out through Arrow, fixed output dimensions in the schema."""
+    import hashlib
+
+    w, h = _RESIZE_TARGET
+    n_out = 32  # fake thumbnail byte budget (a real one would be w*h*c)
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            d = hashlib.sha256(bytes(payload)).digest()
+            thumb = (d * (n_out // len(d) + 1))[:n_out]
+            out.append({"doc_id": int(doc_id), "width": w, "height": h, "thumb": thumb})
+        yield pd.DataFrame(out, columns=[f.name for f in _RESIZE_SCHEMA.fields])
+
+
+@query("multimodal_resize")  # rows-only: resize is a Python-side (fake) kernel
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail via Arrow-batched ``mapInPandas`` — the
+    binary-in/binary-out shape of media preprocessing (decode emits
+    features; this emits a transformed payload). No shuffle, no collect;
+    scales by partition count like every mapInPandas stage here."""
+    b = blobs(spark, sf_dir).select("doc_id", "payload")
+    return b.mapInPandas(_fake_resize_batch, schema=_RESIZE_SCHEMA)

@@ -65,3 +65,21 @@ def test_multimodal_decode_deterministic(spark, sf_correct):
     assert len(rows1) == 500
     feat = df.select(F.size("feat").alias("n")).distinct().collect()
     assert [r.n for r in feat] == [8]
+
+
+def test_multimodal_resize_shape_and_determinism(spark, sf_correct):
+    """Binary-in/binary-out resize plumbing: one row per blob, fixed target
+    dimensions, fixed thumbnail size, byte-deterministic across runs."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.multimodal import (
+        _RESIZE_TARGET,
+        blobs,
+        multimodal_resize,
+    )
+
+    out = multimodal_resize(spark, sf_correct)
+    rows = out.collect()
+    assert len(rows) == blobs(spark, sf_correct).count()
+    assert {(r["width"], r["height"]) for r in rows} == {_RESIZE_TARGET}
+    assert {len(r["thumb"]) for r in rows} == {32}
+    again = {r["doc_id"]: bytes(r["thumb"]) for r in multimodal_resize(spark, sf_correct).collect()}
+    assert all(bytes(r["thumb"]) == again[r["doc_id"]] for r in rows)
