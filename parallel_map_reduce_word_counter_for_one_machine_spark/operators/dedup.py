@@ -415,14 +415,28 @@ def simhash_column(hashes: Column, n_bits: int = 64) -> Column:
 
 
 @query("dedup_simhash")  # rows-only: bit-level fingerprint pipeline, not ANSI SQL
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
     """SimHash near-dup pairs: fingerprint → 4×16-bit chunk LSH (a pair
-    within hamming distance 3 must share ≥1 exact chunk — pigeonhole) →
-    exact hamming verify ≤ HAMMING_MAX via bit_count(xor). Candidate
-    generation is again a linear groupBy-shaped join on chunk keys."""
+    within hamming distance 3 must share ≥1 exact chunk — pigeonhole;
+    best-effort above that, verified up to HAMMING_MAX) → exact hamming
+    verify ≤ HAMMING_MAX via bit_count(xor). Candidate generation is again
+    a linear groupBy-shaped join on chunk keys, with the same over-cap
+    recovery as the MinHash path: bucket members beyond the cap chain to
+    their NEIGHBOR_W successors in fingerprint order (each chunk's shared
+    bits tie out, so the varying 48 bits decide — a DIFFERENT 48 bits per
+    chunk, giving four orderings; identical-fingerprint tie blocks are
+    re-shuffled per chunk by a chunk-seeded hash, so the all-same-fp
+    degenerate bucket — e.g. every empty doc fingerprinting to 0 — chains
+    into full transitive coverage at hamming 0). ``max_bucket`` is a
+    parameter so tests can force the over-cap path on a small corpus."""
     docs = _fan_out_small_input(load_table(spark, sf_dir, "documents"))
     tok_hashes = F.transform(_tokens(), lambda w: F.xxhash64(w))
     fps = docs.select("doc_id", simhash_column(tok_hashes).alias("fp"))
+    # Two consumers below (bucket groupBy + neighbor window) — materialize
+    # the fingerprint pass once, as in lsh_candidate_pairs.
+    fps = fps.localCheckpoint()
 
     # Python-level loop: shiftrightunsigned requires an int literal shift,
     # so the 4 chunk extractors are unrolled rather than transform()'d.
@@ -442,10 +456,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Same bucket-capped groupBy shape as lsh_candidate_pairs: a degenerate
     # chunk value (e.g. every empty doc fingerprinting to 0) would blow up
-    # O(bucket²) in a self-join; here it is bounded at MAX_BUCKET² locally.
+    # O(bucket²) in a self-join; here it is bounded at max_bucket² locally.
     buckets = chunked.groupBy("chunk_id", "chunk_val").agg(
         F.slice(
-            F.array_sort(F.collect_list(F.struct("doc_id", "fp"))), 1, MAX_BUCKET
+            F.array_sort(F.collect_list(F.struct("doc_id", "fp"))), 1, max_bucket
         ).alias("docs")
     )
     pair_structs = F.flatten(
@@ -462,12 +476,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pairs = (
+    core = (
         buckets.filter(F.size("docs") > 1)
         .select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.fp_a", "p.fp_b")
-        .distinct()
     )
+    # Over-cap recovery (see lsh_candidate_pairs): chain each bucket member
+    # to its NEIGHBOR_W successors in fp order (chunk-seeded tie-break),
+    # keep only pairs touching a member beyond the cap — kept×kept chains
+    # are redundant with the complete core enumeration above.
+    from pyspark.sql.window import Window
+
+    w_rank = Window.partitionBy("chunk_id", "chunk_val").orderBy("doc_id")
+    w_fp = Window.partitionBy("chunk_id", "chunk_val").orderBy(
+        "fp", F.xxhash64("doc_id", "chunk_id")
+    )
+    me = F.struct(
+        F.col("doc_id").alias("id"),
+        F.col("fp").alias("fp"),
+        (F.row_number().over(w_rank) > max_bucket).alias("tail"),
+    )
+    nbr = chunked.withColumn("m", me).select(
+        "m",
+        *[F.lead("m", k).over(w_fp).alias(f"n{k}") for k in range(1, NEIGHBOR_W + 1)],
+    )
+    neighbors = (
+        nbr.select(
+            "m",
+            F.explode(
+                F.array(*[F.col(f"n{k}") for k in range(1, NEIGHBOR_W + 1)])
+            ).alias("o"),
+        )
+        .filter(F.col("o").isNotNull() & (F.col("m.tail") | F.col("o.tail")))
+        .select(
+            F.when(F.col("m.id") < F.col("o.id"), F.col("m.id"))
+            .otherwise(F.col("o.id"))
+            .alias("doc_a"),
+            F.when(F.col("m.id") < F.col("o.id"), F.col("o.id"))
+            .otherwise(F.col("m.id"))
+            .alias("doc_b"),
+            F.when(F.col("m.id") < F.col("o.id"), F.col("m.fp"))
+            .otherwise(F.col("o.fp"))
+            .alias("fp_a"),
+            F.when(F.col("m.id") < F.col("o.id"), F.col("o.fp"))
+            .otherwise(F.col("m.fp"))
+            .alias("fp_b"),
+        )
+    )
+    pairs = core.union(neighbors).distinct()
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= HAMMING_MAX

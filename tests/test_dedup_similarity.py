@@ -179,3 +179,42 @@ def test_embedding_centroids_match_label_centroids(spark, sf_correct):
             assert abs(long_form[(r.cell_id, i + 1)] - round(v, 4)) <= 1e-4
             n += 1
     assert n == len(long_form) > 0
+
+
+def test_simhash_overcap_recovery_identical_fps(spark, sf_correct):
+    """Force every bucket over the cap (max_bucket=2) and require that each
+    doc whose fingerprint has an exact twin still appears in at least one
+    output pair: identical-fp groups chain through the tie-shuffled
+    neighbor window at hamming 0 regardless of the cap — the degenerate
+    bucket the cap exists for is exactly where truncation used to lose
+    members."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.dedup import (
+        _fan_out_small_input,
+        _tokens,
+        dedup_simhash,
+        simhash_column,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = _fan_out_small_input(load_table(spark, sf_correct, "documents"))
+    tok_hashes = F.transform(_tokens(), lambda w: F.xxhash64(w))
+    fps = docs.select("doc_id", simhash_column(tok_hashes).alias("fp"))
+    twinned = {
+        r["doc_id"]
+        for r in fps.withColumn("n", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("n") > 1)
+        .collect()
+    }
+    assert twinned, "corpus should contain identical-fingerprint docs"
+    out = dedup_simhash(spark, sf_correct, max_bucket=2)
+    covered = set()
+    for r in out.collect():
+        covered.add(r["doc_a"])
+        covered.add(r["doc_b"])
+    missing = twinned - covered
+    assert not missing, f"{len(missing)} twinned docs lost by the cap: {sorted(missing)[:10]}"
