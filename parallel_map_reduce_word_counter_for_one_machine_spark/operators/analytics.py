@@ -54,11 +54,15 @@ def funnel_stages(evs: DataFrame) -> DataFrame:
     )
     # F.get is 0-based and null-safe: at stage == len(steps) the lookup
     # yields NULL and the equality is never true, so the fold saturates
-    # without ANSI out-of-bounds errors.
+    # without ANSI out-of-bounds errors. `last` starts at Long.MIN, not -1:
+    # pre-epoch timestamps are negative micros and must still match step 1
+    # (callers filter NULL timestamps — see event_funnel — because a
+    # NULL-propagating comparison would silently never advance).
     state = F.aggregate(
         F.col("seq"),
         F.struct(
-            F.lit(0).alias("stage"), F.lit(-1).cast("long").alias("last")
+            F.lit(0).alias("stage"),
+            F.lit(-9223372036854775808).cast("long").alias("last"),
         ),
         lambda acc, e: F.when(
             (e["us"] > acc["last"]) & (e["et"] == F.get(steps, acc["stage"])),
@@ -71,14 +75,18 @@ def funnel_stages(evs: DataFrame) -> DataFrame:
 @query(
     "event_funnel",
     oracle=(
+        # ts IS NOT NULL on every step: an event without a timestamp cannot
+        # participate in an ORDERED funnel (mirrors the Spark-side filter).
         "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
-        "  WHERE event_type = 'view' GROUP BY user_id), "
+        "  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id), "
         "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
         "  JOIN s1 ON e.user_id = s1.user_id "
-        "  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id), "
+        "  WHERE e.event_type = 'click' AND e.ts IS NOT NULL "
+        "  AND e.ts > s1.t1 GROUP BY e.user_id), "
         "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
         "  JOIN s2 ON e.user_id = s2.user_id "
-        "  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id) "
+        "  WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL "
+        "  AND e.ts > s2.t2 GROUP BY e.user_id) "
         "SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS users "
         "UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2) "
         "UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)"
@@ -89,8 +97,10 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``funnel_stages`` over the events table, reduced to one row of step
     counts — identical to the oracle's chained min-timestamp joins (greedy
     earliest matching finds an ordered subsequence iff one exists)."""
-    evs = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros("ts").alias("us"), "event_type"
+    evs = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_type")
     )
     stages = funnel_stages(evs)
     counts = stages.agg(
@@ -163,7 +173,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT event_id, user_id, event_type, "
         "round((value - mu) / sd, 4) AS z "
         "FROM st WHERE n >= 10 AND sd > 0 "
-        "AND abs((value - mu) / sd) >= 2.5"
+        "AND abs(round((value - mu) / sd, 4)) >= 2.5"
     ),
 )
 def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,10 +185,13 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples are noise; at sf0.01 the synthetic events average ~13 rows per
     (user, type) group, so the floor still leaves a non-trivial result).
 
-    Float policy: mu/sd are aggregate doubles (summation order differs
-    cross-engine), so z is rounded on BOTH sides; the ≥ threshold is
-    applied to the UNROUNDED z in both engines so the cut and the printed
-    value can't disagree."""
+    Float policy (operators/relational.py): mu/sd are aggregate doubles
+    whose summation order differs cross-engine, so z is rounded to the
+    same 4dp quantum on BOTH sides and the threshold is applied to the
+    ROUNDED value — set membership is then a function of the emitted
+    value, and the engines can only disagree if a raw z straddles a 1e-4
+    rounding boundary (vs the far-likelier ulp-level disagreement right
+    at 2.5 that thresholding the raw double would give)."""
     w = Window.partitionBy("user_id", "event_type")
     st = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -191,7 +204,9 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = (F.col("value") - F.col("mu")) / F.col("sd")
     return (
-        st.filter((F.col("n") >= 10) & (F.col("sd") > 0) & (F.abs(z) >= 2.5))
+        st.filter(
+            (F.col("n") >= 10) & (F.col("sd") > 0) & (F.abs(F.round(z, 4)) >= 2.5)
+        )
         .select(
             "event_id",
             "user_id",

@@ -180,8 +180,6 @@ def lsh_candidate_pairs(
     per-band rotation gives n_bands quasi-independent orderings, so a true
     pair both of whose docs are over-cap in every shared bucket still
     surfaces (measured at sf0.1 — see ROUND2_NOTES.md)."""
-    from pyspark.sql.window import Window
-
     if n_hashes % n_bands != 0:
         raise ValueError(f"n_hashes={n_hashes} not divisible by n_bands={n_bands}")
     r = n_hashes // n_bands
@@ -240,42 +238,71 @@ def lsh_candidate_pairs(
     # (measured at sf0.1: a 32/32-identical-signature pair colliding in all
     # 16 bands was still missed under doc_id tie-break). A per-band shuffle
     # gives each band an independent 2W-window shot at every tie-block pair.
-    w = Window.partitionBy("band_id", "band_hash").orderBy(
-        "rot", F.xxhash64("doc_id", "band_id")
+    neighbors = _overcap_neighbor_pairs(
+        banded,
+        part_keys=["band_id", "band_hash"],
+        order_cols=[F.col("rot"), F.xxhash64("doc_id", "band_id")],
+        max_bucket=max_bucket,
     )
-    # Only pairs touching an OVER-CAP member survive: core already
-    # enumerates every kept×kept pair, so a kept→kept sketch-sort neighbor
-    # is redundant by construction — filtering it changes NOTHING in the
-    # candidate set while cutting the neighbor volume from
-    # O(N · bands · W) to O(tail · bands · W). At 15 B docs the unfiltered
-    # form would shuffle ~4× the banded-signature volume in pure
-    # redundancy; with the filter, normal (under-cap) buckets contribute
-    # zero neighbor rows. Both windows share one exchange (same partition
-    # keys; the doc_id rank sort and the rot sort are per-partition).
-    w_rank = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
+    return core.union(neighbors).distinct()
+
+
+def _overcap_neighbor_pairs(
+    df: DataFrame,
+    part_keys: list,
+    order_cols: list,
+    carry: tuple = (),
+    max_bucket: int = MAX_BUCKET,
+    n_neighbors: int = NEIGHBOR_W,
+) -> DataFrame:
+    """Shared over-cap recovery for capped-bucket LSH (MinHash bands AND
+    SimHash chunks): chain every bucket member to its ``n_neighbors``
+    successors in ``order_cols`` order (a locality-preserving sketch sort
+    plus a partition-seeded tie-break), keeping ONLY pairs where at least
+    one end sits beyond ``max_bucket`` in doc_id rank — kept×kept chains
+    are redundant by construction with the capped core enumeration, so the
+    filter provably does not change the candidate set while cutting the
+    neighbor volume from O(N · buckets/doc · W) to O(tail · W). Both
+    windows share one exchange (same partition keys; the rank sort and
+    the locality sort are per-partition, sort-based and spillable — a
+    degenerate million-doc bucket costs one sort, never bucket² pairs).
+
+    ``df`` needs columns ``doc_id``, ``part_keys``, and whatever
+    ``order_cols``/``carry`` reference. Output: (doc_a, doc_b) with
+    doc_a < doc_b, plus ``{c}_a``/``{c}_b`` for every carried column."""
+    from pyspark.sql.window import Window
+
+    w_rank = Window.partitionBy(*part_keys).orderBy("doc_id")
+    w_sort = Window.partitionBy(*part_keys).orderBy(*order_cols)
     me = F.struct(
         F.col("doc_id").alias("id"),
+        *[F.col(c).alias(c) for c in carry],
         (F.row_number().over(w_rank) > max_bucket).alias("tail"),
     )
-    flagged = banded.withColumn("m", me)
-    nbr = flagged.select(
+    nbr = df.withColumn("m", me).select(
         "m",
-        *[F.lead("m", k).over(w).alias(f"n{k}") for k in range(1, NEIGHBOR_W + 1)],
+        *[F.lead("m", k).over(w_sort).alias(f"n{k}") for k in range(1, n_neighbors + 1)],
     )
-    neighbors = (
+    a_is_m = F.col("m.id") < F.col("o.id")
+
+    def pick(field: str, first: bool):
+        lo, hi = ("m", "o") if first else ("o", "m")
+        return F.when(a_is_m, F.col(f"{lo}.{field}")).otherwise(F.col(f"{hi}.{field}"))
+
+    out = [pick("id", True).alias("doc_a"), pick("id", False).alias("doc_b")]
+    for c in carry:
+        out.append(pick(c, True).alias(f"{c}_a"))
+        out.append(pick(c, False).alias(f"{c}_b"))
+    return (
         nbr.select(
             "m",
             F.explode(
-                F.array(*[F.col(f"n{k}") for k in range(1, NEIGHBOR_W + 1)])
+                F.array(*[F.col(f"n{k}") for k in range(1, n_neighbors + 1)])
             ).alias("o"),
         )
         .filter(F.col("o").isNotNull() & (F.col("m.tail") | F.col("o.tail")))
-        .select(
-            F.least("m.id", "o.id").alias("doc_a"),
-            F.greatest("m.id", "o.id").alias("doc_b"),
-        )
+        .select(*out)
     )
-    return core.union(neighbors).distinct()
 
 
 @query("dedup_minhash_lsh")  # rows-only: multi-stage LSH is not ANSI-SQL-expressible
@@ -481,47 +508,16 @@ def dedup_simhash(
         .select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.fp_a", "p.fp_b")
     )
-    # Over-cap recovery (see lsh_candidate_pairs): chain each bucket member
-    # to its NEIGHBOR_W successors in fp order (chunk-seeded tie-break),
-    # keep only pairs touching a member beyond the cap — kept×kept chains
-    # are redundant with the complete core enumeration above.
-    from pyspark.sql.window import Window
-
-    w_rank = Window.partitionBy("chunk_id", "chunk_val").orderBy("doc_id")
-    w_fp = Window.partitionBy("chunk_id", "chunk_val").orderBy(
-        "fp", F.xxhash64("doc_id", "chunk_id")
-    )
-    me = F.struct(
-        F.col("doc_id").alias("id"),
-        F.col("fp").alias("fp"),
-        (F.row_number().over(w_rank) > max_bucket).alias("tail"),
-    )
-    nbr = chunked.withColumn("m", me).select(
-        "m",
-        *[F.lead("m", k).over(w_fp).alias(f"n{k}") for k in range(1, NEIGHBOR_W + 1)],
-    )
-    neighbors = (
-        nbr.select(
-            "m",
-            F.explode(
-                F.array(*[F.col(f"n{k}") for k in range(1, NEIGHBOR_W + 1)])
-            ).alias("o"),
-        )
-        .filter(F.col("o").isNotNull() & (F.col("m.tail") | F.col("o.tail")))
-        .select(
-            F.when(F.col("m.id") < F.col("o.id"), F.col("m.id"))
-            .otherwise(F.col("o.id"))
-            .alias("doc_a"),
-            F.when(F.col("m.id") < F.col("o.id"), F.col("o.id"))
-            .otherwise(F.col("m.id"))
-            .alias("doc_b"),
-            F.when(F.col("m.id") < F.col("o.id"), F.col("m.fp"))
-            .otherwise(F.col("o.fp"))
-            .alias("fp_a"),
-            F.when(F.col("m.id") < F.col("o.id"), F.col("o.fp"))
-            .otherwise(F.col("m.fp"))
-            .alias("fp_b"),
-        )
+    # Over-cap recovery (shared machinery — see _overcap_neighbor_pairs):
+    # chain in fp order with a chunk-seeded tie-break; each chunk's shared
+    # bits tie out so a different 48 bits decide per chunk, and pairs are
+    # kept only when one end is beyond the cap.
+    neighbors = _overcap_neighbor_pairs(
+        chunked,
+        part_keys=["chunk_id", "chunk_val"],
+        order_cols=[F.col("fp"), F.xxhash64("doc_id", "chunk_id")],
+        carry=("fp",),
+        max_bucket=max_bucket,
     )
     pairs = core.union(neighbors).distinct()
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
