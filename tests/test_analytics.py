@@ -152,8 +152,10 @@ def test_funnel_fold_matches_python_reference_on_random_sequences(spark):
     rows = []
     for uid in range(300):
         n = rng.randint(0, 12)
-        # coarse timestamps on purpose: plenty of exact ties
-        evs = [(rng.randint(0, 5) * 1_000_000, rng.choice(types)) for _ in range(n)]
+        # coarse timestamps on purpose: plenty of exact ties; range spans
+        # NEGATIVE micros so pre-epoch events must still match step 1
+        # (the fold's last-time sentinel is Long.MIN, not -1)
+        evs = [(rng.randint(-3, 5) * 1_000_000, rng.choice(types)) for _ in range(n)]
         rows.extend((uid, us, et) for us, et in evs)
 
     def py_stage(evs):
