@@ -159,7 +159,7 @@ def test_funnel_fold_matches_python_reference_on_random_sequences(spark):
         rows.extend((uid, us, et) for us, et in evs)
 
     def py_stage(evs):
-        stage, last = 0, -1
+        stage, last = 0, float("-inf")
         for us, et in sorted(evs):  # (us, et) lexicographic = the fold's order
             if stage < len(FUNNEL_STEPS) and us > last and et == FUNNEL_STEPS[stage]:
                 stage, last = stage + 1, us
