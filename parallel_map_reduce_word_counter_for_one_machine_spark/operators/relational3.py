@@ -230,3 +230,32 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("measure") == "l_extendedprice", "price")
         .otherwise("tax"),
     )
+
+
+@query(
+    "agg_corr",
+    oracle=(
+        "SELECT l_returnflag, "
+        "round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price, "
+        "round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price, "
+        "round(stddev_samp(l_quantity), 4) AS sd_qty, "
+        "round(var_samp(l_discount), 6) AS var_disc "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (correlation, sample covariance)
+    plus stddev/variance — the co-moment family a stats-capable warehouse
+    must answer, still one partial+final pass (each aggregate keeps a
+    constant-size co-moment state, so the shuffle carries one state tuple
+    per group per task). Aggregate doubles → rounded on both engines
+    (summation/co-moment update order differs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+    )

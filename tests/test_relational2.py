@@ -21,6 +21,7 @@ ORACLE_KEYS = [
     "percentiles",
     "agg_salted",
     "tfidf_ngrams",
+    "agg_corr",
 ]
 
 
