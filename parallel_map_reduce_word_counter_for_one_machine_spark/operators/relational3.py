@@ -259,3 +259,43 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
     )
+
+
+@query(
+    "map_funcs",
+    oracle=(
+        # The oracle reproduces the same VALUES without a MAP type: map
+        # outputs are reduced to arrays/scalars precisely so the driver's
+        # value hash never compares engine-specific map representations.
+        "WITH t AS (SELECT doc_id, list_sort(list_distinct(list_filter("
+        "string_split(text, ' '), w -> w <> ''))) AS ks FROM documents) "
+        "SELECT doc_id, len(ks) AS n_keys, "
+        "ks[1:3] AS first_keys, "
+        "CAST(list_sum(list_transform(ks, k -> len(k))) AS BIGINT) "
+        "  AS total_key_len, "
+        "len(list_filter(ks, k -> len(k) >= 5)) AS n_long_keys "
+        "FROM t"
+    ),
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type function battery: build a token→length map per document
+    (``map_from_arrays``), then exercise ``map_keys``, ``map_values``,
+    ``transform_values``/``map_filter`` — reduced to array/scalar outputs
+    (key count, first keys, total value sum, filtered-entry count) so the
+    cross-engine comparison never depends on map ordering or
+    representation. All per-row JVM expressions, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    ks = F.array_sort(
+        F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
+    )
+    m = F.map_from_arrays(ks, F.transform(ks, F.length))
+    long_only = F.map_filter(m, lambda k, v: v >= 5)
+    return d.select(
+        "doc_id",
+        F.size(m).alias("n_keys"),
+        F.slice(F.array_sort(F.map_keys(m)), 1, 3).alias("first_keys"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("total_key_len"),
+        F.size(long_only).alias("n_long_keys"),
+    )
