@@ -38,16 +38,50 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-def load_all() -> None:
-    """Import every operator module for its registration side effects.
+def _green_keys() -> set[str]:
+    """Keys with at least one green driver hash row across all recorded
+    CORRECTNESS_r*.json rounds (repo root)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for key, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                green.add(key)
+    return green
+
+
+def prioritize() -> None:
+    """Reorder ``QUERIES`` so keys WITHOUT a green driver row come first.
 
     ORDER MATTERS for the driver: it walks ``queries()`` in registration
-    order under a per-round budget (round 1 stamped only the first ~50
-    keys). Registration order is therefore priority order — the reference
-    word-count surface first, then the LLM-pipeline operators (dedup,
-    similarity, text, multimodal, curation, streaming — the round-1 gap),
-    then the relational long-tail that already carries round-1 stamps.
+    order under a per-round budget (~50 keys/round, STATUS.md), so keys past
+    the budget never receive a CORRECTNESS row. Rounds 1-2 left 23 keys
+    never stamped and 10 stamped-but-not-green (VERDICT.md r2 item 1). By
+    deriving the head set from the recorded CORRECTNESS files, never-checked
+    and failed keys (plus any newly registered key) automatically rotate to
+    the front each round, and previously-green keys fill the remaining
+    budget as drift re-checks.
     """
+    green = _green_keys()
+    ordered = {k: v for k, v in QUERIES.items() if k not in green}
+    ordered.update({k: v for k, v in QUERIES.items() if k in green})
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+def load_all() -> None:
+    """Import every operator module for its registration side effects, then
+    reorder the registry so un-verified keys land inside the driver's
+    per-round stamping budget (see ``prioritize``)."""
     # Imports deferred so `import registry` stays cheap and cycle-free.
     from .operators import (  # noqa: F401
         binarytok,
@@ -71,3 +105,5 @@ def load_all() -> None:
         temporal,
         sqlfront,
     )
+
+    prioritize()
