@@ -123,13 +123,58 @@ def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         yield pd.DataFrame(out, columns=[f.name for f in _FEATURE_SCHEMA.fields])
 
 
-@query("multimodal_decode")  # rows-only: decode is a Python-side (fake) codec
-def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract via Arrow-batched ``mapInPandas`` — the one
     place Python belongs in this engine: per-partition batch transforms of
-    opaque payloads. Scales by partition count; no shuffle, no collect."""
+    opaque payloads. Scales by partition count; no shuffle, no collect.
+    Raw output (``feat: array<double>``) — the shape a downstream model
+    consumer wants."""
     b = blobs(spark, sf_dir).select("doc_id", "payload")
     return b.mapInPandas(_fake_decode_batch, schema=_FEATURE_SCHEMA)
+
+
+# Hex-pair → byte value, used to reconstruct digest bytes in DuckDB (whose
+# md5() takes VARCHAR and hashes its UTF-8 bytes — identical to hashing the
+# payload since payload IS encode(text,'utf-8')).
+_HEX_BYTE = (
+    "(strpos('0123456789abcdef', hx[2*i+1])-1)*16"
+    " + (strpos('0123456789abcdef', hx[2*i+2])-1)"
+)
+
+
+@query(
+    "multimodal_decode",
+    oracle=(
+        "WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents), "
+        f"b AS (SELECT doc_id, [ {_HEX_BYTE} for i in generate_series(0,7) ] "
+        "AS by FROM h) "
+        "SELECT doc_id, CAST(16 + by[1] % 64 AS BIGINT) AS width, "
+        "CAST(16 + by[2] % 64 AS BIGINT) AS height, "
+        "CAST(1 + by[3] % 4 AS BIGINT) AS channels, "
+        "array_to_string(by, ',') AS feat_bytes FROM b"
+    ),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-canonical projection of ``decode_features``: the feature
+    vector rides as comma-joined byte integers (the fake decoder's
+    ``feat[i]`` is ``byte_i/255.0``, so ``round(v*255)`` recovers the byte
+    exactly) because the driver's rows-only canonicalizer cannot sort/hash
+    an array column (the r02 harness crash, VERDICT.md) — and the integer
+    form also makes the whole query DuckDB-expressible: the fake md5 codec
+    is reconstructed in SQL from md5(text) hex pairs, converting this key
+    from rows-only to fully oracled."""
+    raw = decode_features(spark, sf_dir)
+    feat_bytes = F.array_join(
+        F.transform("feat", lambda v: F.round(v * 255).cast("int").cast("string")),
+        ",",
+    )
+    return raw.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        feat_bytes.alias("feat_bytes"),
+    )
 
 
 _RESIZE_TARGET = (64, 64)
@@ -163,11 +208,34 @@ def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         yield pd.DataFrame(out, columns=[f.name for f in _RESIZE_SCHEMA.fields])
 
 
-@query("multimodal_resize")  # rows-only: resize is a Python-side (fake) kernel
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/thumbnail via Arrow-batched ``mapInPandas`` — the
     binary-in/binary-out shape of media preprocessing (decode emits
     features; this emits a transformed payload). No shuffle, no collect;
     scales by partition count like every mapInPandas stage here."""
     b = blobs(spark, sf_dir).select("doc_id", "payload")
     return b.mapInPandas(_fake_resize_batch, schema=_RESIZE_SCHEMA)
+
+
+@query(
+    "multimodal_resize",
+    oracle=(
+        "SELECT doc_id, CAST(64 AS BIGINT) AS width, "
+        "CAST(64 AS BIGINT) AS height, "
+        "upper(sha256(text)) AS thumb_hex FROM documents"
+    ),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-canonical projection of ``resize_thumbs``: the binary thumb
+    rides as its hex encoding so the rows-only canonicalizer can hash it —
+    and since the fake kernel's 32-byte thumb IS the sha256 digest
+    (digest repeated to the 32-byte budget == the digest itself), the hex
+    form equals upper(sha256(text)) in DuckDB, converting this key from
+    rows-only (r02) to fully oracled."""
+    raw = resize_thumbs(spark, sf_dir)
+    return raw.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.hex("thumb").alias("thumb_hex"),
+    )

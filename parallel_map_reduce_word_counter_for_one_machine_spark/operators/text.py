@@ -508,8 +508,8 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) "
         "AS total_tokens, "
         "sum(length(text)) AS total_chars, "
-        "round(avg(len(list_filter(string_split(text, ' '), w -> w <> ''))), 4) "
-        "AS avg_tokens_per_doc "
+        "CAST(round(avg(len(list_filter(string_split(text, ' '), w -> w <> ''))) "
+        "* 10000) AS BIGINT) AS avg_tokens_per_doc_e4 "
         "FROM documents GROUP BY source, lang"
     ),
 )
@@ -519,13 +519,17 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice, mixture weights). One partial+final aggregate pass; the token
     counting is a per-row array expression that never leaves the executor,
     so the shuffle carries one row per (source, lang) cell, not per doc.
-    avg is an aggregate double → rounded on both sides (float policy,
-    operators/relational.py)."""
+    avg is an aggregate double → emitted as fixed-point BIGINT (×10⁴) on
+    both sides: a rounded double round-trips differently through the
+    driver's hash canonicalizer than through DuckDB (the one red r02 row,
+    VERDICT.md), so the output carries no float at all."""
     d = load_table(spark, sf_dir, "documents")
     ntok = F.size(F.filter(_words(), lambda w: w != ""))
     return d.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(ntok).alias("total_tokens"),
         F.sum(F.length("text")).alias("total_chars"),
-        F.round(F.avg(ntok), 4).alias("avg_tokens_per_doc"),
+        F.round(F.avg(ntok) * 10000)
+        .cast("long")
+        .alias("avg_tokens_per_doc_e4"),
     )

@@ -58,13 +58,22 @@ def test_session_stream_equals_batch(spark, sf_correct):
 
 
 def test_multimodal_decode_deterministic(spark, sf_correct):
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.multimodal import (
+        decode_features,
+    )
+
+    raw = decode_features(spark, sf_correct)
+    feat = raw.select(F.size("feat").alias("n")).distinct().collect()
+    assert [r.n for r in feat] == [8]
+
     df = registry.QUERIES["multimodal_decode"](spark, sf_correct)
-    rows1 = sorted(map(tuple, df.select("doc_id", "width", "height").collect()))
-    rows2 = sorted(map(tuple, df.select("doc_id", "width", "height").collect()))
+    rows1 = sorted(map(tuple, df.collect()))
+    rows2 = sorted(map(tuple, df.collect()))
     assert rows1 == rows2
     assert len(rows1) == 500
-    feat = df.select(F.size("feat").alias("n")).distinct().collect()
-    assert [r.n for r in feat] == [8]
+    # canonical feat_bytes round-trips the raw doubles: 8 ints in 0..255
+    parts = rows1[0][-1].split(",")
+    assert len(parts) == 8 and all(0 <= int(p) <= 255 for p in parts)
 
 
 def test_multimodal_resize_shape_and_determinism(spark, sf_correct):
@@ -73,13 +82,19 @@ def test_multimodal_resize_shape_and_determinism(spark, sf_correct):
     from parallel_map_reduce_word_counter_for_one_machine_spark.operators.multimodal import (
         _RESIZE_TARGET,
         blobs,
-        multimodal_resize,
+        resize_thumbs,
     )
 
-    out = multimodal_resize(spark, sf_correct)
+    out = resize_thumbs(spark, sf_correct)
     rows = out.collect()
     assert len(rows) == blobs(spark, sf_correct).count()
     assert {(r["width"], r["height"]) for r in rows} == {_RESIZE_TARGET}
     assert {len(r["thumb"]) for r in rows} == {32}
-    again = {r["doc_id"]: bytes(r["thumb"]) for r in multimodal_resize(spark, sf_correct).collect()}
+    again = {r["doc_id"]: bytes(r["thumb"]) for r in resize_thumbs(spark, sf_correct).collect()}
     assert all(bytes(r["thumb"]) == again[r["doc_id"]] for r in rows)
+    # registered canonical form carries the same bytes as hex
+    hexed = {
+        r["doc_id"]: r["thumb_hex"]
+        for r in registry.QUERIES["multimodal_resize"](spark, sf_correct).collect()
+    }
+    assert all(bytes(r["thumb"]).hex().upper() == hexed[r["doc_id"]] for r in rows)
