@@ -593,36 +593,222 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (semantic dedup). Cosine is computed
-    JVM-side: zip_with product + aggregate sum in double, sequential order
-    matching the oracle. Rounded to 6dp before thresholding so the pair
-    SET is stable cross-engine. Brute-force pairs here; the bucketed scale
-    path is similarity.py's LSH/IVF machinery."""
+    """Embedding-cosine pairs at the registered threshold, executed as a
+    BLOCKED GEMM rather than a theta join (the r02 plan was
+    ``a.join(b, a.vec_id < b.vec_id)`` — flagged as the scale-killer).
+
+    Why not LSH here: at t=0.3 the threshold sits INSIDE the bulk of the
+    isotropic cosine distribution (measured sf0.01: pairs are continuous
+    down through 0.3 — 990 at ≥0.3, 1828 more in [0.25,0.3); the bit-match
+    probability of a hyperplane sketch is 0.597 at θ=72.5° vs 0.5 for a
+    random pair, so ANY sketch tuned for recall→1 admits ~all pairs), and
+    concentration of measure kills metric/pivot pruning the same way
+    (unit 64-d vectors all sit ~√2 apart vs an ε of 1.18). Exact
+    low-threshold similarity is inherently ~quadratic compute; what CAN
+    scale is the execution shape. This is the Faiss/SemDeDup brute tier:
+    group vectors into ``_GEMM_BLOCKS`` row-blocks, join the B×(B+1)/2
+    block pairs (a tiny broadcast join on block ids), and evaluate each
+    tile as one Arrow-batched numpy matmul — O(B²) independent tasks,
+    each a dense GEMM over two bounded matrices, no per-pair row shuffle.
+    At 100 TB, B scales with the corpus so a tile fits an executor; the
+    shuffle volume is corpus × B (block replication), not corpus².
+
+    True NEAR-dup semantics (t≥0.9) live in ``dedup_embedding_lsh``,
+    where a hyperplane sketch genuinely prunes.
+
+    Numeric parity: tiles emit raw float64 cosines (pairwise summation;
+    differs from sequential by ~1e-16 — far below the 6dp quantum, same
+    argument as similarity_topk_pandas); rounding + thresholding happen in
+    Spark exactly as before, so the output relation and oracle are
+    unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = emb.select("vec_id", v.alias("v"))
-    a, b = e.alias("a"), e.alias("b")
+    raw = _blocked_cosine_pairs(e, prefilter=COSINE_THRESHOLD - 1e-6)
+    return raw.select(
+        "vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= COSINE_THRESHOLD)
+
+
+_GEMM_BLOCKS = 8
+
+
+def _blocked_cosine_pairs(e: DataFrame, prefilter: float) -> DataFrame:
+    """(vec_id, v) → (vec_a < vec_b, cos_sim: raw double ≥ ``prefilter``)
+    via per-tile numpy GEMM. ``prefilter`` should sit ≥ one rounding
+    quantum BELOW the caller's threshold so the caller's post-round filter
+    is the semantic one. Zero-norm vectors never emit a pair (their cosine
+    is undefined — NULL in the expression formulation)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def gemm_tiles(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for xr, yr, same in zip(pdf["xr"], pdf["yr"], pdf["same"]):
+                xid = np.array([r["vec_id"] for r in xr], dtype=np.int64)
+                X = np.array([r["v"] for r in xr], dtype=np.float64)
+                xn = np.linalg.norm(X, axis=1)
+                if same:
+                    yid, Y, yn = xid, X, xn
+                else:
+                    yid = np.array([r["vec_id"] for r in yr], dtype=np.int64)
+                    Y = np.array([r["v"] for r in yr], dtype=np.float64)
+                    yn = np.linalg.norm(Y, axis=1)
+                ok = np.outer(xn > 0, yn > 0)
+                denom = np.outer(np.where(xn > 0, xn, 1.0), np.where(yn > 0, yn, 1.0))
+                S = (X @ Y.T) / denom
+                lo = np.minimum.outer(xid, yid)
+                hi = np.maximum.outer(xid, yid)
+                mask = ok & (S >= prefilter) & (lo < hi)
+                if same:
+                    # keep each unordered pair once (upper triangle by id)
+                    mask &= np.less.outer(xid, yid)
+                ia, ib = np.nonzero(mask)
+                out_a.extend(lo[ia, ib])
+                out_b.extend(hi[ia, ib])
+                out_c.extend(S[ia, ib])
+            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cos_sim": out_c})
+
+    blocks = e.groupBy((F.pmod(F.xxhash64("vec_id"), _GEMM_BLOCKS)).alias("blk")).agg(
+        F.collect_list(F.struct("vec_id", "v")).alias("rows")
+    )
+    # Two consumers (both tile sides) of a groupBy whose input is the full
+    # corpus — materialize once, as with every reused subtree in this module.
+    blocks = blocks.localCheckpoint()
+    x, y = blocks.alias("x"), blocks.alias("y")
+    tiles = (
+        x.join(y, F.col("x.blk") <= F.col("y.blk"))
+        .select(
+            F.col("x.rows").alias("xr"),
+            F.col("y.rows").alias("yr"),
+            (F.col("x.blk") == F.col("y.blk")).alias("same"),
+        )
+        # one tile per task: the GEMM is the unit of parallelism
+        .repartition(_GEMM_BLOCKS * (_GEMM_BLOCKS + 1) // 2)
+    )
+    return tiles.mapInPandas(gemm_tiles, schema=out_schema)
+
+
+# Operating point for SEMANTIC near-dup dedup (SemDeDup-style): far outside
+# the isotropic bulk, where a hyperplane sketch has real pruning power
+# (bit-match prob 0.857 at cos 0.9 vs 0.5 random). 192 bits = 24 bands × 8:
+# per-pair miss prob at cos 0.9 is (1-0.857⁸)²⁴ ≈ 2.7e-4, while a random
+# pair collides in a band with prob 0.5⁸ = 0.4%.
+SEMANTIC_COSINE = 0.9
+RHP_BITS = 192
+RHP_BANDS = 24
+
+
+def rhp_signatures(e: DataFrame, n_bits: int = RHP_BITS) -> DataFrame:
+    """(vec_id, v) → (doc_id, sig: array<long>[n_bits] of 0/1 hyperplane
+    sign bits) — random-hyperplane (SimHash for vectors) sketch, computed
+    as ONE Arrow-batched matmul per batch against a fixed ±1 projection
+    matrix (deterministic seed; a JVM expression formulation would need
+    n_bits × dim nested lambdas — this is the vectorized-UDF spot).
+    Output column is named doc_id so ``lsh_candidate_pairs`` (bands,
+    bucket caps, over-cap sketch-sort recovery) applies unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def project(batches):
+        planes = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            dim = V.shape[1]
+            if dim not in planes:
+                rng = np.random.RandomState(0xC0FFEE)
+                planes[dim] = np.where(rng.rand(n_bits, dim) < 0.5, -1.0, 1.0)
+            bits = (V @ planes[dim].T > 0).astype(np.int64)
+            yield pd.DataFrame(
+                {"doc_id": pdf["vec_id"].astype("int64"), "sig": list(bits)}
+            )
+
+    return e.mapInPandas(project, schema=out_schema)
+
+
+def embedding_lsh_pairs(
+    e: DataFrame,
+    threshold: float = SEMANTIC_COSINE,
+    n_bits: int = RHP_BITS,
+    n_bands: int = RHP_BANDS,
+) -> DataFrame:
+    """(vec_id, v) → near-dup pairs (vec_a, vec_b, cos_sim ≥ threshold):
+    hyperplane-sketch candidates through the shared banded-bucket machinery
+    (caps + over-cap recovery included), then exact JVM-side cosine verify
+    — precision 1.0 by construction, recall set by (n_bits, n_bands) and
+    asserted against brute force on a planted-duplicate corpus in tests."""
+    e = e.localCheckpoint()  # consumed by the sketch and both verify sides
+    sigs = rhp_signatures(e, n_bits=n_bits)
+    cands = F.broadcast(
+        lsh_candidate_pairs(sigs, n_bands=n_bands, n_hashes=n_bits)
+    )
 
     def dot(x: Column, y: Column) -> Column:
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, t: acc + t
         )
 
+    a, b = e.alias("a"), e.alias("b")
     norms = F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(
         dot(F.col("b.v"), F.col("b.v"))
     )
-    # NULL for zero-norm vectors (padding/failed-encode rows) — dropped by
-    # the threshold filter rather than raising ANSI DIVIDE_BY_ZERO.
     cos = F.when(norms > 0, dot(F.col("a.v"), F.col("b.v")) / norms)
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        cands.join(a, cands.doc_a == F.col("a.vec_id"))
+        .join(b, cands.doc_b == F.col("b.vec_id"))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
             F.round(cos, 6).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
+        .filter(F.col("cos_sim") >= threshold)
     )
+
+
+@query(
+    "dedup_embedding_lsh",
+    oracle=(
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)"
+        " AS cos_sim "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]"
+        f"), 6) >= {SEMANTIC_COSINE}"
+    ),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC near-dup pairs (cos ≥ 0.9) — the production embedding-dedup
+    tier: hyperplane-sketch LSH candidates + exact verify, never all-pairs.
+    The oracle is the exact relation at the same threshold: on isotropic
+    test data it is empty (max observed pair cosine ≈ 0.51 at sf0.01), so
+    the driver row certifies no false positives; recall is certified by the
+    planted-duplicate test (tests/test_dedup_similarity.py), where the
+    sketch must reproduce brute force exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return embedding_lsh_pairs(emb.select("vec_id", v.alias("v")))
 
 
 # Rolling-span width for dedup_spans, in tokens. 8 is small enough that the

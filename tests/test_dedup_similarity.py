@@ -218,3 +218,88 @@ def test_simhash_overcap_recovery_identical_fps(spark, sf_correct):
         covered.add(r["doc_b"])
     missing = twinned - covered
     assert not missing, f"{len(missing)} twinned docs lost by the cap: {sorted(missing)[:10]}"
+
+
+def test_embedding_lsh_finds_planted_duplicates(spark):
+    """Recall certification for dedup_embedding_lsh: on a corpus with
+    PLANTED near-duplicates (tiny perturbations of base vectors, cosine
+    well above SEMANTIC_COSINE) amid isotropic noise, the sketch+verify
+    pipeline must reproduce brute force exactly — no missed pair (recall),
+    no extra pair (precision, guaranteed by the verify stage)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for base in range(40):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((vid, v))
+        vid += 1
+        if base % 4 == 0:  # plant a near-dup of every 4th base vector
+            nv = [x + rng.gauss(0, 0.02) for x in v]
+            rows.append((vid, nv))
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in D.embedding_lsh_pairs(e, threshold=D.SEMANTIC_COSINE).collect()
+    }
+
+    # brute-force truth (python; 50 vectors)
+    data = {i: v for i, v in rows}
+    truth = set()
+    ids = sorted(data)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            x, y = data[a], data[b]
+            d = sum(p * q for p, q in zip(x, y))
+            n = math.sqrt(sum(p * p for p in x)) * math.sqrt(sum(q * q for q in y))
+            if n > 0 and round(d / n, 6) >= D.SEMANTIC_COSINE:
+                truth.add((a, b))
+
+    assert len(truth) >= 10  # the plant worked
+    assert got == truth
+
+
+def test_dedup_embedding_gemm_matches_expression_form(spark, sf_correct):
+    """The blocked-GEMM physical plan must emit the identical relation to
+    the direct expression formulation (the pre-r03 theta join) — same
+    pairs, same 6dp-rounded cosines."""
+    from pyspark.sql import Column
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, t: acc + t
+        )
+
+    norms = F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(
+        dot(F.col("b.v"), F.col("b.v"))
+    )
+    cos = F.when(norms > 0, dot(F.col("a.v"), F.col("b.v")) / norms)
+    expr_form = sorted(
+        map(
+            tuple,
+            a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(cos, 6).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= D.COSINE_THRESHOLD)
+            .collect(),
+        )
+    )
+    gemm_form = sorted(
+        map(tuple, registry.QUERIES["dedup_embedding"](spark, sf_correct).collect())
+    )
+    assert gemm_form == expr_form
