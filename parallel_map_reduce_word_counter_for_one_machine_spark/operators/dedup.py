@@ -441,8 +441,7 @@ def simhash_column(hashes: Column, n_bits: int = 64) -> Column:
     return out
 
 
-@query("dedup_simhash")  # rows-only: bit-level fingerprint pipeline, not ANSI SQL
-def dedup_simhash(
+def simhash_pairs(
     spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BUCKET
 ) -> DataFrame:
     """SimHash near-dup pairs: fingerprint → 4×16-bit chunk LSH (a pair
@@ -523,6 +522,65 @@ def dedup_simhash(
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= HAMMING_MAX
+    )
+
+
+# Hamming radius inside which 4×16-bit chunk LSH is COMPLETE by pigeonhole
+# (≤3 flipped bits cannot touch all 4 chunks).
+PIGEONHOLE_HAMMING = 3
+
+
+@query(
+    "dedup_simhash",
+    oracle="SELECT TRUE AS pigeonhole_complete, TRUE AS precision_ok",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked verdict for the SimHash pipeline (r02 upgrade from
+    rows-only, the approx_distinct pattern — the xxhash64-based
+    fingerprints are not DuckDB-expressible, but their GUARANTEES are
+    checkable in-query):
+
+    - ``pigeonhole_complete``: every pair within PIGEONHOLE_HAMMING of
+      fingerprint distance (where chunk LSH is provably complete) appears
+      in ``simhash_pairs``'s output. The truth side is an all-pairs
+      hamming join over the fp table — two longs per row, test-scale only
+      (the verdict query is the verifier, not the production listing).
+    - ``precision_ok``: every emitted pair's hamming recomputes correctly
+      from the fingerprints and respects HAMMING_MAX.
+
+    A dropped bucket, broken over-cap recovery, or corrupted fingerprint
+    flips a flag → driver hash mismatch. The listing itself is
+    ``simhash_pairs``."""
+    docs = _fan_out_small_input(load_table(spark, sf_dir, "documents"))
+    tok_hashes = F.transform(_tokens(), lambda w: F.xxhash64(w))
+    fps = docs.select("doc_id", simhash_column(tok_hashes).alias("fp")).localCheckpoint()
+    pairs = simhash_pairs(spark, sf_dir).localCheckpoint()
+
+    a, b = fps.alias("a"), fps.alias("b")
+    truth_h = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    truth = a.join(
+        b,
+        (F.col("a.doc_id") < F.col("b.doc_id")) & (truth_h <= PIGEONHOLE_HAMMING),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    n_missing = (
+        truth.join(pairs, ["doc_a", "doc_b"], "left_anti")
+        .agg(F.count("*").alias("n_missing"))
+    )
+
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fpa"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fpb"))
+    recomputed = F.bit_count(F.col("fpa").bitwiseXOR(F.col("fpb")))
+    n_bad = (
+        pairs.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .filter((recomputed != F.col("hamming")) | (F.col("hamming") > HAMMING_MAX))
+        .agg(F.count("*").alias("n_bad"))
+    )
+    return n_missing.crossJoin(n_bad).select(
+        (F.col("n_missing") == 0).alias("pigeonhole_complete"),
+        (F.col("n_bad") == 0).alias("precision_ok"),
     )
 
 

@@ -243,12 +243,13 @@ def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-@query("similarity_topk_ivf_kmeans")  # rows-only: iterative ANN index build
-def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_kmeans_topk_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with a TRAINED coarse quantizer (3 Lloyd iterations)
     instead of the label-derived cells — the full self-contained ANN path:
     train centroids → assign corpus to cells → probe nprobe nearest cells
-    per query → exact cosine + per-query top-k among probed candidates."""
+    per query → exact cosine + per-query top-k among probed candidates.
+    Unregistered listing form; the driver-checked face is the
+    ``similarity_topk_ivf_kmeans`` recall verdict."""
     vecs = _vectors(spark, sf_dir)
     cents = kmeans_centroids(vecs)
     assigned = _assign_cells(vecs, cents)
@@ -286,15 +287,13 @@ def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_topk_ivf")  # rows-only: multi-stage ANN index, not ANSI SQL
-def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN top-k: (1) build/broadcast centroids, (2) per query
     pick the nprobe nearest cells, (3) join candidates ONLY from those
     cells (cell assignment = vector's label ≙ nearest-centroid assignment),
     (4) exact cosine + per-query top-k among probed candidates.
-
-    Probing 3 of 10 cells scans ~30% of the corpus; recall vs the exact
-    baseline is asserted in tests/test_similarity.py."""
+    Unregistered listing form; the driver-checked face is the
+    ``similarity_topk_ivf`` recall verdict."""
     vecs = _vectors(spark, sf_dir)
     cents = label_centroids(vecs)
 
@@ -359,3 +358,56 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.avg("val"), 4).alias("mean"))
     )
+
+
+# ANN recall bound for the driver verdicts. Measured recall at nprobe 5/10
+# on the isotropic corpus is ~0.74 (≈ fraction probed + own-cell bias);
+# 0.5 sits ~6σ below the binomial mean over the 50 scored items, so the
+# verdict is stable across data regenerations while still failing loudly
+# if the probe machinery breaks (a broken probe scores ~0).
+ANN_RECALL_BOUND = 0.5
+
+# Exact-count + bound-check oracle shared by both IVF verdicts (the
+# approx_distinct pattern): DuckDB pins the exact top-k cardinality and
+# asserts TRUE for the recall bound; the Spark side emits the actually
+# evaluated bound, so a broken ANN path flips the hash match.
+_IVF_VERDICT_ORACLE = (
+    "SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok "
+    f"FROM ({_TOPK_ORACLE})"
+)
+
+
+def _recall_verdict(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """One-row (n_exact, recall_ok) verdict: what fraction of the exact
+    top-k listing the ANN listing recovered, checked against
+    ANN_RECALL_BOUND in-query (both counts are scalar aggregates — the
+    only 'collect-like' state is two longs)."""
+    hit = exact.join(approx, ["query_id", "cand_id"], "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    tot = exact.agg(F.count("*").alias("n_exact"))
+    return tot.crossJoin(hit).select(
+        "n_exact",
+        (F.col("n_hit") >= ANN_RECALL_BOUND * F.col("n_exact")).alias("recall_ok"),
+    )
+
+
+@query("similarity_topk_ivf", oracle=_IVF_VERDICT_ORACLE)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked recall verdict for the label-cell IVF path (r02
+    upgrade from rows-only, the approx_distinct pattern): runs the exact
+    top-k and the IVF listing in one job and emits (n_exact, recall_ok).
+    The listing itself is ``ivf_topk_listing``."""
+    exact = similarity_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = ivf_topk_listing(spark, sf_dir).select("query_id", "cand_id")
+    return _recall_verdict(exact, approx)
+
+
+@query("similarity_topk_ivf_kmeans", oracle=_IVF_VERDICT_ORACLE)
+def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked recall verdict for the trained-quantizer IVF path —
+    same contract as ``similarity_topk_ivf``; the listing itself is
+    ``ivf_kmeans_topk_listing``."""
+    exact = similarity_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = ivf_kmeans_topk_listing(spark, sf_dir).select("query_id", "cand_id")
+    return _recall_verdict(exact, approx)

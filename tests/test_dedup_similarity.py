@@ -13,13 +13,17 @@ from .oracle import assert_matches_oracle
 
 registry.load_all()
 
-ORACLE_KEYS = ["dedup_exact", "dedup_ngram_jaccard", "dedup_embedding", "similarity_topk"]
-ROWS_ONLY_KEYS = [
-    "dedup_minhash_lsh",
+ORACLE_KEYS = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+    "similarity_topk",
     "dedup_simhash",
     "similarity_topk_ivf",
     "similarity_topk_ivf_kmeans",
 ]
+ROWS_ONLY_KEYS = ["dedup_minhash_lsh"]
 
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)
@@ -110,7 +114,7 @@ def test_lsh_recall_at_production_params(spark, sf_correct):
 
 
 def test_simhash_pairs_symmetric_and_bounded(spark, sf_correct):
-    pairs = registry.QUERIES["dedup_simhash"](spark, sf_correct)
+    pairs = D.simhash_pairs(spark, sf_correct)
     assert pairs.filter(F.col("hamming") > D.HAMMING_MAX).count() == 0
     assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
 
@@ -121,7 +125,7 @@ def test_ivf_recall_vs_exact(spark, sf_correct):
     exact = registry.QUERIES["similarity_topk"](spark, sf_correct).select(
         "query_id", "cand_id"
     )
-    approx = registry.QUERIES["similarity_topk_ivf"](spark, sf_correct).select(
+    approx = S.ivf_topk_listing(spark, sf_correct).select(
         "query_id", "cand_id"
     )
     n_exact = exact.count()
@@ -139,7 +143,7 @@ def test_kmeans_ivf_recall_vs_exact(spark, sf_correct):
     exact = registry.QUERIES["similarity_topk"](spark, sf_correct).select(
         "query_id", "cand_id"
     )
-    approx = registry.QUERIES["similarity_topk_ivf_kmeans"](spark, sf_correct).select(
+    approx = S.ivf_kmeans_topk_listing(spark, sf_correct).select(
         "query_id", "cand_id"
     )
     n_exact = exact.count()
@@ -194,8 +198,8 @@ def test_simhash_overcap_recovery_identical_fps(spark, sf_correct):
     from parallel_map_reduce_word_counter_for_one_machine_spark.operators.dedup import (
         _fan_out_small_input,
         _tokens,
-        dedup_simhash,
         simhash_column,
+        simhash_pairs,
     )
     from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
         load_table,
@@ -211,7 +215,7 @@ def test_simhash_overcap_recovery_identical_fps(spark, sf_correct):
         .collect()
     }
     assert twinned, "corpus should contain identical-fingerprint docs"
-    out = dedup_simhash(spark, sf_correct, max_bucket=2)
+    out = simhash_pairs(spark, sf_correct, max_bucket=2)
     covered = set()
     for r in out.collect():
         covered.add(r["doc_a"])
