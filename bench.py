@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "dedup_clusters_lsh",
     "dedup_spans",
     "similarity_topk",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
     "stream_tumbling_agg",
     "curate_corpus",
     "pii_scrub",
@@ -49,11 +51,13 @@ BENCH_QUERIES = [
 ]
 
 
-# The two iterative LSH queries run many short stages and are the most
-# exposed to this box's documented scheduling noise (2×+ swings between
-# workers); a third repetition keeps one bad window from looking like a
-# round-over-round regression in the driver's single bench run.
-EXTRA_RUNS = {"dedup_minhash_lsh": 3, "dedup_clusters_lsh": 3}
+# UNIFORM repetition count (round-3 change, per ADVICE.md): r02 granted
+# best-of-3 to exactly the two noisy LSH queries, which skews their
+# reported steady-state vs every best-of-2 key. All entries now run the
+# same N, and the JSON carries per-run times + n so round-over-round
+# comparisons can normalize however they like.
+N_RUNS = 3
+ALL_RUNS: dict[str, list[float]] = {}
 
 
 def run_one(spark, name: str, sf_dir: str) -> tuple[float, float]:
@@ -62,7 +66,7 @@ def run_one(spark, name: str, sf_dir: str) -> tuple[float, float]:
     steady-state — the regime that matters at cluster scale where a query's
     stages run thousands of times. Both are reported in the JSON."""
     times = []
-    for _ in range(EXTRA_RUNS.get(name, 2)):
+    for _ in range(N_RUNS):
         # Query CONSTRUCTION is inside the timer: iterative operators
         # (dedup_clusters*, kmeans IVF) do real distributed work eagerly
         # while building (localCheckpoint rounds); timing only the final
@@ -71,6 +75,7 @@ def run_one(spark, name: str, sf_dir: str) -> tuple[float, float]:
         df = registry.QUERIES[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         times.append(time.monotonic() - t0)
+    ALL_RUNS[name] = [round(t, 3) for t in times]
     return times[0], min(times)
 
 
@@ -83,10 +88,11 @@ def run_stream_real(spark, sf_dir: str) -> tuple[float, float]:
     )
 
     times = []
-    for i in range(2):
+    for i in range(N_RUNS):
         t0 = time.monotonic()
         run_stream_tumbling(spark, sf_dir, f"bench_stream_{i}").collect()
         times.append(time.monotonic() - t0)
+    ALL_RUNS["stream_tumbling_real"] = [round(t, 3) for t in times]
     return times[0], min(times)
 
 
@@ -101,7 +107,7 @@ def run_bulk(spark, sf_dir: str) -> float:
     )
 
     df = word_count_bulk(spark, sf_dir, copies=512)
-    return _cold_and_best(df)
+    return _cold_and_best(df, "word_count_761mb_bulk")
 
 
 def run_bulk_agg(spark, sf_dir: str) -> float:
@@ -120,15 +126,16 @@ def run_bulk_agg(spark, sf_dir: str) -> float:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
-    return _cold_and_best(agg)
+    return _cold_and_best(agg, "agg_group_60m_rows_bulk")
 
 
-def _cold_and_best(df) -> tuple[float, float]:
+def _cold_and_best(df, name: str) -> tuple[float, float]:
     times = []
-    for _ in range(2):
+    for _ in range(N_RUNS):
         t0 = time.monotonic()
         df.write.mode("overwrite").format("noop").save()
         times.append(time.monotonic() - t0)
+    ALL_RUNS[name] = [round(t, 3) for t in times]
     return times[0], min(times)
 
 
@@ -161,6 +168,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "queries_cold_first_run": cold,
+                "queries_runs": ALL_RUNS,
+                "n_runs": N_RUNS,
                 "sf": float(sf),
             }
         )

@@ -271,7 +271,10 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "string_split(text, ' '), w -> w <> ''))) AS ks FROM documents) "
         "SELECT doc_id, len(ks) AS n_keys, "
         "ks[1:3] AS first_keys, "
-        "CAST(list_sum(list_transform(ks, k -> len(k))) AS BIGINT) "
+        # coalesce: list_sum is NULL on an empty list, while the Spark
+        # side's aggregate fold starts at 0 — the empty-doc divergence
+        # pattern already handled in hof_funcs below.
+        "CAST(coalesce(list_sum(list_transform(ks, k -> len(k))), 0) AS BIGINT) "
         "  AS total_key_len, "
         "len(list_filter(ks, k -> len(k) >= 5)) AS n_long_keys "
         "FROM t"

@@ -137,8 +137,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     micros, which Spark 4 would otherwise infer as TIMESTAMP_NTZ
     (``spark.sql.parquet.inferTimestampNTZ.enabled`` defaults true), while an
     explicit TimestampType reads the stored micros as epoch micros directly —
-    session-timezone-independent and exactly what DuckDB's ``epoch_ms`` sees,
-    so oracle hashes agree on any caller-provided session."""
+    session-timezone-independent and exactly what DuckDB's ``epoch_ms`` sees.
+    Oracle hashes agree for queries over the RAW micros; queries that apply
+    calendar functions to TIMESTAMP_LTZ columns (date_trunc/to_date in
+    cohort_retention, sessionize) additionally rely on the session timezone
+    being UTC — session.py pins ``spark.sql.session.timeZone=UTC``, and the
+    driver's container runs UTC."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
