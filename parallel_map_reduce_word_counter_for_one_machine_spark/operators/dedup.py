@@ -399,18 +399,20 @@ def lsh_verified_pairs(
         F.col("rep").alias("doc_a"), F.explode("members").alias("doc_b")
     ).filter(F.col("doc_a") != F.col("doc_b"))
 
-    reps = groups.select(F.col("rep").alias("doc_id"), "toks")
+    reps = groups.select(
+        F.col("rep").alias("doc_id"), "toks", F.size("toks").alias("n")
+    )
     sigs = _signatures_of_sets(reps.withColumnRenamed("toks", "elems"), n_hashes)
     cands = lsh_candidate_pairs(
         sigs, n_bands=n_bands, n_hashes=n_hashes, max_bucket=max_bucket
     )
     a, b = reps.alias("a"), reps.alias("b")
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
-    jac = F.when(
-        union > 0,
-        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
-        / union,
-    )
+    # |A∪B| = |A|+|B|−|A∩B| — EXACT here because toks is array_distinct'd
+    # above; drops the second O(|A|+|B|) hash pass (array_union) from the
+    # per-candidate verify, the hot loop at 1.27M candidates / sf0.1.
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.col("a.n") + F.col("b.n") - inter
+    jac = F.when(union > 0, inter.cast("double") / union)
     verified = (
         cands.join(a, cands.doc_a == F.col("a.doc_id"))
         .join(b, cands.doc_b == F.col("b.doc_id"))

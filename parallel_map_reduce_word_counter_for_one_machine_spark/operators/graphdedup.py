@@ -63,15 +63,24 @@ def _sym_edges(pairs: DataFrame) -> DataFrame:
     ).toDF("src", "dst")
 
 
-def label_propagation(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, max_rounds: int = MAX_ROUNDS, steps_per_check: int = 2
+) -> DataFrame:
     """Min-label propagation over a symmetric (src, dst) edge list →
     (node, label) with label = component min. Labels only ever decrease, so
     sum(label) is strictly monotone until the fixpoint — a single scalar
-    aggregate per round is the whole convergence check. If the fixpoint is
-    NOT reached within ``max_rounds`` (component diameter > max_rounds),
-    falls back to ``connected_components_star`` rather than returning
-    partially-propagated (wrong) labels.
-    """
+    aggregate is the whole convergence check. If the fixpoint is NOT
+    reached within ``max_rounds`` propagation steps (component diameter >
+    max_rounds), falls back to ``connected_components_star`` rather than
+    returning partially-propagated (wrong) labels.
+
+    ``steps_per_check`` propagation steps run between materialization +
+    convergence-check barriers (r03, VERDICT item 7): the r02 profile
+    showed the sf0.1 cost dominated by per-round localCheckpoint/collect
+    stage barriers on a noisy box, not by shuffle volume. Batching halves
+    the barrier count; the price is up to ``steps_per_check - 1`` extra
+    propagation shuffles over already-converged (small, label-stable)
+    state after the true fixpoint."""
     edges = edges.localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -79,22 +88,25 @@ def label_propagation(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFra
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_rounds):
-        msgs = edges.join(labels, edges["src"] == labels["node"]).select(
-            F.col("dst").alias("node"), "label"
-        )
-        labels = (
-            msgs.union(labels.select("node", "label"))
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
+    prev_sum = None
+    steps = 0
+    while steps < max_rounds:
+        for _ in range(min(steps_per_check, max_rounds - steps)):
+            msgs = edges.join(labels, edges["src"] == labels["node"]).select(
+                F.col("dst").alias("node"), "label"
+            )
+            labels = (
+                msgs.union(labels.select("node", "label"))
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+            steps += 1
+        labels = labels.localCheckpoint()
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             return labels
         prev_sum = cur_sum
-    # Round cap hit while labels were still moving: the graph has a
+    # Step cap hit while labels were still moving: the graph has a
     # component deeper than max_rounds. Switch to the O(log² n) algorithm.
     return connected_components_star(edges).select(
         "node", F.col("component").alias("label")
