@@ -39,6 +39,9 @@ HEADLINE = [
     "inverted_index",
     "event_funnel",
     "dedup_spans",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+    "similarity_topk_ivf",
 ]
 
 NOTES = {
@@ -54,6 +57,14 @@ NOTES = {
     "beyond its purchase_id partition",
     "tfidf": "tokens aggregated twice (tf, df) then broadcast-joined — the big "
     "relation is shuffled once per aggregate, never joined shuffled",
+    "dedup_embedding": "blocked GEMM: per-block collect_list, B(B+1)/2 tile "
+    "join on block ids, one ArrowEvalPython/MapInPandas GEMM per tile — no "
+    "per-pair shuffle rows anywhere",
+    "dedup_embedding_lsh": "hyperplane sketch (one MapInPandas matmul), banded "
+    "bucket groupBy + capped enumeration, broadcast verify join — the "
+    "candidate set never leaves broadcast size",
+    "similarity_topk_ivf": "exact top-k and probed ANN listing share the "
+    "corpus scan lineage; verdict is two scalar aggregates cross-joined",
     "dedup_minhash_lsh": "signature table checkpointed once (two consumers: "
     "bucket groupBy core pairs + sketch-sort neighbor window, tail-only "
     "emission); verify broadcast-joins the (tiny) candidate set against the "
