@@ -89,6 +89,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_exact_normalized",
+    oracle=(
+        "SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, "
+        "min(doc_id) AS keep_id, count(*) AS n_copies "
+        "FROM documents GROUP BY 1"
+    ),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a NORMALIZED content fingerprint (casefold +
+    whitespace collapse + trim) — the tier between byte-exact dedup and
+    MinHash: catches the re-encoded/re-wrapped/recapitalized copies that
+    dominate scraped corpora without any candidate generation. Same
+    16-byte-fingerprint shuffle shape as ``dedup_exact``; the
+    normalization is a per-row JVM regex, zero extra passes. Collapse
+    semantics (case + whitespace variants hash together, distinct content
+    does not) are unit-tested on a synthetic corpus in
+    tests/test_dedup_similarity.py."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.groupBy(F.md5(norm).alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = N_HASHES, k: int = SHINGLE_K
 ) -> DataFrame:

@@ -308,3 +308,39 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+@query(
+    "mixture_weights",
+    oracle=(
+        "WITH g AS (SELECT source, lang, "
+        "sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS toks "
+        "FROM documents GROUP BY source, lang), "
+        "t AS (SELECT sum(toks) AS total, count(*) AS n_groups FROM g) "
+        "SELECT source, lang, CAST(toks AS BIGINT) AS total_tokens, "
+        "CAST(round(t.total * 1e6 / (t.n_groups * toks)) AS BIGINT) AS weight_e6 "
+        "FROM g CROSS JOIN t"
+    ),
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) sampling weights that rebalance the corpus toward
+    a uniform token mixture: weight = target_share / actual_share =
+    total/(G·tokens_g). The mixture-rebalancing table every training run
+    computes before sampling (swap the uniform target for any published
+    mixture by replacing the 1/G numerator). Two aggregates — one
+    per-group token sum (combiner-friendly, G rows out) and one G-row
+    total — then a broadcast cross of a 2-scalar table. Weight emitted as
+    fixed-point ×10⁶ BIGINT (module float policy; the ratio of two exact
+    integer sums is engine-stable only after fixing the quantum)."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    g = d.groupBy("source", "lang").agg(F.sum(ntok).alias("toks"))
+    t = g.agg(F.sum("toks").alias("total"), F.count("*").alias("n_groups"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "source",
+        "lang",
+        F.col("toks").cast("long").alias("total_tokens"),
+        F.round(F.col("total") * 1e6 / (F.col("n_groups") * F.col("toks")))
+        .cast("long")
+        .alias("weight_e6"),
+    )

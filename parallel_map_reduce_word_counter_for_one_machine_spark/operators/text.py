@@ -533,3 +533,63 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("avg_tokens_per_doc_e4"),
     )
+
+
+# Vocabulary size for the unigram LM quality scorer. Deterministic top-V by
+# (count DESC, word) so both engines select the identical vocabulary.
+LM_VOCAB_SIZE = 1000
+
+
+@query(
+    "lm_unigram_logprob",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+        "w -> w <> '')) AS word FROM documents), "
+        "tot AS (SELECT count(*) AS n FROM tok), "
+        "vocab AS (SELECT word, count(*) AS c FROM tok GROUP BY word "
+        f"ORDER BY c DESC, word LIMIT {LM_VOCAB_SIZE}), "
+        "scored AS (SELECT t.doc_id, "
+        "ln(coalesce(v.c, 1) * 1.0 / tot.n) AS lp "
+        "FROM tok t LEFT JOIN vocab v ON t.word = v.word CROSS JOIN tot) "
+        "SELECT doc_id, count(*) AS n_tokens, "
+        "round(avg(lp), 4) AS avg_logprob FROM scored GROUP BY doc_id"
+    ),
+)
+def lm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability — the language-model
+    quality signal (CCNet-style): documents whose tokens are improbable
+    under a corpus LM (garbled text, wrong language, boilerplate noise)
+    score low and get filtered or down-mixed. A full pipeline uses a
+    5-gram KenLM; the unigram version has the identical Spark shape with
+    an exactly-oracleable model.
+
+    Two passes, both scale-shaped: (1) train = token count groupBy with a
+    deterministic top-V cut (TakeOrderedAndProject — V rows ever leave the
+    agg) + one scalar total; (2) score = explode tokens, BROADCAST the
+    V-row model (left join, OOV floor count 1), re-aggregate per doc.
+    The corpus shuffles once per pass, keyed by word then doc_id; the
+    model itself never exceeds V rows."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.filter(_words(), lambda w: w != "")).alias("word")
+    )
+    # Two consumers (vocab build + scoring scan): materialize the token
+    # stream once, as everywhere else in this module.
+    tok = tok.localCheckpoint()
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(LM_VOCAB_SIZE)
+    )
+    total = tok.agg(F.count("*").alias("n"))
+    lp = F.log(F.coalesce(F.col("c"), F.lit(1)) * 1.0 / F.col("n"))
+    return (
+        tok.join(F.broadcast(vocab), "word", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(lp), 4).alias("avg_logprob"),
+        )
+    )

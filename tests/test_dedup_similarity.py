@@ -307,3 +307,40 @@ def test_dedup_embedding_gemm_matches_expression_form(spark, sf_correct):
         map(tuple, registry.QUERIES["dedup_embedding"](spark, sf_correct).collect())
     )
     assert gemm_form == expr_form
+
+
+def test_dedup_exact_normalized_collapses_variants(spark):
+    """Case and whitespace variants of the same content must share a
+    fingerprint; genuinely different content must not."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators import (
+        dedup as DD,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "Hello  World"),
+        (2, "hello world"),
+        (3, " HELLO WORLD "),
+        (4, "goodbye world"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    out = (
+        d.groupBy(F.md5(norm).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .collect()
+    )
+    by_keep = {r.keep_id: r.n_copies for r in out}
+    assert by_keep == {1: 3, 4: 1}
+
+
+def test_mixture_weights_rebalance_property(spark, sf_correct):
+    """Sum over groups of weight × token-share must come back to ~1 per
+    group mean (uniform target): weight_g · toks_g = total/G exactly up to
+    the fixed-point quantum."""
+    rows = registry.QUERIES["mixture_weights"](spark, sf_correct).collect()
+    total = sum(r.total_tokens for r in rows)
+    g = len(rows)
+    for r in rows:
+        expect = total * 1e6 / (g * r.total_tokens)
+        assert abs(r.weight_e6 - expect) <= 1

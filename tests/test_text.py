@@ -16,6 +16,7 @@ TEXT_KEYS = [
     "doc_fingerprint",
     "ngram_bigrams",
     "tfidf",
+    "lm_unigram_logprob",
 ]
 
 
