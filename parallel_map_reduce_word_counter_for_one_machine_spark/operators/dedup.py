@@ -966,3 +966,45 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("is_rep") / F.count("*"), 6).alias("repeated_frac"),
         )
     )
+
+
+# Incoming-batch membership for dedup_incremental: doc_id % 10 == 0 plays
+# the "newly scraped batch" role against the rest of the corpus.
+INCREMENTAL_MOD = 10
+
+
+@query(
+    "dedup_incremental",
+    oracle=(
+        "WITH corpus AS (SELECT md5(text) AS fp FROM documents "
+        f"WHERE doc_id % {INCREMENTAL_MOD} <> 0), "
+        "incoming AS (SELECT doc_id, md5(text) AS fp FROM documents "
+        f"WHERE doc_id % {INCREMENTAL_MOD} = 0) "
+        "SELECT i.doc_id, "
+        "(EXISTS (SELECT 1 FROM corpus c WHERE c.fp = i.fp)) AS dup_of_corpus "
+        "FROM incoming i"
+    ),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup gate: flag each INCOMING document whose exact
+    fingerprint already exists in the standing corpus — the check every
+    continuous-crawl pipeline runs per batch before anything expensive
+    touches the new data. Shape: the corpus side reduces to DISTINCT
+    16-byte fingerprints (combiner-friendly), the incoming side LEFT
+    SEMI-joins against it; at 100 TB the corpus fingerprint table is the
+    persisted dedup index, bucketed by fp so the per-batch join is
+    shuffle-free on the big side. Membership split here is doc_id % 10
+    (the driver tables have no ingest-time column)."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = (
+        d.filter(F.col("doc_id") % INCREMENTAL_MOD != 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    incoming = d.filter(F.col("doc_id") % INCREMENTAL_MOD == 0).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    hits = corpus.withColumn("dup", F.lit(True))
+    return incoming.join(hits, "fp", "left").select(
+        "doc_id", F.coalesce("dup", F.lit(False)).alias("dup_of_corpus")
+    )

@@ -302,3 +302,57 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_key_len"),
         F.size(long_only).alias("n_long_keys"),
     )
+
+
+@query(
+    "merge_upsert",
+    oracle=(
+        # Prices ride as integer CENTS end-to-end: round(x*1.05, 2) sits on
+        # the .xx5 half-rounding boundary for ~0.1% of rows (HALF_UP vs
+        # half-even — 11 mismatches at sf0.01), while cents + cents//20 is
+        # exact integer math on both engines.
+        "WITH target AS (SELECT o_orderkey, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders "
+        "WHERE o_orderkey % 3 <> 0), "
+        "source AS (SELECT o_orderkey, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS c0 FROM orders "
+        "WHERE o_orderkey % 2 = 0), "
+        "s2 AS (SELECT o_orderkey, c0 + c0 // 20 AS new_cents FROM source) "
+        "SELECT coalesce(t.o_orderkey, s2.o_orderkey) AS o_orderkey, "
+        "coalesce(s2.new_cents, t.cents) AS price_cents, "
+        "CASE WHEN t.o_orderkey IS NULL THEN 'insert' "
+        "WHEN s2.o_orderkey IS NULL THEN 'keep' ELSE 'update' END AS action "
+        "FROM target t FULL OUTER JOIN s2 ON t.o_orderkey = s2.o_orderkey"
+    ),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (upsert) expressed as one full-outer join —
+    matched rows take the source value ('update'), source-only keys become
+    'insert', target-only rows pass through ('keep'). This is exactly the
+    join Delta/Iceberg MERGE plans under the hood; with the target bucketed
+    by key the join is shuffle-free on the standing side, and the action
+    column is what an audit/CDC sink consumes. Split here: target = keys
+    % 3 ≠ 0, source = keys % 2 = 0 with a +5% reprice (both slices
+    deterministic over the shared orders table). Prices are carried as
+    integer cents — the reprice in doubles lands on half-rounding
+    boundaries (see oracle comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    target = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", cents.alias("cents")
+    )
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (cents + F.floor(cents / 20).cast("long")).alias("new_cents"),
+    )
+    t, s = target.alias("t"), source.alias("s")
+    action = (
+        F.when(F.col("t.o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("s.o_orderkey").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+    )
+    return t.join(s, F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full_outer").select(
+        F.coalesce("t.o_orderkey", "s.o_orderkey").alias("o_orderkey"),
+        F.coalesce("s.new_cents", "t.cents").alias("price_cents"),
+        action.alias("action"),
+    )
