@@ -351,15 +351,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # written once between signature and verify stages.
     sh = (
         _fan_out_small_input(docs)
-        .select("doc_id", _shingles().alias("sh"))
+        .select("doc_id", _shingles().alias("sh"), F.size(_shingles()).alias("n"))
         .localCheckpoint()
     )
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    # NULL (dropped by the >= filter) when both shingle sets are empty —
+    # |A∪B| = |A|+|B|−|A∩B| — exact (shingle sets are array_distinct'd in
+    # _shingles), dropping the array_union pass from the per-candidate
+    # verify. NULL (dropped by the >= filter) when both sets are empty —
     # ANSI mode (Spark 4 default) would otherwise raise DIVIDE_BY_ZERO.
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.col("a.n") + F.col("b.n") - inter
     jac = F.when(union > 0, inter.cast("double") / union)
     return (
         cands.join(a, cands.doc_a == F.col("a.doc_id"))
