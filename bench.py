@@ -55,9 +55,27 @@ BENCH_QUERIES = [
 # best-of-3 to exactly the two noisy LSH queries, which skews their
 # reported steady-state vs every best-of-2 key. All entries now run the
 # same N, and the JSON carries per-run times + n so round-over-round
-# comparisons can normalize however they like.
+# comparisons can normalize however they like. Exception (VERDICT r03 item
+# 10): the two LSH keys whose uniform n=3 left a 2× run spread unresolved
+# get n=5, visible in queries_runs.
 N_RUNS = 3
+EXTRA_RUNS = {"dedup_minhash_lsh": 5, "dedup_embedding_lsh": 5}
 ALL_RUNS: dict[str, list[float]] = {}
+
+
+def _bench_fn(name: str):
+    """The DataFrame-producing callable benched under ``name``. One
+    override: ``dedup_minhash_lsh``'s REGISTERED key is now a one-row
+    verdict that embeds the O(n²) exact-truth verifier (driver-correctness
+    shape, test-scale only) — the bench keeps timing the PRODUCTION pair
+    listing, the same relation every prior round's number measured."""
+    if name == "dedup_minhash_lsh":
+        from parallel_map_reduce_word_counter_for_one_machine_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        return minhash_lsh_pairs
+    return registry.QUERIES[name]
 
 
 def run_one(spark, name: str, sf_dir: str) -> tuple[float, float]:
@@ -66,13 +84,14 @@ def run_one(spark, name: str, sf_dir: str) -> tuple[float, float]:
     steady-state — the regime that matters at cluster scale where a query's
     stages run thousands of times. Both are reported in the JSON."""
     times = []
-    for _ in range(N_RUNS):
+    fn = _bench_fn(name)
+    for _ in range(EXTRA_RUNS.get(name, N_RUNS)):
         # Query CONSTRUCTION is inside the timer: iterative operators
         # (dedup_clusters*, kmeans IVF) do real distributed work eagerly
         # while building (localCheckpoint rounds); timing only the final
         # noop write would undercount them to near zero.
         t0 = time.monotonic()
-        df = registry.QUERIES[name](spark, sf_dir)
+        df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         times.append(time.monotonic() - t0)
     ALL_RUNS[name] = [round(t, 3) for t in times]

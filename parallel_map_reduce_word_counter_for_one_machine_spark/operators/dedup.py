@@ -330,21 +330,20 @@ def _overcap_neighbor_pairs(
     )
 
 
-@query("dedup_minhash_lsh")  # rows-only: multi-stage LSH is not ANSI-SQL-expressible
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs: MinHash-LSH candidates verified by exact shingle
-    Jaccard ≥ 0.5. Verification joins the (small) candidate pair list back
-    to the shingle arrays — broadcast-able because LSH already pruned the
-    quadratic space. Correctness vs brute force is asserted in
-    tests/test_dedup.py (recall on high-similarity pairs)."""
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair LISTING: MinHash-LSH candidates verified by exact
+    shingle Jaccard ≥ 0.5. Raw (unregistered) form — the driver-checked
+    key is the ``dedup_minhash_lsh`` verdict below, which re-proves this
+    listing against the exact all-pairs truth every round. Correctness vs
+    brute force is also asserted in tests/test_dedup.py (recall on
+    high-similarity pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
-    # Explicit broadcast: the candidate list is tiny BY DESIGN (LSH pruned
-    # the quadratic space), but its size ESTIMATE is opaque to Catalyst
-    # (post-explode/groupBy lineage), so without the hint the verify joins
-    # sometimes plan as sort-merge — shuffling the full shingle table twice
-    # (measured 3× slower at sf0.1).
-    cands = F.broadcast(lsh_candidate_pairs(sigs))
+    # NO broadcast hint on the candidate list: it grows O(N · bands) with
+    # the corpus, so a hard-coded F.broadcast is a driver-OOM at 100×
+    # (VERDICT r03). AQE promotes the join to broadcast at runtime when the
+    # list actually fits (same pattern as lsh_verified_pairs below).
+    cands = lsh_candidate_pairs(sigs)
     # Materialized shingle table: both verify sides consume it; without
     # the checkpoint each side re-scans the corpus and recomputes the
     # shingling (2 extra scans). Production equivalent: the shingle table
@@ -371,11 +370,108 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_fuzzy")  # rows-only; SURVEY.md §2c checklist name for the LSH path
+# Exact shingle-Jaccard truth for the MinHash verdict, as oracle SQL: the
+# same k=3 word shingles (_shingles) built via generate_series, then the
+# O(n²) pair Jaccard — test-scale only, like every truth relation here.
+_SHINGLE_TRUTH_SQL = (
+    "WITH toks AS (SELECT doc_id, "
+    "  list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents), "
+    "sh AS (SELECT doc_id, "
+    f"  array_to_string(t[i:i+{SHINGLE_K - 1}], ' ') AS s "
+    f"  FROM toks, LATERAL unnest(generate_series(1, len(t) - {SHINGLE_K - 1}))"
+    f" AS g(i) WHERE len(t) >= {SHINGLE_K}), "
+    "sets AS (SELECT doc_id, list(DISTINCT s) AS sh FROM sh GROUP BY doc_id), "
+    "truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
+    "  / NULLIF(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 0)"
+    "  AS jaccard "
+    "  FROM sets a JOIN sets b ON a.doc_id < b.doc_id) "
+    f"SELECT * FROM truth WHERE jaccard >= {JACCARD_THRESHOLD}"
+)
+
+# Recall floor for the verdict's high-similarity band: at J ≥ 0.8 the band
+# math gives per-pair P[miss] = (1-J²)^8 ≤ 2.8e-4 (16 hashes, 8 bands of 2),
+# so the LSH must find every such truth pair on the fixed driver corpus.
+VERDICT_RECALL_J = 0.8
+
+
+def _minhash_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row verdict re-proving the ``minhash_lsh_pairs`` listing against
+    the exact all-pairs shingle-Jaccard truth (the simhash/IVF verdict
+    pattern — VERDICT r03 item 4): the truth side is computed in-query
+    (O(n²), test-scale — the verdict is the verifier, not the production
+    listing) and cross-checked value-wise by the DuckDB oracle.
+
+    - ``n_truth``: exact count of J ≥ 0.5 pairs — the oracle recomputes it
+      independently, certifying the engine's shingle/Jaccard machinery.
+    - ``precision_ok``: every LSH-emitted pair is in the truth relation
+      (exact verify means precision 1.0 by construction; a broken verify
+      or corrupted shingle table flips this).
+    - ``recall_ok``: every truth pair at J ≥ VERDICT_RECALL_J (where band
+      math makes misses ~impossible) appears in the listing — a dropped
+      bucket or broken over-cap recovery flips this."""
+    docs = _fan_out_small_input(load_table(spark, sf_dir, "documents"))
+    sets = docs.select("doc_id", _shingles().alias("sh")).withColumn(
+        "n", F.size("sh")
+    )
+    sets = sets.localCheckpoint()  # consumed by both truth sides
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.col("a.n") + F.col("b.n") - inter
+    jac = F.when(union > 0, inter.cast("double") / union)
+    truth = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .localCheckpoint()
+    )
+    pairs = minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_false = (
+        pairs.join(truth, ["doc_a", "doc_b"], "left_anti")
+        .agg(F.count("*").alias("n_false"))
+    )
+    n_missed_high = (
+        truth.filter(F.col("jaccard") >= VERDICT_RECALL_J)
+        .join(pairs, ["doc_a", "doc_b"], "left_anti")
+        .agg(F.count("*").alias("n_missed"))
+    )
+    return (
+        n_truth.crossJoin(n_false)
+        .crossJoin(n_missed_high)
+        .select(
+            "n_truth",
+            (F.col("n_false") == 0).alias("precision_ok"),
+            (F.col("n_missed") == 0).alias("recall_ok"),
+        )
+    )
+
+
+_MINHASH_VERDICT_ORACLE = (
+    f"WITH truth AS ({_SHINGLE_TRUTH_SQL}) "
+    "SELECT count(*) AS n_truth, TRUE AS precision_ok, TRUE AS recall_ok "
+    "FROM truth"
+)
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_VERDICT_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked verdict for the MinHash-LSH near-dup pipeline; the
+    pair listing itself is ``minhash_lsh_pairs`` (see ``_minhash_verdict``
+    for the three checks)."""
+    return _minhash_verdict(spark, sf_dir)
+
+
+@query("dedup_fuzzy", oracle=_MINHASH_VERDICT_ORACLE)
 def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Alias of ``dedup_minhash_lsh`` under the SURVEY.md §2c inventory key:
-    fuzzy (near-duplicate) document dedup via shingle MinHash-LSH."""
-    return dedup_minhash_lsh(spark, sf_dir)
+    """SURVEY.md §2c checklist name for fuzzy (near-duplicate) dedup via
+    shingle MinHash-LSH — same verdict as ``dedup_minhash_lsh``; the raw
+    listing is ``minhash_lsh_pairs``."""
+    return _minhash_verdict(spark, sf_dir)
 
 
 def lsh_verified_pairs(
@@ -848,9 +944,10 @@ def embedding_lsh_pairs(
     asserted against brute force on a planted-duplicate corpus in tests."""
     e = e.localCheckpoint()  # consumed by the sketch and both verify sides
     sigs = rhp_signatures(e, n_bits=n_bits)
-    cands = F.broadcast(
-        lsh_candidate_pairs(sigs, n_bands=n_bands, n_hashes=n_bits)
-    )
+    # NO broadcast hint: the candidate list is O(N · bands) in the corpus —
+    # a hard-coded F.broadcast OOMs the driver at 100× (VERDICT r03). AQE
+    # promotes to broadcast at runtime when the list actually fits.
+    cands = lsh_candidate_pairs(sigs, n_bands=n_bands, n_hashes=n_bits)
 
     def dot(x: Column, y: Column) -> Column:
         return F.aggregate(

@@ -270,7 +270,11 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH t AS (SELECT doc_id, list_sort(list_distinct(list_filter("
         "string_split(text, ' '), w -> w <> ''))) AS ks FROM documents) "
         "SELECT doc_id, len(ks) AS n_keys, "
-        "ks[1:3] AS first_keys, "
+        # Stringified: the driver's pandas canonicalizer lexsorts every
+        # output column and cannot hash a list — registered keys emit
+        # scalars/strings only (ROUND3_NOTES rule; this was the last
+        # array-typed registered output, VERDICT r03 item 1).
+        "array_to_string(ks[1:3], ',') AS first_keys, "
         # coalesce: list_sum is NULL on an empty list, while the Spark
         # side's aggregate fold starts at 0 — the empty-doc divergence
         # pattern already handled in hof_funcs below.
@@ -296,7 +300,9 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(m).alias("n_keys"),
-        F.slice(F.array_sort(F.map_keys(m)), 1, 3).alias("first_keys"),
+        F.concat_ws(",", F.slice(F.array_sort(F.map_keys(m)), 1, 3)).alias(
+            "first_keys"
+        ),
         F.aggregate(
             F.map_values(m), F.lit(0).cast("long"), lambda acc, v: acc + v
         ).alias("total_key_len"),

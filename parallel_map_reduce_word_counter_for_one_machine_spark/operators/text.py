@@ -505,9 +505,13 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_stats",
     oracle=(
         "SELECT source, lang, count(*) AS n_docs, "
-        "sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) "
-        "AS total_tokens, "
-        "sum(length(text)) AS total_chars, "
+        # CAST AS BIGINT: DuckDB sums BIGINT into HUGEINT, which lands as
+        # float64 in the driver's canonicalizer and hashes `2301.0` vs
+        # Spark's `2301` (the one red r03 hash row). Same cast every other
+        # sum-oracle in this file carries.
+        "CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) "
+        "AS BIGINT) AS total_tokens, "
+        "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
         "CAST(round(avg(len(list_filter(string_split(text, ' '), w -> w <> ''))) "
         "* 10000) AS BIGINT) AS avg_tokens_per_doc_e4 "
         "FROM documents GROUP BY source, lang"

@@ -22,8 +22,8 @@ ORACLE_KEYS = [
     "dedup_simhash",
     "similarity_topk_ivf",
     "similarity_topk_ivf_kmeans",
+    "dedup_minhash_lsh",  # verdict form since r04 — zero rows-only keys left
 ]
-ROWS_ONLY_KEYS = ["dedup_minhash_lsh"]
 
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)
@@ -33,16 +33,18 @@ def test_oracle_match(spark, sf_correct, name):
     )
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
-def test_rows_only_runs(spark, sf_correct, name):
-    df = registry.QUERIES[name](spark, sf_correct)
-    assert df.count() >= 0
+def test_minhash_verdict_flags_hold(spark, sf_correct):
+    """The registered verdict row itself: precision and high-J recall both
+    certified against the in-query exact truth."""
+    row = registry.QUERIES["dedup_minhash_lsh"](spark, sf_correct).collect()[0]
+    assert row.n_truth > 0  # non-vacuous on this corpus
+    assert row.precision_ok and row.recall_ok
 
 
 def test_minhash_lsh_verified_pairs_are_real(spark, sf_correct):
     """Every pair LSH emits must satisfy the exact Jaccard threshold (the
     verify stage guarantees precision=1 by construction; check it holds)."""
-    pairs = registry.QUERIES["dedup_minhash_lsh"](spark, sf_correct)
+    pairs = D.minhash_lsh_pairs(spark, sf_correct)
     bad = pairs.filter(F.col("jaccard") < D.JACCARD_THRESHOLD).count()
     assert bad == 0
 
@@ -66,9 +68,7 @@ def test_minhash_lsh_recall_on_high_similarity(spark, sf_correct):
         )
         .filter(F.col("jaccard") >= 0.9)
     )
-    found = registry.QUERIES["dedup_minhash_lsh"](spark, sf_correct).select(
-        "doc_a", "doc_b"
-    )
+    found = D.minhash_lsh_pairs(spark, sf_correct).select("doc_a", "doc_b")
     missed = truth.join(found, ["doc_a", "doc_b"], "left_anti").count()
     assert missed == 0, f"LSH missed {missed} high-similarity pairs"
 

@@ -153,3 +153,33 @@ def test_events_anomaly_single_exchange(spark, sf_dir):
     p = plan_string(registry.QUERIES["events_anomaly"](spark, sf_dir), mode="simple")
     assert p.count("Exchange") == 1
     assert "SinglePartition" not in p
+
+
+def test_lsh_verify_joins_no_hardcoded_broadcast(spark, sf_dir):
+    # VERDICT r03 item 3: the LSH candidate-pair lists grow O(N * bands)
+    # with the corpus, so a hard-coded F.broadcast hint on them is a
+    # driver-OOM at 100x. The verify joins must carry NO user hint in the
+    # logical plan (AQE may still choose broadcast at runtime when the
+    # list actually fits -- that's the point).
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.dedup import (
+        embedding_lsh_pairs,
+        lsh_verified_pairs,
+        minhash_lsh_pairs,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dfs = [
+        minhash_lsh_pairs(spark, sf_dir),
+        embedding_lsh_pairs(emb.select("vec_id", v.alias("v"))),
+        lsh_verified_pairs(spark, sf_dir),
+    ]
+    for df in dfs:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed
+        assert "UnresolvedHint" not in analyzed
