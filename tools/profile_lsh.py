@@ -73,26 +73,34 @@ def profile_embedding_lsh(spark):
     print("== embedding_lsh_pairs stages ==")
     emb = load_table(spark, SF_DIR, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    e = t("vector table (ckpt)", lambda: emb.select("vec_id", v.alias("v")).localCheckpoint())
-    sigs = t("rhp signatures (ckpt)", lambda: D.rhp_signatures(e).localCheckpoint())
+    norm = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a_, u: a_ + u)
+    )
+    e = t(
+        "unit-vector table (ckpt)",
+        lambda: emb.select("vec_id", v.alias("v"), norm.alias("nrm"))
+        .filter(F.col("nrm") > 0)
+        .select("vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
+        .localCheckpoint(),
+    )
+    sigs = t(
+        "rhp signatures (ckpt)",
+        lambda: D.rhp_signatures(e.withColumnRenamed("u", "v")).localCheckpoint(),
+    )
     cands = t(
         "candidate pairs (from ckpt sigs)",
         lambda: D.lsh_candidate_pairs(
-            sigs, n_bands=D.RHP_BANDS, n_hashes=D.RHP_BITS
+            sigs, n_bands=D.RHP_BANDS, n_hashes=D.RHP_BANDS, sort_prefix=4
         ).localCheckpoint(),
     )
 
     def verify():
-        def dot(x, y):
-            return F.aggregate(
-                F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, u: acc + u
-            )
-
         a, b = e.alias("a"), e.alias("b")
-        norms = F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(
-            dot(F.col("b.v"), F.col("b.v"))
+        cos = F.aggregate(
+            F.zip_with(F.col("a.u"), F.col("b.u"), lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, u: acc + u,
         )
-        cos = F.when(norms > 0, dot(F.col("a.v"), F.col("b.v")) / norms)
         out = (
             cands.join(a, cands.doc_a == F.col("a.vec_id"))
             .join(b, cands.doc_b == F.col("b.vec_id"))
