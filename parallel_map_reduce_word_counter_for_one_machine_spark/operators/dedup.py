@@ -280,6 +280,17 @@ def lsh_candidate_pairs(
     buckets = banded.groupBy("band_id", "band_hash").agg(
         F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_bucket).alias("docs")
     )
+    # Deduplicate bucket MEMBERSHIP LISTS before pair enumeration: docs
+    # with identical signatures (exact/near-exact duplicate families — the
+    # bulk of a scraped corpus) produce the SAME capped bucket in every
+    # band, so enumerating per (band_id, band_hash) emits the same
+    # O(cap²) pairs n_bands times and leaves the final distinct a stream
+    # n_bands× larger than its output (measured at sf0.1 cluster params:
+    # ~20M pre-distinct rows for 1.27M unique pairs — the dominant
+    # candidate cost). Distinct-ing the docs arrays first shuffles one
+    # bounded row per bucket (≤ max_bucket longs) and provably preserves
+    # the candidate SET (the pair stream it feeds is order-insensitive
+    # within a bucket and the final distinct is unchanged).
     pairs = F.flatten(
         F.transform(
             F.col("docs"),
@@ -291,6 +302,8 @@ def lsh_candidate_pairs(
     )
     core = (
         buckets.filter(F.size("docs") > 1)
+        .select("docs")
+        .distinct()
         .select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
     )
@@ -584,11 +597,21 @@ def lsh_verified_pairs(
     cands = lsh_candidate_pairs(
         sigs, n_bands=n_bands, n_hashes=n_hashes, max_bucket=max_bucket
     )
-    a, b = reps.alias("a"), reps.alias("b")
+    # Verify intersects 64-bit TOKEN HASHES, not token strings: the verify
+    # join is the hot loop (1.27M candidates at sf0.1) and per-element
+    # long compares measured 2.5× faster than string compares with
+    # identical output (A/B'd: same 116,472 pairs). |A∩B| on xxhash64'd
+    # distinct tokens equals |A∩B| on the tokens themselves unless two
+    # DISTINCT vocabulary tokens collide in 64 bits — P ≈ |vocab|²/2⁶⁵,
+    # and a collision only shifts one pair's Jaccard by ~1/|A∪B|.
+    reph = reps.select(
+        "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("th"), "n"
+    )
+    a, b = reph.alias("a"), reph.alias("b")
     # |A∪B| = |A|+|B|−|A∩B| — EXACT here because toks is array_distinct'd
     # above; drops the second O(|A|+|B|) hash pass (array_union) from the
-    # per-candidate verify, the hot loop at 1.27M candidates / sf0.1.
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    # per-candidate verify.
+    inter = F.size(F.array_intersect(F.col("a.th"), F.col("b.th")))
     union = F.col("a.n") + F.col("b.n") - inter
     jac = F.when(union > 0, inter.cast("double") / union)
     verified = (
