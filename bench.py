@@ -11,6 +11,14 @@ numbers — the reference's own timers likewise exclude process start
 
 Baseline context (BASELINE.md): reference best = 19.6 MB/s single-node
 word count; target ≥ ~10 MB/s at sf0.1.
+
+Round-over-round comparison convention (ADVICE r03): every entry reports
+BOTH the cold first run (includes codegen + file listing; `queries_cold_
+first_run`) and the min over N uniform runs (`queries`). Compare like
+with like across rounds — r02 bulk numbers were effectively cold/n=1, so
+the honest bulk-throughput headline vs the reference baseline is the
+COLD ratio (~0.08, ≈11× faster), with the warm ratio (~0.03) reported
+alongside, not substituted.
 """
 
 from __future__ import annotations

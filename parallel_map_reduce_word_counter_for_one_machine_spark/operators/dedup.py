@@ -117,31 +117,78 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = N_HASHES, k: int = SHINGLE_K
 ) -> DataFrame:
-    """(doc_id, sig: array<long>[n_hashes]) — sig_i = min xxhash64(shingle, i).
+    """(doc_id, sig: array<long>[n_hashes]) — MinHash over the doc's
+    distinct k-token shingle set, entirely in HASH SPACE and entirely in
+    the ARRAY DOMAIN (shuffle-free; the signature is a pure map operation,
+    the right 100 TB shape — no groupBy anywhere):
 
-    Formulated as explode(shingles) → groupBy(doc_id).agg(min(hash_i) × n):
-    the n_hashes hash evaluations are flat row expressions over the
-    exploded shingle stream (whole-stage codegen, one pass), and partial
-    aggregation collapses each doc to a single row per map task before the
-    one shuffle. A previous nested-lambda formulation (array_min of
-    transform per seed, inside one row expression) re-evaluated the
-    shingle construction once PER SEED — 16× the work, measured 26s vs
-    ~3s at sf0.1."""
+    1. Each token is string-hashed ONCE (``xxhash64``), staged as a
+       projected column so downstream uses don't duplicate the pass.
+    2. Shingle hashes are a rolling ``zip_with`` chain over the token-hash
+       array and its k-1 shifted tails (h(h(h₁,h₂),h₃) for k=3) —
+       shingle identity = the token-hash k-tuple, which equals string
+       shingle identity unless 64-bit token hashes collide (P ≈
+       |vocab|²/2⁶⁵; a collision perturbs one signature position).
+    3. sig_i = array_min(transform(hs, h → xxhash64(i, h))) — n_hashes
+       cheap long-hash passes over the (distinct'd) shingle-hash array.
+
+    A/B at sf0.1 (5 000 docs, ~1 400 tokens/doc): 2.28 s (previous
+    explode → 16 × min(string-hash) + groupBy shuffle) → 0.69 s, equal
+    candidate semantics. Two formulations that LOOK equivalent are traps,
+    both measured: per-seed lambdas over unprojected shingles re-evaluate
+    shingle construction n_hashes× (26 s), and dynamic-index
+    ``element_at`` k-gramming evaluates ~10× slower than the zip_with
+    chain (5.6 s). Docs with < k tokens have an empty shingle set and are
+    dropped (no signature), as before."""
     docs = _fan_out_small_input(docs)
-    sets = docs.select("doc_id", _shingles(k=k).alias("elems"))
-    return _signatures_of_sets(sets, n_hashes)
+    hw = docs.select(
+        "doc_id", F.transform(_tokens(), lambda t: F.xxhash64(t)).alias("hw")
+    )
+    col, sz = F.col("hw"), F.size("hw")
+    chain = col
+    for j in range(1, k):
+        tail = F.slice(col, j + 1, F.greatest(sz - j, F.lit(0)))
+        chain = F.zip_with(
+            chain, tail, lambda a, b: F.when(b.isNotNull(), F.xxhash64(a, b))
+        )
+    sh = F.array_distinct(F.filter(chain, lambda x: x.isNotNull()))
+    hs = hw.select("doc_id", sh.alias("hs")).filter(F.size("hs") > 0)
+    return _sig_from_hash_sets(hs, n_hashes)
 
 
 def _signatures_of_sets(sets: DataFrame, n_hashes: int) -> DataFrame:
-    """(doc_id, elems: array<string>) → (doc_id, sig: array<long>); the
-    explode → n× min(xxhash64(elem, seed)) single-pass formulation shared by
-    the shingle and token-set MinHash paths."""
-    ex = sets.select("doc_id", F.explode("elems").alias("s"))
-    mins = ex.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
+    """(doc_id, elems: array<string>) → (doc_id, sig: array<long>): hash
+    each element string once (staged projection), then the shared
+    array-domain min pass. Empty sets yield no signature row (they cannot
+    be near-dup candidates), matching the historical explode semantics."""
+    hs = sets.filter(F.size("elems") > 0).select(
+        "doc_id", F.transform("elems", lambda s: F.xxhash64(s)).alias("hs")
     )
-    return mins.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    return _sig_from_hash_sets(hs, n_hashes)
+
+
+def _sig_from_hash_sets(hs: DataFrame, n_hashes: int) -> DataFrame:
+    """(doc_id, hs: array<long>) → (doc_id, sig: array<long>[n_hashes]);
+    sig_i = min over the set of xxhash64(i, element hash). Pure per-row
+    array expressions — no explode, no shuffle; the i-th pass re-keys the
+    already-hashed elements with a cheap fixed-width hash, the standard
+    one-hash-k-rekeys MinHash construction.
+
+    The seed is bound through a SINGLE-parameter lambda factory: a
+    two-parameter lambda (e.g. ``lambda h, i=i``) is introspected by
+    PySpark as the (element, index) form, so the array INDEX silently
+    shadows the captured seed and every signature position evaluates the
+    same function — measured as sig-match 0.09 vs true J 0.76 before the
+    property test below caught it (tests/test_dedup_similarity.py)."""
+
+    def rekey(i: int):
+        return lambda h: F.xxhash64(F.lit(i), h)
+
+    return hs.select(
+        "doc_id",
+        F.array(
+            *[F.array_min(F.transform("hs", rekey(i))) for i in range(n_hashes)]
+        ).alias("sig"),
     )
 
 
@@ -271,11 +318,11 @@ def lsh_candidate_pairs(
     banded = sigs.select("doc_id", F.explode(bands).alias("band")).select(
         "doc_id", "band.band_id", "band.band_hash", "band.rot"
     )
-    # Materialize the banded stream too: it feeds BOTH the bucket groupBy
-    # and the neighbor windows, and its producing expression is O(n_bands)
-    # structs — at 96 bands, re-analyzing/recomputing that subtree per
-    # consumer measurably exceeds the one-pass materialization cost (rows
-    # are 4 narrow columns; ~n_bands × corpus rows).
+    # Materialize the banded stream: it feeds BOTH the bucket groupBy and
+    # the neighbor windows (bucket-size prefilter + sorts). A/B at sf0.1:
+    # skipping this at 16 bands costs +0.8 s (the double explode + the
+    # count-window recompute exceed one stage barrier), and at 96 bands
+    # the gap is larger still. Rows are 4 narrow columns.
     banded = banded.localCheckpoint()
     buckets = banded.groupBy("band_id", "band_hash").agg(
         F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_bucket).alias("docs")
