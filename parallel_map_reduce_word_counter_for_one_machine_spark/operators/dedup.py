@@ -270,12 +270,12 @@ def lsh_candidate_pairs(
     if n_hashes % n_bands != 0:
         raise ValueError(f"n_hashes={n_hashes} not divisible by n_bands={n_bands}")
     r = n_hashes // n_bands
-    # Two consumers since the sketch-sort addition (bucket groupBy for core
-    # pairs + the neighbor window) with different projections — Catalyst
-    # can't reuse one exchange across them, so without materialization the
-    # whole MinHash subtree (shingle explode + n_hashes mins, the expensive
-    # part) would compute twice. One row per doc of n_hashes longs.
-    sigs = sigs.localCheckpoint()
+    # No sigs materialization: since the banded stream below is itself
+    # checkpointed, the signature subtree has exactly ONE consumer (the
+    # banded explode), so a sigs barrier would only add a job + a copy of
+    # n_hashes longs per doc. (Historically sigs fed the bucket groupBy
+    # AND the neighbor window directly — that fan-out now hangs off the
+    # banded checkpoint instead.)
     # ONE transform over a band-index sequence, not n_bands hand-unrolled
     # struct literals: the unrolled form was n_bands × ~7 Column objects —
     # ~700 py4j round-trips PER CALL at 96 bands, profiled as ~1.5 s of
