@@ -1,0 +1,236 @@
+"""Corpus-level statistical analytics for training-data curation (driver
+contract § north-star extensions; no reference citation — the reference
+computes only the global word→count map, src/main.cpp:42-76, which these
+build on).
+
+Three monitoring/QA operators every large-corpus pipeline runs:
+
+- ``corpus_drift_chi2``  — per-token χ² drift between two corpus slices
+  (the refresh-vs-baseline distribution check run before a new crawl
+  batch is admitted into the mixture).
+- ``pmi_bigrams``        — pointwise mutual information collocations
+  (phrase mining / tokenizer-merge candidates).
+- ``zipf_slope``         — least-squares slope of log-frequency vs
+  log-rank over the head vocabulary (corpus health check: natural text
+  sits near -1; template/boilerplate floods flatten it).
+
+All three are one-or-two-shuffle aggregation pipelines over the exploded
+token stream — counts shuffle as (word, long) rows bounded by vocabulary,
+never by corpus size; the statistics are per-row expressions on top.
+Float parity with the DuckDB oracles follows the module conventions in
+text.py: ln-bearing outputs round to 6dp (libm ≤1 ulp), division-only
+outputs round to 4dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+# Head-vocabulary size for drift and Zipf fits: big enough to be stable,
+# small enough that the per-word output is a bounded report table.
+DRIFT_VOCAB = 200
+# Minimum bigram occurrences for PMI — the classic low-count PMI blowup
+# guard (a 1-occurrence pair has maximal PMI by construction).
+PMI_MIN_COUNT = 5
+
+
+def _tok_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w): the exploded non-empty token stream."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w"),
+    )
+
+
+_DRIFT_ORACLE = (
+    "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+    "w -> w <> '')) AS w FROM documents), "
+    "vocab AS (SELECT w FROM toks GROUP BY w "
+    f"ORDER BY count(*) DESC, w LIMIT {DRIFT_VOCAB}), "
+    "cnt AS (SELECT t.w, "
+    "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a, "
+    "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b "
+    "FROM toks t JOIN vocab v ON t.w = v.w GROUP BY t.w), "
+    "tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS na, "
+    "CAST(sum(c_b) AS BIGINT) AS nb FROM cnt) "
+    "SELECT w, c_a, c_b, "
+    "round(power(c_a - (c_a + c_b) * (na * 1.0 / (na + nb)), 2) "
+    "  / ((c_a + c_b) * (na * 1.0 / (na + nb))) "
+    "+ power(c_b - (c_a + c_b) * (nb * 1.0 / (na + nb)), 2) "
+    "  / ((c_a + c_b) * (nb * 1.0 / (na + nb))), 4) AS chi2 "
+    "FROM cnt, tot"
+)
+
+
+@query("corpus_drift_chi2", oracle=_DRIFT_ORACLE)
+def corpus_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token χ² drift between two corpus slices (doc_id parity plays
+    the baseline-vs-refresh role — the driver tables carry no crawl-date
+    column). For each head-vocabulary token: observed counts (c_a, c_b)
+    vs expectation under the pooled rate, χ² = Σ (o−e)²/e over the two
+    cells. Large values flag tokens whose rate shifted between slices —
+    the admission check before a new batch joins the training mixture.
+
+    Shape: one token-stream explode → one (word) groupBy carrying two
+    conditional counts; the head vocabulary is a TakeOrdered top-V (tiny,
+    broadcast-joined); slice totals are one 2-value aggregate cross-joined
+    back. χ² itself is a per-row double expression, identical formula on
+    both engines, rounded to 4dp (division-only float path)."""
+    toks = _tok_stream(spark, sf_dir)
+    toks = toks.localCheckpoint()  # vocab + counts both consume it
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(DRIFT_VOCAB)
+        .select("w")
+    )
+    cnt = (
+        toks.join(F.broadcast(vocab), "w")
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c_a"),
+            F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c_b"),
+        )
+    )
+    cnt = cnt.localCheckpoint()  # totals + output rows both consume it
+    tot = cnt.agg(
+        F.sum("c_a").cast("long").alias("na"), F.sum("c_b").cast("long").alias("nb")
+    )
+    t = F.col("c_a") + F.col("c_b")
+    ra = F.col("na") * F.lit(1.0) / (F.col("na") + F.col("nb"))
+    rb = F.col("nb") * F.lit(1.0) / (F.col("na") + F.col("nb"))
+    ea, eb = t * ra, t * rb
+    chi2 = F.pow(F.col("c_a") - ea, 2) / ea + F.pow(F.col("c_b") - eb, 2) / eb
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "w", "c_a", "c_b", F.round(chi2, 4).alias("chi2")
+    )
+
+
+_PMI_ORACLE = (
+    "WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "w -> w <> '') AS t FROM documents), "
+    "uni AS (SELECT unnest(t) AS w FROM toks), "
+    "un AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w), "
+    "n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni), "
+    "bg AS (SELECT unnest(list_transform(list_zip(t, t[2:]), "
+    "x -> CASE WHEN x[2] IS NULL THEN NULL ELSE x[1] || '\x01' || x[2] END)) "
+    "AS b FROM toks), "
+    "bn AS (SELECT string_split(b, '\x01')[1] AS w1, "
+    "string_split(b, '\x01')[2] AS w2, CAST(count(*) AS BIGINT) AS c12 "
+    "FROM bg WHERE b IS NOT NULL GROUP BY 1, 2), "
+    "n2 AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM bn) "
+    "SELECT w1, w2, c12, "
+    "round(ln((c12 * 1.0 / n2.n)) - ln(u1.c * 1.0 / n1.n) "
+    "- ln(u2.c * 1.0 / n1.n), 6) AS pmi "
+    "FROM bn, n1, n2 "
+    "JOIN un u1 ON bn.w1 = u1.w JOIN un u2 ON bn.w2 = u2.w "
+    f"WHERE c12 >= {PMI_MIN_COUNT}"
+)
+
+
+@query("pmi_bigrams", oracle=_PMI_ORACLE)
+def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent-token pairs:
+    PMI = ln p(w₁w₂) − ln p(w₁) − ln p(w₂), with a minimum-count floor
+    (low-count PMI is maximal by construction — the classic blowup).
+    High-PMI pairs are collocations: phrase-mining / tokenizer-merge
+    candidates, and a cheap template detector (boilerplate pairs score
+    near the top with huge counts).
+
+    Shape: bigrams built in the array domain (zip_with of the token array
+    with its own tail, the ngram_bigrams pattern) → one (w₁,w₂) groupBy;
+    unigram counts → one (w) groupBy, joined back twice (vocabulary-sized
+    build side, AQE broadcasts). Totals are single-row broadcasts. ln
+    rounds to 6dp (libm ≤1 ulp, the tfidf convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split("text", " "), lambda w: w != "")
+    toks = d.select("doc_id", t.alias("t"))
+    toks = toks.localCheckpoint()  # unigram + bigram streams both consume
+    uni = toks.select(F.explode("t").alias("w"))
+    un = uni.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    n1 = uni.agg(F.count("*").cast("long").alias("n1"))
+    tail = F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0)))
+    bigram = F.zip_with(
+        F.col("t"),
+        tail,
+        lambda a, b: F.when(b.isNotNull(), F.struct(a.alias("w1"), b.alias("w2"))),
+    )
+    bn = (
+        toks.select(F.explode(bigram).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").cast("long").alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    n2all = (
+        toks.select(F.explode(bigram).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .agg(F.count("*").cast("long").alias("n2"))
+    )
+    u1 = un.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = un.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = (
+        F.log(F.col("c12") * F.lit(1.0) / F.col("n2"))
+        - F.log(F.col("c1") * F.lit(1.0) / F.col("n1"))
+        - F.log(F.col("c2") * F.lit(1.0) / F.col("n1"))
+    )
+    return (
+        bn.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2all))
+        .select("w1", "w2", "c12", F.round(pmi, 6).alias("pmi"))
+    )
+
+
+_ZIPF_ORACLE = (
+    "WITH cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM "
+    "(SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w "
+    "FROM documents) GROUP BY w ORDER BY c DESC, w "
+    f"LIMIT {DRIFT_VOCAB}), "
+    "ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk "
+    "FROM cnt) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_words, "
+    "round(regr_slope(ln(c), ln(rk)), 4) AS slope, "
+    "round(regr_intercept(ln(c), ln(rk)), 4) AS intercept "
+    "FROM ranked"
+)
+
+
+@query("zipf_slope", oracle=_ZIPF_ORACLE)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of ln(frequency) vs ln(rank) over the top-V
+    vocabulary — the Zipf health check: natural language sits near −1;
+    a flattened slope flags boilerplate floods, a steepened one flags
+    vocabulary collapse. One word-count aggregate (TakeOrdered head), a
+    single-partition rank window over V=200 rows (bounded — this is NOT
+    the corpus-wide window the rank operators distribute), and one
+    regr_slope/regr_intercept aggregate. Rounded to 4dp: the regression
+    sums accumulate in engine-specific order (~1e-12 drift)."""
+    from pyspark.sql.window import Window
+
+    toks = _tok_stream(spark, sf_dir)
+    cnt = (
+        toks.groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(DRIFT_VOCAB)
+    )
+    ranked = cnt.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("c").desc(), "w"))
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.round(F.regr_slope(F.log("c"), F.log("rk")), 4).alias("slope"),
+        F.round(F.regr_intercept(F.log("c"), F.log("rk")), 4).alias("intercept"),
+    )

@@ -90,6 +90,7 @@ def load_all() -> None:
         graphdedup,  # after dedup: composes its registered oracle
         similarity,
         text,
+        corpusstats,
         multimodal,
         pipeline,
         curate,

@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+
+from .oracle import assert_matches_oracle
+
+registry.load_all()
+
+KEYS = ["corpus_drift_chi2", "pmi_bigrams", "zipf_slope"]
+
+
+@pytest.mark.parametrize("name", KEYS)
+def test_oracle_match(spark, sf_correct, name):
+    assert_matches_oracle(
+        spark, sf_correct, name, registry.QUERIES[name], registry.ORACLES[name]
+    )
+
+
+def test_chi2_nonnegative_and_bounded_rows(spark, sf_correct):
+    """χ² is non-negative by construction and the report is bounded by the
+    head-vocabulary size (never by corpus size)."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.corpusstats import (
+        DRIFT_VOCAB,
+    )
+
+    rows = registry.QUERIES["corpus_drift_chi2"](spark, sf_correct).collect()
+    assert 0 < len(rows) <= DRIFT_VOCAB
+    assert all(r.chi2 >= 0 for r in rows)
+    assert all(r.c_a + r.c_b > 0 for r in rows)
+
+
+def test_pmi_matches_hand_computation(spark, tmp_path):
+    """The operator end-to-end on a tiny synthetic corpus vs PMI computed
+    by hand in python: 'a b' × 6 gives 12 tokens, 11 bigrams — (a,b)×6
+    and (b,a)×5, both above the count floor."""
+    import math
+
+    d = spark.createDataFrame(
+        [(1, "a b a b a b a b a b a b")], "doc_id long, text string"
+    )
+    d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r.w1, r.w2): (r.c12, r.pmi)
+        for r in registry.QUERIES["pmi_bigrams"](spark, str(tmp_path)).collect()
+    }
+    n1, n2 = 12, 11
+    pa = pb = 6 / n1
+    expect_ab = round(math.log(6 / n2) - math.log(pa) - math.log(pb), 6)
+    expect_ba = round(math.log(5 / n2) - math.log(pa) - math.log(pb), 6)
+    assert out == {("a", "b"): (6, expect_ab), ("b", "a"): (5, expect_ba)}
+
+
+def test_zipf_slope_negative_on_real_corpus(spark, sf_correct):
+    """Word frequencies fall with rank, so the fitted slope must be
+    negative, and the fit must cover the whole (small) head vocabulary."""
+    row = registry.QUERIES["zipf_slope"](spark, sf_correct).collect()[0]
+    assert row.slope < 0
+    assert row.n_words > 5
