@@ -26,7 +26,7 @@ HEADLINE = [
     "sort_limit_topk",
     "join_asof",
     "tfidf",
-    "dedup_minhash_lsh",
+    "minhash_lsh_pairs",  # the production listing (registered key is the verdict)
     "dedup_clusters_lsh",
     "join_bucketed",
     "similarity_topk",
@@ -42,6 +42,9 @@ HEADLINE = [
     "dedup_embedding",
     "dedup_embedding_lsh",
     "similarity_topk_ivf",
+    "corpus_drift_chi2",
+    "pmi_bigrams",
+    "zipf_slope",
 ]
 
 NOTES = {
@@ -60,15 +63,17 @@ NOTES = {
     "dedup_embedding": "blocked GEMM: per-block collect_list, B(B+1)/2 tile "
     "join on block ids, one ArrowEvalPython/MapInPandas GEMM per tile — no "
     "per-pair shuffle rows anywhere",
-    "dedup_embedding_lsh": "hyperplane sketch (one MapInPandas matmul), banded "
-    "bucket groupBy + capped enumeration, broadcast verify join — the "
-    "candidate set never leaves broadcast size",
+    "dedup_embedding_lsh": "hyperplane sketch (one MapInPandas matmul, 16-bit "
+    "packed band values sized to the corpus), banded bucket groupBy + capped "
+    "enumeration, single-dot verify over unit vectors — no broadcast hint "
+    "(AQE decides; plan-tested)",
     "similarity_topk_ivf": "exact top-k and probed ANN listing share the "
     "corpus scan lineage; verdict is two scalar aggregates cross-joined",
-    "dedup_minhash_lsh": "signature table checkpointed once (two consumers: "
-    "bucket groupBy core pairs + sketch-sort neighbor window, tail-only "
-    "emission); verify broadcast-joins the (tiny) candidate set against the "
-    "checkpointed shingle table (no corpus re-scan)",
+    "minhash_lsh_pairs": "banded stream checkpointed once (two consumers: "
+    "bucket groupBy core pairs + sketch-sort neighbor window, over-cap-"
+    "bucket-only emission); signatures are a shuffle-free array-domain map; "
+    "verify joins the candidate set against the checkpointed shingle table "
+    "with NO broadcast hint — AQE promotes when it fits (plan-tested)",
     "dedup_clusters_lsh": "final labels after LSH→closure: the plan shows "
     "only the label table + cluster_size window — the iterative rounds ran "
     "as bounded edge-set shuffles over localCheckpoint'd frames (no O(n²) "
@@ -101,7 +106,16 @@ NOTES = {
     "funnel step in the naive join formulation",
     "dedup_spans": "explode is linear; repeated-span agg and per-doc join "
     "share the span-hash partitioning; span stream localCheckpoint'd so "
-    "the corpus is scanned and hashed once",
+    "the corpus is scanned and hashed once; repeated test is min!=max "
+    "(plain partial-aggregable, no distinct-expand)",
+    "corpus_drift_chi2": "one token explode (checkpointed, two consumers), "
+    "head vocab via TakeOrdered broadcast, ONE (word) groupBy with two "
+    "conditional counts, slice totals as a broadcast single row",
+    "pmi_bigrams": "array-domain bigrams; two vocabulary-bounded groupBys "
+    "(unigram, bigram); count tables join back vocabulary-sized, totals "
+    "broadcast",
+    "zipf_slope": "word-count aggregate, TakeOrdered head (V=200), one "
+    "bounded single-partition rank window, one regr_slope aggregate",
 }
 
 
@@ -116,8 +130,13 @@ def main() -> None:
            "the property that makes the plan scale; tests/test_plans.py pins the",
            "load-bearing ones.",
            ""]
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators import (
+        dedup as _dedup,
+    )
+
     for name in HEADLINE:
-        plan = plan_string(registry.QUERIES[name](spark, sf_dir), mode="simple")
+        fn = registry.QUERIES.get(name) or getattr(_dedup, name)
+        plan = plan_string(fn(spark, sf_dir), mode="simple")
         out.append(f"## {name}")
         out.append("")
         out.append(f"*{NOTES[name]}*")
