@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "dedup_embedding",
     "dedup_embedding_lsh",
     "stream_tumbling_agg",
+    "corpus_drift_chi2",
+    "pmi_bigrams",
     "curate_corpus",
     "pii_scrub",
     "pack_sequences",
