@@ -115,7 +115,10 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(
-    docs: DataFrame, n_hashes: int = N_HASHES, k: int = SHINGLE_K
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    k: int = SHINGLE_K,
+    carry: tuple = (),
 ) -> DataFrame:
     """(doc_id, sig: array<long>[n_hashes]) — MinHash over the doc's
     distinct k-token shingle set, entirely in HASH SPACE and entirely in
@@ -142,7 +145,9 @@ def minhash_signatures(
     dropped (no signature), as before."""
     docs = _fan_out_small_input(docs)
     hw = docs.select(
-        "doc_id", F.transform(_tokens(), lambda t: F.xxhash64(t)).alias("hw")
+        "doc_id",
+        *carry,
+        F.transform(_tokens(), lambda t: F.xxhash64(t)).alias("hw"),
     )
     col, sz = F.col("hw"), F.size("hw")
     chain = col
@@ -152,8 +157,8 @@ def minhash_signatures(
             chain, tail, lambda a, b: F.when(b.isNotNull(), F.xxhash64(a, b))
         )
     sh = F.array_distinct(F.filter(chain, lambda x: x.isNotNull()))
-    hs = hw.select("doc_id", sh.alias("hs")).filter(F.size("hs") > 0)
-    return _sig_from_hash_sets(hs, n_hashes)
+    hs = hw.select("doc_id", *carry, sh.alias("hs")).filter(F.size("hs") > 0)
+    return _sig_from_hash_sets(hs, n_hashes, carry=carry)
 
 
 def _signatures_of_sets(sets: DataFrame, n_hashes: int) -> DataFrame:
@@ -167,7 +172,9 @@ def _signatures_of_sets(sets: DataFrame, n_hashes: int) -> DataFrame:
     return _sig_from_hash_sets(hs, n_hashes)
 
 
-def _sig_from_hash_sets(hs: DataFrame, n_hashes: int) -> DataFrame:
+def _sig_from_hash_sets(
+    hs: DataFrame, n_hashes: int, carry: tuple = ()
+) -> DataFrame:
     """(doc_id, hs: array<long>) → (doc_id, sig: array<long>[n_hashes]);
     sig_i = min over the set of xxhash64(i, element hash). Pure per-row
     array expressions — no explode, no shuffle; the i-th pass re-keys the
@@ -181,14 +188,21 @@ def _sig_from_hash_sets(hs: DataFrame, n_hashes: int) -> DataFrame:
     same function — measured as sig-match 0.09 vs true J 0.76 before the
     property test below caught it (tests/test_dedup_similarity.py)."""
 
+    return hs.select(
+        "doc_id", *carry, minhash_sig_column("hs", n_hashes).alias("sig")
+    )
+
+
+def minhash_sig_column(hs_col: str, n_hashes: int = N_HASHES) -> Column:
+    """Column form of the signature: array<long>[n_hashes] from an
+    element-hash array column — reusable wherever the hash set must ride
+    along with other columns (e.g. the streaming gate's probe frame)."""
+
     def rekey(i: int):
         return lambda h: F.xxhash64(F.lit(i), h)
 
-    return hs.select(
-        "doc_id",
-        F.array(
-            *[F.array_min(F.transform("hs", rekey(i))) for i in range(n_hashes)]
-        ).alias("sig"),
+    return F.array(
+        *[F.array_min(F.transform(hs_col, rekey(i))) for i in range(n_hashes)]
     )
 
 
@@ -248,8 +262,15 @@ def lsh_candidate_pairs(
     n_hashes: int = N_HASHES,
     max_bucket: int = MAX_BUCKET,
     sort_prefix: int = NEIGHBOR_SORT_PREFIX,
+    dedupe: bool = True,
 ) -> DataFrame:
     """Band the signatures and emit unordered candidate pairs (a < b).
+    ``dedupe=False`` skips the final distinct, leaving cross-band
+    duplicates for the caller's own downstream distinct to absorb.
+    Measured NEGATIVE at sf0.1 cluster params (interleaved A/B: 5.0 s vs
+    10.0 s end-to-end): the duplicated candidates cost ~2× through the
+    per-pair verify join, far more than the 16-byte-row distinct saves —
+    keep the default unless the verify stage disappears entirely.
 
     Shape: explode each doc into n_bands (band_id, band_hash) keys, then
     ONE groupBy on the band key collects each bucket's doc list; pairs are
@@ -367,7 +388,8 @@ def lsh_candidate_pairs(
         order_cols=[F.col("rot"), F.xxhash64("doc_id", "band_id")],
         max_bucket=max_bucket,
     )
-    return core.union(neighbors).distinct()
+    out = core.union(neighbors)
+    return out.distinct() if dedupe else out
 
 
 def _overcap_neighbor_pairs(
@@ -1277,4 +1299,209 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = corpus.withColumn("dup", F.lit(True))
     return incoming.join(hits, "fp", "left").select(
         "doc_id", F.coalesce("dup", F.lit(False)).alias("dup_of_corpus")
+    )
+
+
+def banded_keys(
+    sigs: DataFrame,
+    n_bands: int = N_BANDS,
+    n_hashes: int = N_HASHES,
+    carry: tuple = (),
+) -> DataFrame:
+    """(doc_id, sig, *carry) → (doc_id, band_id, band_hash, *carry): the
+    banded bucket KEYS of a signature table, without the self-pair
+    machinery — the probe (and index-build) side of an incremental LSH
+    gate. Same band hashing as ``lsh_candidate_pairs`` (multi-arg
+    xxhash64 over the band's r signature positions), and a pure per-row
+    map: works on STREAMING frames too, which is what makes the streaming
+    fuzzy gate possible (streaming/fuzzygate.py — ``carry`` exists so the
+    stream can ride its verify payload along instead of self-joining)."""
+    if n_hashes % n_bands != 0:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by n_bands={n_bands}")
+    r = n_hashes // n_bands
+
+    def band_struct(b: Column) -> Column:
+        base = b * r
+        return F.struct(
+            b.cast("int").alias("band_id"),
+            F.xxhash64(
+                *[F.element_at("sig", (base + F.lit(i + 1)).cast("int")) for i in range(r)]
+            ).alias("band_hash"),
+        )
+
+    bands = F.transform(F.sequence(F.lit(0), F.lit(n_bands - 1)), band_struct)
+    return sigs.select(
+        "doc_id", *carry, F.explode(bands).alias("band")
+    ).select("doc_id", *carry, "band.band_id", "band.band_hash")
+
+
+def fuzzy_gate_flags(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup INGEST GATE listing: (doc_id, dup_of_corpus) for every
+    incoming document (doc_id % INCREMENTAL_MOD == 0), where the flag
+    means "some standing-corpus document has shingle Jaccard ≥ threshold".
+    The fuzzy tier of ``dedup_incremental`` — what a continuous-crawl
+    pipeline runs per batch to drop re-scrapes/re-wraps BEFORE expensive
+    processing.
+
+    Production shape: the standing corpus keeps a PERSISTED banded index
+    (band_id, band_hash → capped member list — built once, bucketed by
+    the band key so per-batch probes join shuffle-free on the big side);
+    each incoming batch computes signatures (a pure map since the r04
+    rewrite), probes the index, and exact-verifies the candidates against
+    the corpus shingle table. Incoming batch work is O(batch × bands),
+    never O(corpus).
+
+    Bucket caps bound a degenerate band value (e.g. a boilerplate family
+    colliding everywhere): capped members are the ones candidates can
+    see, so gate recall on an incoming doc whose ONLY witnesses are
+    over-cap is best-effort — same tradeoff, same knob as
+    ``lsh_candidate_pairs``; the registered verdict holds recall to
+    high-J witnesses."""
+    d = load_table(spark, sf_dir, "documents")
+    incoming_docs = d.filter(F.col("doc_id") % INCREMENTAL_MOD == 0)
+    corpus_docs = d.filter(F.col("doc_id") % INCREMENTAL_MOD != 0)
+
+    # Standing index: banded keys of corpus signatures, bucket-capped.
+    corpus_sigs = minhash_signatures(corpus_docs)
+    index = (
+        banded_keys(corpus_sigs)
+        .groupBy("band_id", "band_hash")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_bucket).alias(
+                "docs"
+            )
+        )
+    )
+    probes = banded_keys(minhash_signatures(incoming_docs)).withColumnRenamed(
+        "doc_id", "in_id"
+    )
+    cands = (
+        probes.join(index, ["band_id", "band_hash"])
+        .select("in_id", F.explode("docs").alias("corpus_id"))
+        .distinct()
+    )
+
+    # Exact shingle-Jaccard verify (hashed-long arrays, the
+    # lsh_verified_pairs economics; string semantics mod 2^-64 collisions).
+    def hsh(docs_df: DataFrame, idc: str) -> DataFrame:
+        return docs_df.select(
+            F.col("doc_id").alias(idc),
+            F.transform(_shingles(), lambda s: F.xxhash64(s)).alias(f"sh_{idc}"),
+            F.size(_shingles()).alias(f"n_{idc}"),
+        )
+
+    a = hsh(incoming_docs, "in_id").localCheckpoint()
+    b = hsh(corpus_docs, "corpus_id").localCheckpoint()
+    inter = F.size(F.array_intersect(F.col("sh_in_id"), F.col("sh_corpus_id")))
+    union = F.col("n_in_id") + F.col("n_corpus_id") - inter
+    jac = F.when(union > 0, inter.cast("double") / union)
+    dup_ids = (
+        cands.join(a, "in_id")
+        .join(b, "corpus_id")
+        .filter(jac >= threshold)
+        .select("in_id")
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return (
+        incoming_docs.select("doc_id")
+        .join(dup_ids, incoming_docs.doc_id == dup_ids.in_id, "left")
+        .select("doc_id", F.coalesce("dup", F.lit(False)).alias("dup_of_corpus"))
+    )
+
+
+# Exact incoming-vs-corpus truth as oracle SQL (shingle sets via
+# generate_series, the _SHINGLE_TRUTH_SQL pattern, crossed over the split).
+_GATE_TRUTH_SQL = (
+    "WITH toks AS (SELECT doc_id, "
+    "  list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents), "
+    "sh AS (SELECT doc_id, "
+    f"  array_to_string(t[i:i+{SHINGLE_K - 1}], ' ') AS s "
+    f"  FROM toks, LATERAL unnest(generate_series(1, len(t) - {SHINGLE_K - 1}))"
+    f" AS g(i) WHERE len(t) >= {SHINGLE_K}), "
+    "sets AS (SELECT doc_id, list(DISTINCT s) AS sh FROM sh GROUP BY doc_id), "
+    f"inc AS (SELECT * FROM sets WHERE doc_id % {INCREMENTAL_MOD} = 0), "
+    f"corp AS (SELECT * FROM sets WHERE doc_id % {INCREMENTAL_MOD} <> 0), "
+    "dup AS (SELECT DISTINCT i.doc_id FROM inc i JOIN corp c ON "
+    "  CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE) "
+    "  / NULLIF(len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh)), 0)"
+    f"  >= {JACCARD_THRESHOLD})"
+)
+
+_GATE_VERDICT_ORACLE = (
+    f"{_GATE_TRUTH_SQL} "
+    "SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents "
+    f"WHERE doc_id % {INCREMENTAL_MOD} = 0) AS n_incoming, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM dup) AS n_dup_truth, "
+    "TRUE AS precision_ok, TRUE AS recall_ok"
+)
+
+
+@query("dedup_incremental_fuzzy", oracle=_GATE_VERDICT_ORACLE)
+def dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked verdict for the fuzzy ingest gate (the listing is
+    ``fuzzy_gate_flags``; the minhash-verdict pattern):
+
+    - ``n_incoming``: incoming batch size (both engines count it).
+    - ``n_dup_truth``: EXACT count of incoming docs with a J ≥ 0.5 corpus
+      witness — the oracle recomputes it independently via its own
+      shingle/Jaccard pipeline (cross-engine check of the truth relation).
+    - ``precision_ok``: every gate-flagged doc is in the truth set (the
+      exact verify makes this structural; a broken index or candidate
+      join flips it).
+    - ``recall_ok``: every truth doc with a HIGH-J witness (≥ 0.8, where
+      the band math makes a miss ~impossible) is flagged."""
+    docs = _fan_out_small_input(load_table(spark, sf_dir, "documents"))
+    sets = docs.select(
+        "doc_id",
+        F.transform(_shingles(), lambda s: F.xxhash64(s)).alias("sh"),
+        F.size(_shingles()).alias("n"),
+    ).localCheckpoint()
+    inc = sets.filter(F.col("doc_id") % INCREMENTAL_MOD == 0).alias("i")
+    corp = sets.filter(F.col("doc_id") % INCREMENTAL_MOD != 0).alias("c")
+    inter = F.size(F.array_intersect(F.col("i.sh"), F.col("c.sh")))
+    union = F.col("i.n") + F.col("c.n") - inter
+    jac = F.when(union > 0, inter.cast("double") / union)
+    truth_pairs = (
+        inc.crossJoin(corp)
+        .filter(jac.isNotNull())
+        .select(
+            F.col("i.doc_id").alias("doc_id"), jac.alias("j")
+        )
+    )
+    truth = (
+        truth_pairs.filter(F.col("j") >= JACCARD_THRESHOLD)
+        .groupBy("doc_id")
+        .agg(F.max("j").alias("max_j"))
+        .localCheckpoint()
+    )
+    flags = fuzzy_gate_flags(spark, sf_dir).localCheckpoint()
+    flagged = flags.filter(F.col("dup_of_corpus")).select("doc_id")
+
+    n_incoming = flags.agg(F.count("*").cast("long").alias("n_incoming"))
+    n_dup_truth = truth.agg(F.count("*").cast("long").alias("n_dup_truth"))
+    n_false = (
+        flagged.join(truth, "doc_id", "left_anti")
+        .agg(F.count("*").alias("n_false"))
+    )
+    n_missed_high = (
+        truth.filter(F.col("max_j") >= VERDICT_RECALL_J)
+        .join(flagged, "doc_id", "left_anti")
+        .agg(F.count("*").alias("n_missed"))
+    )
+    return (
+        n_incoming.crossJoin(n_dup_truth)
+        .crossJoin(n_false)
+        .crossJoin(n_missed_high)
+        .select(
+            "n_incoming",
+            "n_dup_truth",
+            (F.col("n_false") == 0).alias("precision_ok"),
+            (F.col("n_missed") == 0).alias("recall_ok"),
+        )
     )
