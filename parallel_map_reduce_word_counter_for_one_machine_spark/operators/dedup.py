@@ -1451,6 +1451,10 @@ def dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``n_dup_truth``: EXACT count of incoming docs with a J ≥ 0.5 corpus
       witness — the oracle recomputes it independently via its own
       shingle/Jaccard pipeline (cross-engine check of the truth relation).
+      The truth side is an incoming×corpus cross join: O(n_in · n_corpus)
+      BY DESIGN, test-scale only — the verdict is the verifier, never the
+      production path (that's ``fuzzy_gate_flags``), same convention as
+      every truth relation in this module.
     - ``precision_ok``: every gate-flagged doc is in the truth set (the
       exact verify makes this structural; a broken index or candidate
       join flips it).
