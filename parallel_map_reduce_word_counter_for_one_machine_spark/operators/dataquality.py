@@ -1,0 +1,183 @@
+"""Data-quality gate (Deequ/Great-Expectations style) — the validation a
+pipeline runs on every ingested batch BEFORE it joins the corpus (driver
+contract § north-star extensions; the reference validates nothing,
+src/main.cpp:104-108 trusts its input stream).
+
+Two forms over the lineitem/orders facts:
+
+- ``dq_profile`` — long-form column profile (completeness, cardinality,
+  bounds) as a bounded report table: one row per (column, metric).
+- ``dq_gate``    — one-row constraint verdict: declared invariants
+  (domains, ranges, key uniqueness, non-null keys) each reduced to a
+  boolean the driver value-hashes.
+
+Shape: ONE aggregation pass per source table computes every metric
+(partial+final; no per-metric scans — the profile is a single agg row
+exploded into long form), so the cost is one table scan regardless of how
+many constraints are declared. All metrics are emitted as BIGINT
+(fixed-point ×100 for 2dp doubles, yyyymmdd for dates) — no float ever
+crosses the driver hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+_PROFILE_ORACLE = (
+    "WITH a AS (SELECT "
+    "  CAST(count(*) AS BIGINT) AS n, "
+    "  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_null, "
+    "  CAST(count(DISTINCT l_quantity) AS BIGINT) AS q_distinct, "
+    "  CAST(round(min(l_quantity) * 100) AS BIGINT) AS q_min, "
+    "  CAST(round(max(l_quantity) * 100) AS BIGINT) AS q_max, "
+    "  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_null, "
+    "  CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS p_distinct, "
+    "  CAST(round(min(l_extendedprice) * 100) AS BIGINT) AS p_min, "
+    "  CAST(round(max(l_extendedprice) * 100) AS BIGINT) AS p_max, "
+    "  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_null, "
+    "  CAST(count(DISTINCT l_shipdate) AS BIGINT) AS d_distinct, "
+    "  CAST(strftime(min(l_shipdate), '%Y%m%d') AS BIGINT) AS d_min, "
+    "  CAST(strftime(max(l_shipdate), '%Y%m%d') AS BIGINT) AS d_max, "
+    "  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f_null, "
+    "  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS f_distinct "
+    "FROM lineitem) "
+    "SELECT 'l_quantity' AS column_name, 'n' AS metric, n AS value FROM a "
+    "UNION ALL SELECT 'l_quantity', 'n_null', q_null FROM a "
+    "UNION ALL SELECT 'l_quantity', 'n_distinct', q_distinct FROM a "
+    "UNION ALL SELECT 'l_quantity', 'min_x100', q_min FROM a "
+    "UNION ALL SELECT 'l_quantity', 'max_x100', q_max FROM a "
+    "UNION ALL SELECT 'l_extendedprice', 'n', n FROM a "
+    "UNION ALL SELECT 'l_extendedprice', 'n_null', p_null FROM a "
+    "UNION ALL SELECT 'l_extendedprice', 'n_distinct', p_distinct FROM a "
+    "UNION ALL SELECT 'l_extendedprice', 'min_x100', p_min FROM a "
+    "UNION ALL SELECT 'l_extendedprice', 'max_x100', p_max FROM a "
+    "UNION ALL SELECT 'l_shipdate', 'n', n FROM a "
+    "UNION ALL SELECT 'l_shipdate', 'n_null', d_null FROM a "
+    "UNION ALL SELECT 'l_shipdate', 'n_distinct', d_distinct FROM a "
+    "UNION ALL SELECT 'l_shipdate', 'min_yyyymmdd', d_min FROM a "
+    "UNION ALL SELECT 'l_shipdate', 'max_yyyymmdd', d_max FROM a "
+    "UNION ALL SELECT 'l_returnflag', 'n', n FROM a "
+    "UNION ALL SELECT 'l_returnflag', 'n_null', f_null FROM a "
+    "UNION ALL SELECT 'l_returnflag', 'n_distinct', f_distinct FROM a"
+)
+
+
+@query("dq_profile", oracle=_PROFILE_ORACLE)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the lineitem fact in ONE aggregation pass, then
+    exploded to (column_name, metric, value) long form — the bounded
+    report a quality dashboard stores per batch. count_distinct columns
+    plan as a single multi-distinct aggregate; everything else is plain
+    partial-aggregable min/max/count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("q_null"),
+        F.count_distinct("l_quantity").alias("q_distinct"),
+        F.round(F.min("l_quantity") * 100).cast("long").alias("q_min"),
+        F.round(F.max("l_quantity") * 100).cast("long").alias("q_max"),
+        F.sum(F.when(F.col("l_extendedprice").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("p_null"),
+        F.count_distinct("l_extendedprice").alias("p_distinct"),
+        F.round(F.min("l_extendedprice") * 100).cast("long").alias("p_min"),
+        F.round(F.max("l_extendedprice") * 100).cast("long").alias("p_max"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("d_null"),
+        F.count_distinct("l_shipdate").alias("d_distinct"),
+        F.date_format(F.min("l_shipdate"), "yyyyMMdd").cast("long").alias("d_min"),
+        F.date_format(F.max("l_shipdate"), "yyyyMMdd").cast("long").alias("d_max"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("f_null"),
+        F.count_distinct("l_returnflag").alias("f_distinct"),
+    )
+    rows = [
+        ("l_quantity", "n", "n"),
+        ("l_quantity", "n_null", "q_null"),
+        ("l_quantity", "n_distinct", "q_distinct"),
+        ("l_quantity", "min_x100", "q_min"),
+        ("l_quantity", "max_x100", "q_max"),
+        ("l_extendedprice", "n", "n"),
+        ("l_extendedprice", "n_null", "p_null"),
+        ("l_extendedprice", "n_distinct", "p_distinct"),
+        ("l_extendedprice", "min_x100", "p_min"),
+        ("l_extendedprice", "max_x100", "p_max"),
+        ("l_shipdate", "n", "n"),
+        ("l_shipdate", "n_null", "d_null"),
+        ("l_shipdate", "n_distinct", "d_distinct"),
+        ("l_shipdate", "min_yyyymmdd", "d_min"),
+        ("l_shipdate", "max_yyyymmdd", "d_max"),
+        ("l_returnflag", "n", "n"),
+        ("l_returnflag", "n_null", "f_null"),
+        ("l_returnflag", "n_distinct", "f_distinct"),
+    ]
+    long_form = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(m).alias("metric"),
+                F.col(src).alias("value"),
+            )
+            for c, m, src in rows
+        ]
+    )
+    return a.select(F.explode(long_form).alias("r")).select(
+        "r.column_name", "r.metric", "r.value"
+    )
+
+
+_GATE_ORACLE = (
+    "WITH li AS (SELECT "
+    "  CAST(count(*) AS BIGINT) AS n_rows, "
+    "  (min(l_quantity) >= 1 AND max(l_quantity) <= 50) AS qty_in_range, "
+    "  (min(l_extendedprice) > 0) AS price_positive, "
+    "  (sum(CASE WHEN l_returnflag NOT IN ('A','N','R') OR l_returnflag IS NULL "
+    "     THEN 1 ELSE 0 END) = 0) AS returnflag_domain, "
+    "  (sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0) AS keys_not_null "
+    "FROM lineitem), "
+    "o AS (SELECT (count(*) = count(DISTINCT o_orderkey)) AS orderkey_unique "
+    "FROM orders) "
+    "SELECT n_rows, qty_in_range, price_positive, returnflag_domain, "
+    "keys_not_null, orderkey_unique FROM li, o"
+)
+
+
+@query("dq_gate", oracle=_GATE_ORACLE)
+def dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row constraint verdict: declared invariants of the TPC-H-ish
+    facts, each a boolean — range bounds, value domain, non-null keys
+    (lineitem, one pass) and primary-key uniqueness (orders, one
+    count-vs-count-distinct pass). The batch is admitted iff every flag
+    is true; the driver value-hash re-proves the whole gate per round."""
+    li = load_table(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_rows"),
+        ((F.min("l_quantity") >= 1) & (F.max("l_quantity") <= 50)).alias(
+            "qty_in_range"
+        ),
+        (F.min("l_extendedprice") > 0).alias("price_positive"),
+        (
+            F.sum(
+                F.when(
+                    ~F.col("l_returnflag").isin("A", "N", "R")
+                    | F.col("l_returnflag").isNull(),
+                    1,
+                ).otherwise(0)
+            )
+            == 0
+        ).alias("returnflag_domain"),
+        (F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)) == 0).alias(
+            "keys_not_null"
+        ),
+    )
+    o = load_table(spark, sf_dir, "orders").agg(
+        (F.count("*") == F.count_distinct("o_orderkey")).alias("orderkey_unique")
+    )
+    return li.crossJoin(F.broadcast(o))

@@ -91,6 +91,7 @@ def load_all() -> None:
         similarity,
         text,
         corpusstats,
+        dataquality,
         multimodal,
         pipeline,
         curate,

@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+import pytest
+
+from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+
+from .oracle import assert_matches_oracle
+
+registry.load_all()
+
+
+@pytest.mark.parametrize("name", ["dq_profile", "dq_gate"])
+def test_oracle_match(spark, sf_correct, name):
+    assert_matches_oracle(
+        spark, sf_correct, name, registry.QUERIES[name], registry.ORACLES[name]
+    )
+
+
+def test_gate_passes_on_clean_fixture(spark, sf_correct):
+    row = registry.QUERIES["dq_gate"](spark, sf_correct).collect()[0]
+    assert row.n_rows > 0
+    assert row.qty_in_range and row.price_positive
+    assert row.returnflag_domain and row.keys_not_null and row.orderkey_unique
+
+
+def test_gate_catches_violations(spark, tmp_path):
+    """The gate must actually FLAG bad data: a corrupted batch with an
+    out-of-range quantity, an out-of-domain flag, a null key, and a
+    duplicated order key flips exactly those booleans."""
+    li_rows = [
+        (1, 10.0, 100.0, "A", "1995-06-01"),
+        (None, 99.0, -5.0, "X", "1995-06-02"),  # null key, qty>50, price<0, bad flag
+    ]
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_returnflag string, ship string",
+    ).selectExpr(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+        "CAST(ship AS TIMESTAMP) AS l_shipdate",
+    )
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    o = spark.createDataFrame([(7,), (7,)], "o_orderkey long")
+    o.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    row = registry.QUERIES["dq_gate"](spark, str(tmp_path)).collect()[0]
+    assert not row.qty_in_range
+    assert not row.price_positive
+    assert not row.returnflag_domain
+    assert not row.keys_not_null
+    assert not row.orderkey_unique
+
+
+def test_profile_single_scan(spark, sf_dir):
+    """The whole profile must come from ONE pass over lineitem — one
+    parquet scan in the plan, however many metrics are declared."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.plans.inspect import (
+        plan_string,
+    )
+
+    p = plan_string(registry.QUERIES["dq_profile"](spark, sf_dir), mode="simple")
+    assert p.count("FileScan parquet") == 1
