@@ -92,3 +92,52 @@ def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy."""
     register_views(spark, sf_dir)
     return spark.sql(_Q5_SQL)
+
+
+_Q1_SQL = (
+    "SELECT l_returnflag, l_linestatus, "
+    "round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) "
+    "AS sum_charge, "
+    "CAST(count(*) AS BIGINT) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus"
+)
+
+
+@query("sql_pricing_summary", oracle=_Q1_SQL)
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary in pure SQL: the canonical
+    scan-heavy single-pass aggregate (filter pushed to the scan, partial +
+    final HashAggregate, group cardinality 6). Averages are omitted in
+    favor of sums+count (the avg is derivable and raw aggregate doubles
+    round engine-differently); every money aggregate follows the
+    rounded-aggregate policy. Identical SQL text runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q1_SQL)
+
+
+_Q10_SQL = (
+    "SELECT c_custkey, c_name, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "n_name "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE l_returnflag = 'R' AND year(o_orderdate) = 1996 "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20"
+)
+
+
+@query("sql_returned_items", oracle=_Q10_SQL)
+def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item report: fact-fact join (orders ×
+    lineitem, both shuffled on the key) with two broadcast dims, grouped
+    revenue per customer, deterministic top-20 via the explicit
+    (revenue DESC, c_custkey) total order — TakeOrderedAndProject after
+    the agg, never a full sort."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q10_SQL)

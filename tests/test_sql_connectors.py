@@ -17,7 +17,15 @@ from .oracle import assert_matches_oracle
 registry.load_all()
 
 
-@pytest.mark.parametrize("name", ["sql_shipping_priority", "sql_word_count"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "sql_shipping_priority",
+        "sql_word_count",
+        "sql_pricing_summary",
+        "sql_returned_items",
+    ],
+)
 def test_oracle_match(spark, sf_correct, name):
     assert_matches_oracle(
         spark, sf_correct, name, registry.QUERIES[name], registry.ORACLES[name]
