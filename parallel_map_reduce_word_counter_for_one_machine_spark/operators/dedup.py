@@ -2,19 +2,28 @@
 § north-star extensions; absent from the reference, whose only keyed
 structure is the word→count map — SURVEY.md §2b).
 
-Five tiers, all pure DataFrame/JVM expressions (no Python in the row path):
+The dedup tiers, all pure DataFrame/JVM expressions in the row paths
+(the only Python is the Arrow-batched hyperplane sketch matmul):
 
-1. ``dedup_exact``        — hash-groupBy on content; one shuffle.
-2. ``dedup_minhash_lsh``  — shingle → MinHash signature → band → bucket
-   join → exact-Jaccard verify. THE 100 TB near-dup path: candidate
-   generation is a groupBy on band keys (linear + one shuffle), never an
-   all-pairs join.
-3. ``dedup_simhash``      — 64-bit SimHash + chunk-LSH + hamming verify.
-4. ``dedup_ngram_jaccard``— exact all-pairs Jaccard on token sets;
+1. ``dedup_exact`` / ``dedup_exact_normalized`` — hash-groupBy on a
+   (possibly normalized) content fingerprint; one 16-byte shuffle.
+2. ``dedup_incremental`` / ``dedup_incremental_fuzzy`` — per-batch
+   ingest gates against the standing corpus (exact fingerprint index /
+   banded MinHash index + exact verify; the fuzzy gate also runs as a
+   real stream — streaming/fuzzygate.py).
+3. ``minhash_lsh_pairs`` (+ registered verdict ``dedup_minhash_lsh``) —
+   shingle → MinHash signature (shuffle-free array-domain map) → band →
+   bucket groupBy → exact-Jaccard verify. THE 100 TB near-dup path:
+   candidate generation is linear + one shuffle, never all-pairs;
+   ``lsh_verified_pairs`` is the exact-collapse production edge source
+   for the clustering operators (graphdedup.py).
+4. ``dedup_simhash``      — 64-bit SimHash + chunk-LSH + hamming verify.
+5. ``dedup_ngram_jaccard``— exact all-pairs Jaccard on token sets;
    oracle-checkable ground truth for the LSH tiers (O(n²) — test scale
    only; the LSH tiers are the scale path).
-5. ``dedup_embedding``    — embedding-cosine near-dup pairs (semantic
-   near-dups; brute-force here, LSH/IVF variant in similarity.py).
+6. ``dedup_embedding`` (blocked-GEMM exact tier) and
+   ``dedup_embedding_lsh`` (hyperplane-sketch semantic tier, cos ≥ 0.9).
+7. ``dedup_spans``        — rolling-span repetition statistics.
 
 MinHash math: h_i(S) = min over shingles s of xxhash64(s, seed_i); the
 band trick (b bands × r rows) makes P[candidate] ≈ 1-(1-J^r)^b — with
