@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "pii_scrub",
     "pack_sequences",
     "prepare_training_corpus",
+    "chunk_documents",
+    "dedup_chunks",
 ]
 
 

@@ -31,25 +31,27 @@ CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
 
 
-@query(
-    "chunk_documents",
-    oracle=(
-        "WITH t AS (SELECT doc_id, "
-        "list_filter(string_split(text, ' '), w -> w <> '') AS toks "
-        "FROM documents), "
-        "c AS (SELECT doc_id, toks, "
-        f"1 + (greatest(len(toks) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE - 1})"
-        f" // {CHUNK_STRIDE} AS n_chunks "
-        "FROM t WHERE len(toks) > 0), "
-        "x AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM c) "
-        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, "
-        f"len(toks[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_TOKENS}])"
-        " AS n_chunk_tokens, "
-        f"array_to_string(toks[i*{CHUNK_STRIDE}+1 : "
-        f"i*{CHUNK_STRIDE}+{CHUNK_TOKENS}], ' ') AS chunk_text "
-        "FROM x"
-    ),
+# The chunk relation in DuckDB terms, shared by the chunk_documents oracle
+# and the chunk-level-dedup oracle that composes on it.
+CHUNK_ORACLE = (
+    "WITH t AS (SELECT doc_id, "
+    "list_filter(string_split(text, ' '), w -> w <> '') AS toks "
+    "FROM documents), "
+    "c AS (SELECT doc_id, toks, "
+    f"1 + (greatest(len(toks) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE - 1})"
+    f" // {CHUNK_STRIDE} AS n_chunks "
+    "FROM t WHERE len(toks) > 0), "
+    "x AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM c) "
+    "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, "
+    f"len(toks[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_TOKENS}])"
+    " AS n_chunk_tokens, "
+    f"array_to_string(toks[i*{CHUNK_STRIDE}+1 : "
+    f"i*{CHUNK_STRIDE}+{CHUNK_TOKENS}], ' ') AS chunk_text "
+    "FROM x"
 )
+
+
+@query("chunk_documents", oracle=CHUNK_ORACLE)
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-window chunks per document.
 
@@ -84,4 +86,39 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("chunk_toks").alias("n_chunk_tokens"),
             F.array_join("chunk_toks", " ").alias("chunk_text"),
         )
+    )
+
+
+@query(
+    "dedup_chunks",
+    oracle=(
+        f"WITH chunks AS ({CHUNK_ORACLE}) "
+        "SELECT md5(chunk_text) AS chunk_md5, "
+        "CAST(count(*) AS BIGINT) AS n_copies, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(min(doc_id) AS BIGINT) AS first_doc "
+        "FROM chunks GROUP BY md5(chunk_text) HAVING count(*) > 1"
+    ),
+)
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: which chunk contents recur across the
+    corpus, and in how many documents — the substring-granularity
+    companion to ``dedup_exact`` (whole docs) and ``dedup_spans``
+    (rolling 8-token windows). Training pipelines run this after chunking
+    so a boilerplate paragraph shared by thousands of pages is dropped
+    once, not per page.
+
+    Scale shape: the map-only chunker feeds a groupBy keyed on the
+    16-byte md5 of the chunk text, so the shuffle carries fingerprints and
+    counts — never the chunk bodies. ``first_doc`` (min doc_id) gives the
+    deterministic survivor the drop list would keep."""
+    chunks = chunk_documents(spark, sf_dir)
+    return (
+        chunks.groupBy(F.md5("chunk_text").alias("chunk_md5"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
     )

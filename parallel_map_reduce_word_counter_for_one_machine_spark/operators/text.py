@@ -687,3 +687,55 @@ def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_hits.alias("stop_hits"),
         passes.alias("gopher_pass"),
     )
+
+
+@query(
+    "quality_dup_ngrams",
+    oracle=(
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "tg AS (SELECT doc_id, unnest(list_transform(list_zip(t, t[2:], t[3:]), "
+        "x -> CASE WHEN x[3] IS NULL THEN NULL "
+        "ELSE x[1] || ' ' || x[2] || ' ' || x[3] END)) AS trigram FROM w), "
+        "c AS (SELECT doc_id, trigram, count(*) AS n FROM tg "
+        "WHERE trigram IS NOT NULL GROUP BY doc_id, trigram) "
+        "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams, "
+        "CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_occ, "
+        "CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) / sum(n) "
+        "AS dup_frac "
+        "FROM c GROUP BY doc_id"
+    ),
+)
+def quality_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's duplicate-n-gram repetition metric (Rae et al. 2021 §A1.1,
+    n=3): the fraction of a document's trigram occurrences that belong to
+    trigrams appearing more than once WITHIN the document. Complements
+    ``quality_repetition`` (top-bigram dominance): dup_frac catches diffuse
+    repetition — a page cycling through ten boilerplate sentences scores
+    high here while no single bigram dominates.
+
+    Shape: per-doc trigrams via the zip_with chain in the array domain,
+    exploded and counted by (doc_id, trigram), folded to per-doc sums —
+    two combiner-friendly shuffles keyed by doc-local cardinality, exactly
+    the ``quality_repetition`` plan with one more zip. Docs with <3 tokens
+    have no trigrams and drop out."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words()
+    t2 = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0)))
+    t3 = F.slice(w, 3, F.greatest(F.size(w) - 2, F.lit(0)))
+    tri = F.zip_with(
+        F.zip_with(w, t2, lambda a, b: F.concat_ws(" ", a, b)),
+        t3,
+        lambda ab, c: F.when(c.isNotNull(), F.concat_ws(" ", ab, c)),
+    )
+    counts = (
+        d.select("doc_id", F.explode(tri).alias("trigram"))
+        .filter(F.col("trigram").isNotNull())
+        .groupBy("doc_id", "trigram")
+        .agg(F.count("*").alias("n"))
+    )
+    dup = F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0)))
+    return counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_trigrams"),
+        dup.alias("n_dup_occ"),
+        (dup.cast("double") / F.sum("n")).alias("dup_frac"),
+    )

@@ -122,3 +122,63 @@ def test_chunk_plan_is_map_only(spark, sf_correct):
     map-only pass (the 100 TB contract in the module docstring)."""
     plan = chunk_documents(spark, sf_correct)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["dedup_chunks", "quality_dup_ngrams"])
+def test_oracle_match_round2(spark, sf_correct, name):
+    assert_matches_oracle(
+        spark, sf_correct, name, registry.QUERIES[name], registry.ORACLES[name]
+    )
+
+
+def test_dedup_chunks_semantics(spark, sf_correct):
+    """Every reported fingerprint really has n_copies matching occurrences
+    in the chunk relation, n_docs <= n_copies, and first_doc is a doc that
+    contains the chunk."""
+    from collections import Counter
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.chunking import (
+        dedup_chunks,
+    )
+    import hashlib
+
+    chunks = chunk_documents(spark, sf_correct).collect()
+    occ: Counter = Counter()
+    docs: dict[str, set] = {}
+    for r in chunks:
+        fp = hashlib.md5(r.chunk_text.encode()).hexdigest()
+        occ[fp] += 1
+        docs.setdefault(fp, set()).add(r.doc_id)
+    reported = dedup_chunks(spark, sf_correct).collect()
+    assert len(reported) > 0  # corpus has recurring chunk content
+    assert {r.chunk_md5 for r in reported} == {f for f, n in occ.items() if n > 1}
+    for r in reported:
+        assert r.n_copies == occ[r.chunk_md5]
+        assert r.n_docs == len(docs[r.chunk_md5])
+        assert r.first_doc == min(docs[r.chunk_md5])
+
+
+def test_dup_ngrams_hand_case(spark):
+    """dup_frac on a hand-built doc: 'a b a b a b' has trigrams
+    [aba, bab, aba, bab] -> all 4 occurrences duplicated -> dup_frac 1.0;
+    'x y z w' has 2 distinct trigrams -> dup_frac 0.0."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z w"), (3, "p q")],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("tmp_docs")
+    import parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark, sf, name: df  # noqa: ARG005
+        t.load_table = tables.load_table
+        rows = {r.doc_id: r for r in t.quality_dup_ngrams(spark, "ignored").collect()}
+    finally:
+        tables.load_table = orig
+        t.load_table = orig
+    assert rows[1].n_trigrams == 4 and rows[1].dup_frac == 1.0
+    assert rows[2].n_trigrams == 2 and rows[2].dup_frac == 0.0
+    assert 3 not in rows  # <3 tokens -> no trigrams

@@ -93,3 +93,35 @@ def test_fact_fact_join_shuffles_when_broadcast_disabled(spark, sf_correct):
         assert j.count() == li.count()  # every lineitem has an order
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_orc_roundtrip(spark, sf_correct, tmp_path):
+    """ORC connector (the other columnar format Spark ships natively):
+    lineitem out as ORC, read back, content identical — including decimals
+    and dates. Also asserts predicate pushdown reaches the ORC scan the
+    same way it does for parquet."""
+    src = load_table(spark, sf_correct, "lineitem")
+    out = str(tmp_path / "li_orc")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    plan = plan_string(back.filter(F.col("l_quantity") > 40).select("l_orderkey"))
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+
+
+def test_orc_aggregate_matches_parquet(spark, sf_correct, tmp_path):
+    """The same aggregate over the ORC copy and the parquet original
+    produces identical results — format-independence of the engine."""
+    src = load_table(spark, sf_correct, "lineitem")
+    out = str(tmp_path / "li_orc2")
+    src.write.mode("overwrite").orc(out)
+    agg = lambda df: sorted(  # noqa: E731
+        map(
+            tuple,
+            df.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+            .collect(),
+        )
+    )
+    assert agg(spark.read.orc(out)) == agg(src)

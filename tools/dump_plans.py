@@ -45,9 +45,18 @@ HEADLINE = [
     "corpus_drift_chi2",
     "pmi_bigrams",
     "zipf_slope",
+    "chunk_documents",
+    "dedup_chunks",
+    "embedding_outliers",
 ]
 
 NOTES = {
+    "chunk_documents": "map-only: scan -> Filter -> Project(sequence/transform/"
+    "slice) -> Generate(posexplode); ZERO Exchange by contract (plan test)",
+    "dedup_chunks": "chunker feeds one md5-keyed partial+final HashAggregate; "
+    "the shuffle carries 16-byte fingerprints + counts, never chunk bodies",
+    "embedding_outliers": "centroid agg (k x dim states) -> BroadcastHashJoin "
+    "against the corpus scan -> one label-keyed window exchange for bottom-K",
     "word_count": "one exchange; partial+final HashAggregate around it",
     "sort_by_count_desc": "agg exchange + single-partition rank window on the "
     "distinct-word result (bounded by |vocabulary|)",
