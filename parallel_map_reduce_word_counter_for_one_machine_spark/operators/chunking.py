@@ -51,9 +51,11 @@ CHUNK_ORACLE = (
 )
 
 
-@query("chunk_documents", oracle=CHUNK_ORACLE)
-def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping fixed-window chunks per document.
+def chunk_relation(docs: DataFrame) -> DataFrame:
+    """The chunk transformation over any (doc_id, text) relation — batch
+    or streaming (it is stateless, so the identical expression tree runs
+    under a readStream with no watermark or state store at all; the
+    streaming twin in ``streaming/chunkstream.py`` uses exactly this).
 
     chunk count = 1 + ceil(max(0, n−W)/S), computed in integer arithmetic
     (identical on both engines); the last chunk may be short but is never
@@ -61,7 +63,6 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     produce no chunks (filtered before ``sequence`` — Spark's ``sequence``
     would otherwise count DOWN for a negative stop and fabricate chunks).
     """
-    d = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda w: w != "")
     n = F.size("toks")
     n_chunks = (
@@ -76,7 +77,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.slice(F.col("toks"), i * CHUNK_STRIDE + 1, CHUNK_TOKENS),
     )
     return (
-        d.select("doc_id", toks.alias("toks"))
+        docs.select("doc_id", toks.alias("toks"))
         .filter(n > 0)
         .withColumn("n_chunks", n_chunks)
         .select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_toks"))
@@ -87,6 +88,12 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join("chunk_toks", " ").alias("chunk_text"),
         )
     )
+
+
+@query("chunk_documents", oracle=CHUNK_ORACLE)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunks per document (see chunk_relation)."""
+    return chunk_relation(load_table(spark, sf_dir, "documents"))
 
 
 @query(

@@ -141,3 +141,34 @@ def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     the agg, never a full sort."""
     register_views(spark, sf_dir)
     return spark.sql(_Q10_SQL)
+
+
+# TPC-H Q18 shape (large-volume customer): an IN-subquery with a HAVING
+# aggregate gate, rewritten by Catalyst into a semi join against the
+# grouped lineitem — the classic "aggregate filter feeding a join" plan.
+# Threshold 250 is scaled to the synthetic data (TPC-H uses 300 at sf1;
+# per-order sum(l_quantity) here tops out at ~458). total_qty sums
+# integral doubles, so it is order-insensitive-exact and needs no
+# rounding; the explicit (o_totalprice DESC, o_orderkey) total order makes
+# the LIMIT deterministic.
+_Q18_SQL = (
+    "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+    "sum(l_quantity) AS total_qty "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+    "GROUP BY l_orderkey HAVING sum(l_quantity) > 250) "
+    "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+)
+
+
+@query("sql_large_orders", oracle=_Q18_SQL)
+def sql_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped query, identical SQL text on both engines: the
+    HAVING-gated IN subquery becomes a LeftSemi join on l_orderkey (plan
+    asserted in tests), the fact joins shuffle on their natural keys, and
+    the final top-100 is a TakeOrderedAndProject — no global sort of the
+    grouped result."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)

@@ -182,3 +182,18 @@ def test_dup_ngrams_hand_case(spark):
     assert rows[1].n_trigrams == 4 and rows[1].dup_frac == 1.0
     assert rows[2].n_trigrams == 2 and rows[2].dup_frac == 0.0
     assert 3 not in rows  # <3 tokens -> no trigrams
+
+
+def test_chunk_stream_equals_batch(spark, sf_correct):
+    """The chunker run as a REAL readStream (file source, availableNow,
+    append sink) produces exactly the batch relation — chunking is
+    stateless, so streaming ingest needs no watermark or state store."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.chunkstream import (
+        run_stream_chunks,
+    )
+
+    stream_df = run_stream_chunks(spark, sf_correct, "t_stream_chunks")
+    batch_df = chunk_documents(spark, sf_correct)
+    assert sorted(map(tuple, stream_df.collect())) == sorted(
+        map(tuple, batch_df.collect())
+    )

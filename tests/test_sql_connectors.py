@@ -125,3 +125,19 @@ def test_orc_aggregate_matches_parquet(spark, sf_correct, tmp_path):
         )
     )
     assert agg(spark.read.orc(out)) == agg(src)
+
+
+def test_large_orders_oracle_and_plan(spark, sf_correct):
+    """Q18 shape: oracle match, and the HAVING-gated IN subquery must be
+    rewritten to a LeftSemi join (no re-aggregation of the subquery per
+    outer row) with a TakeOrderedAndProject for the top-100."""
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "sql_large_orders",
+        registry.QUERIES["sql_large_orders"],
+        registry.ORACLES["sql_large_orders"],
+    )
+    plan = plan_string(registry.QUERIES["sql_large_orders"](spark, sf_correct))
+    assert "LeftSemi" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
