@@ -24,6 +24,8 @@ The dedup tiers, all pure DataFrame/JVM expressions in the row paths
 6. ``dedup_embedding`` (blocked-GEMM exact tier) and
    ``dedup_embedding_lsh`` (hyperplane-sketch semantic tier, cos ≥ 0.9).
 7. ``dedup_spans``        — rolling-span repetition statistics.
+8. ``dedup_spans_trim``   — cross-doc repeated-span REMOVAL (the
+   ExactSubstr apply step: covered tokens dropped, survivors rejoined).
 
 MinHash math: h_i(S) = min over shingles s of xxhash64(s, seed_i); the
 band trick (b bands × r rows) makes P[candidate] ≈ 1-(1-J^r)^b — with
@@ -1516,5 +1518,113 @@ def dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_truth",
             (F.col("n_false") == 0).alias("precision_ok"),
             (F.col("n_missed") == 0).alias("recall_ok"),
+        )
+    )
+
+
+@query(
+    "dedup_spans_trim",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), w -> w <> '') AS t "
+        "FROM documents), "
+        f"x AS (SELECT doc_id, t, unnest(range(1, len(t) - {SPAN_K} + 2)) AS i "
+        f"FROM toks WHERE len(t) >= {SPAN_K}), "
+        f"spans AS (SELECT doc_id, i AS start, "
+        f"array_to_string(t[i : i + {SPAN_K - 1}], ' ') AS span FROM x), "
+        "rep AS (SELECT span FROM spans GROUP BY span "
+        "HAVING min(doc_id) <> max(doc_id)), "
+        "cov AS (SELECT DISTINCT s.doc_id, s.start + k.k AS idx "
+        "FROM spans s JOIN rep USING (span) "
+        f"CROSS JOIN (SELECT unnest(range(0, {SPAN_K})) AS k) k), "
+        "tok AS (SELECT doc_id, unnest(t) AS token, "
+        "generate_subscripts(t, 1) AS idx FROM toks) "
+        "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(count(c.idx) AS BIGINT) AS n_removed, "
+        "coalesce(string_agg(t.token, ' ' ORDER BY t.idx) "
+        "FILTER (WHERE c.idx IS NULL), '') AS clean_text "
+        "FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx "
+        "GROUP BY t.doc_id"
+    ),
+)
+def dedup_spans_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span REMOVAL — the ExactSubstr dedup of Lee
+    et al., "Deduplicating Training Data Makes Language Models Better"
+    (ACL'22), at span granularity: every token covered by at least one
+    SPAN_K-token window that also occurs verbatim in another document is
+    dropped; the survivors re-join into ``clean_text``. ``dedup_spans``
+    measures the signal; this op applies it.
+
+    Scale shape — everything is linear and relational, no per-row
+    quadratic scans: span stream (with start offsets) explodes once;
+    repeated spans fall out of the same min≠max groupBy as
+    ``dedup_spans``; covered token indexes are repeated-span rows × SPAN_K
+    exploded and deduped on (doc_id, idx); the final pass left-joins the
+    token stream against the covered set and re-assembles survivors with a
+    sorted collect per doc. Shuffles key on span hash, (doc_id, idx), and
+    doc_id — each carries O(corpus tokens) narrow rows, the same plan at
+    100 TB. Spark groups an 8-byte xxhash64 of the span while the oracle
+    groups the span string (the ``dedup_spans`` convention: a 64-bit
+    collision, odds ~n²/2⁶⁵, is the only way they diverge).
+
+    Docs with zero tokens have no token rows and drop out (same as the
+    chunker); docs shorter than SPAN_K tokens have no spans and come back
+    unmodified."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("t"))
+    starts = F.when(
+        F.size("t") >= SPAN_K, F.sequence(F.lit(1), F.size("t") - SPAN_K + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.xxhash64(
+                        F.array_join(F.slice(F.col("t"), i, SPAN_K), " ")
+                    ).alias("span_h"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.start", "s.span_h")
+    # Two consumers (rep agg + cover join): one materialization, as in
+    # dedup_spans.
+    spans = spans.localCheckpoint()
+    rep = (
+        spans.groupBy("span_h")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
+        .select("span_h")
+    )
+    cov = (
+        spans.join(rep, "span_h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + SPAN_K - 1)
+            ).alias("idx"),
+        )
+        .distinct()
+        .withColumn("c", F.lit(True))
+    )
+    tok = toks.select(
+        "doc_id", F.posexplode("t").alias("idx0", "token")
+    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "token")
+    kept_struct = F.when(F.col("c").isNull(), F.struct("idx", "token"))
+    return (
+        tok.join(cov, ["doc_id", "idx"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count("c").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.getField("token"),
+                ),
+                " ",
+            ).alias("clean_text"),
         )
     )

@@ -184,3 +184,54 @@ def test_funnel_fold_matches_python_reference_on_random_sequences(spark):
     got_stages = [r["stage"] for r in funnel_stages(df).collect()]
     got = [sum(1 for s in got_stages if s >= k + 1) for k in range(len(FUNNEL_STEPS))]
     assert got == expected
+
+
+def test_dedup_spans_trim_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "dedup_spans_trim",
+        registry.QUERIES["dedup_spans_trim"],
+        registry.ORACLES["dedup_spans_trim"],
+    )
+
+
+def test_dedup_spans_trim_truth(spark, sf_dir):
+    """Python truth twin at sf0.001: recompute the covered-token set from
+    scratch (span strings, cross-doc repetition, interval cover) and assert
+    clean_text, n_tokens, n_removed all match; also cross-check against
+    dedup_spans (a doc is untouched iff it has no repeated span)."""
+    from collections import defaultdict
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.dedup import (
+        SPAN_K,
+    )
+
+    docs = {
+        r.doc_id: [w for w in r.text.split(" ") if w != ""]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    span_docs: dict[str, set] = defaultdict(set)
+    for doc_id, t in docs.items():
+        for i in range(len(t) - SPAN_K + 1):
+            span_docs[" ".join(t[i : i + SPAN_K])].add(doc_id)
+    out = {
+        r.doc_id: r
+        for r in registry.QUERIES["dedup_spans_trim"](spark, sf_dir).collect()
+    }
+    n_trimmed = 0
+    for doc_id, t in docs.items():
+        if not t:
+            assert doc_id not in out
+            continue
+        covered: set = set()
+        for i in range(len(t) - SPAN_K + 1):
+            if len(span_docs[" ".join(t[i : i + SPAN_K])]) > 1:
+                covered.update(range(i, i + SPAN_K))
+        kept = [w for j, w in enumerate(t) if j not in covered]
+        r = out[doc_id]
+        assert r.n_tokens == len(t)
+        assert r.n_removed == len(covered)
+        assert r.clean_text == " ".join(kept)
+        n_trimmed += bool(covered)
+    assert n_trimmed > 0  # the corpus really exercises the removal path
