@@ -376,3 +376,43 @@ def test_minhash_signature_property(spark, sf_correct):
     avg_m, avg_j = tot_m / n, tot_j / n
     # binomial noise at n pairs x 32 positions is well under 0.1
     assert abs(avg_m - avg_j) < 0.1, f"sig-match {avg_m:.3f} vs J {avg_j:.3f}"
+
+
+def test_pq_recall_vs_exact(spark, sf_correct):
+    """PQ shortlist (ADC over reconstructed codewords) + exact re-rank must
+    recover most of the exact top-10. Measured 0.90-0.98 across the three
+    SFs on the isotropic corpus (the hardest case for PQ); 0.8 asserts
+    both stages work without riding the measurement."""
+    exact = registry.QUERIES["similarity_topk"](spark, sf_correct).select(
+        "query_id", "cand_id"
+    )
+    approx = S.pq_topk_listing(spark, sf_correct).select("query_id", "cand_id")
+    n_exact = exact.count()
+    hit = exact.join(approx, ["query_id", "cand_id"], "left_semi").count()
+    recall = hit / n_exact
+    assert recall >= 0.8, f"PQ recall {recall:.2f} < 0.8 (hit {hit}/{n_exact})"
+
+
+def test_pq_verdict_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "similarity_topk_pq",
+        registry.QUERIES["similarity_topk_pq"],
+        registry.ORACLES["similarity_topk_pq"],
+    )
+
+
+def test_pq_rerank_scores_are_exact(spark, sf_correct):
+    """The re-ranked listing's cos_sim must equal the exact operator's
+    cosine for every (query, cand) both produce — the second stage really
+    reads raw vectors, not reconstructions."""
+    exact = {
+        (r.query_id, r.cand_id): r.cos_sim
+        for r in registry.QUERIES["similarity_topk"](spark, sf_correct).collect()
+    }
+    pq = S.pq_topk_listing(spark, sf_correct).collect()
+    shared = [r for r in pq if (r.query_id, r.cand_id) in exact]
+    assert len(shared) > 0
+    for r in shared:
+        assert r.cos_sim == exact[(r.query_id, r.cand_id)], r
