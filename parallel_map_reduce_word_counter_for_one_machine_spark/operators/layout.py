@@ -1,0 +1,117 @@
+"""Physical-layout operators: multi-dimensional clustering keys for
+data skipping (driver contract § scale extensions; the reference has no
+storage layout at all — one input file, src/main.cpp:78-108).
+
+Z-ordering (Morton order) interleaves the bits of several columns into
+one sort key so that sorting by the single key co-locates rows that are
+close in EVERY dimension — the layout behind Delta/Iceberg
+``OPTIMIZE ZORDER BY``: per-file min/max ranges become tight for all
+participating columns at once, so a predicate on ANY of them prunes
+files at listing time (the `scan_partition_pruned` effect without
+committing to one partition column).
+
+THE pitfall (measured here before normalization was added): interleaving
+raw values whose ranges span different bit widths degenerates to a sort
+by the widest column — l_partkey uses 15 bits, l_suppkey 10, so
+partkey's high bits owned z-positions 20-28 unopposed and the "z" layout
+scored the same file-range cost as a plain partkey sort (1.036 vs 1.031
+in the locality test). Production z-ordering therefore RANGE-NORMALIZES
+every dimension onto the same grid first (Delta uses range partition
+ids); here each column is affinely scaled onto [0, 2^Z_BITS) from its
+global min/max before the interleave.
+
+Cost shape: one tiny min/max aggregate (2 longs per column) broadcast
+back over a map-only key computation — whole-stage codegen shifts and
+masks; then the one range exchange you were already paying to write
+sorted files. Identical plan at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+# Bits per dimension on the normalized grid.
+Z_BITS = 16
+Z_MAX = (1 << Z_BITS) - 1
+
+
+def zvalue(a: Column, b: Column, bits: int = Z_BITS) -> Column:
+    """Morton interleave of the low ``bits`` of two non-negative longs:
+    bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1."""
+    parts = []
+    for i in range(bits):
+        parts.append(F.shiftleft(F.shiftrightunsigned(a, i).bitwiseAND(1), 2 * i))
+        parts.append(
+            F.shiftleft(F.shiftrightunsigned(b, i).bitwiseAND(1), 2 * i + 1)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def _zvalue_sql(a: str, b: str, bits: int = Z_BITS) -> str:
+    """The identical interleave as engine-neutral SQL text (>>, &, << are
+    shared by Spark SQL and DuckDB; the oracle uses this verbatim)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _quantize(col: Column, mn: Column, mx: Column) -> Column:
+    """Affine map of ``col`` from [mn, mx] onto the integer grid
+    [0, Z_MAX]. The arithmetic ((x−mn)·Z_MAX as exact doubles, one IEEE
+    divide, floor) is the identical op sequence in the oracle, so the
+    quantized grid — and therefore the key — matches bit-for-bit."""
+    return F.when(
+        mx > mn,
+        F.floor((col - mn).cast("double") * Z_MAX / (mx - mn)).cast("long"),
+    ).otherwise(F.lit(0))
+
+
+@query(
+    "layout_zorder",
+    oracle=(
+        "WITH r AS (SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx, "
+        "min(l_suppkey) AS smn, max(l_suppkey) AS smx FROM lineitem), "
+        "q AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+        f"CASE WHEN pmx > pmn THEN CAST(floor(CAST(l_partkey - pmn AS DOUBLE)"
+        f" * {Z_MAX} / (pmx - pmn)) AS BIGINT) ELSE 0 END AS qa, "
+        f"CASE WHEN smx > smn THEN CAST(floor(CAST(l_suppkey - smn AS DOUBLE)"
+        f" * {Z_MAX} / (smx - smn)) AS BIGINT) ELSE 0 END AS qb "
+        "FROM lineitem, r) "
+        "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+        f"CAST({_zvalue_sql('qa', 'qb')} AS BIGINT) AS zkey FROM q"
+    ),
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part, supplier) Z-order key per lineitem row — the clustering key
+    an OPTIMIZE-style rewrite would range-sort the table by, with both
+    dimensions range-normalized onto the same 16-bit grid (see module
+    docstring for why that step is load-bearing). Registered as the key
+    computation (deterministic, oracled bit-for-bit); the layout BENEFIT
+    — per-file min/max ranges tight in both dimensions at once — is
+    asserted quantitatively in tests/test_layout.py against single-column
+    sorting."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.agg(
+        F.min("l_partkey").alias("pmn"),
+        F.max("l_partkey").alias("pmx"),
+        F.min("l_suppkey").alias("smn"),
+        F.max("l_suppkey").alias("smx"),
+    )
+    qa = _quantize(F.col("l_partkey"), F.col("pmn"), F.col("pmx"))
+    qb = _quantize(F.col("l_suppkey"), F.col("smn"), F.col("smx"))
+    return li.crossJoin(F.broadcast(r)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        zvalue(qa, qb).alias("zkey"),
+    )

@@ -97,6 +97,7 @@ def load_all() -> None:
         curate,
         analytics,
         chunking,
+        layout,
     )
     from .functions import udfs  # noqa: F401
     from .streaming import dedupstream, joins, tumbling  # noqa: F401
