@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "prepare_training_corpus",
     "chunk_documents",
     "dedup_chunks",
+    "dedup_spans_trim",
+    "pq_topk_listing",
+    "layout_zorder",
 ]
 
 
@@ -76,17 +79,25 @@ ALL_RUNS: dict[str, list[float]] = {}
 
 
 def _bench_fn(name: str):
-    """The DataFrame-producing callable benched under ``name``. One
-    override: ``dedup_minhash_lsh``'s REGISTERED key is now a one-row
-    verdict that embeds the O(n²) exact-truth verifier (driver-correctness
-    shape, test-scale only) — the bench keeps timing the PRODUCTION pair
-    listing, the same relation every prior round's number measured."""
+    """The DataFrame-producing callable benched under ``name``. Two
+    overrides time PRODUCTION listings whose registered keys are one-row
+    verdicts (the verdicts embed exact-truth verifiers — correctness
+    shape, not the production relation): ``dedup_minhash_lsh`` times the
+    pair listing (the same relation every prior round's number measured)
+    and ``pq_topk_listing`` times the ADC-shortlist + exact-re-rank scan
+    behind ``similarity_topk_pq``."""
     if name == "dedup_minhash_lsh":
         from parallel_map_reduce_word_counter_for_one_machine_spark.operators.dedup import (
             minhash_lsh_pairs,
         )
 
         return minhash_lsh_pairs
+    if name == "pq_topk_listing":
+        from parallel_map_reduce_word_counter_for_one_machine_spark.operators.similarity import (
+            pq_topk_listing,
+        )
+
+        return pq_topk_listing
     return registry.QUERIES[name]
 
 
