@@ -214,3 +214,52 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@query(
+    "corpus_overlap",
+    oracle=(
+        "WITH fp AS (SELECT DISTINCT source, "
+        "md5(array_to_string(list_sort(list_distinct("
+        "list_filter(string_split(text, ' '), w -> w <> ''))), chr(1))) AS fp "
+        "FROM documents "
+        "WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0) "
+        "SELECT a.source AS source_a, b.source AS source_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source "
+        "GROUP BY a.source, b.source"
+    ),
+)
+def corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered source pair,
+    how many normalized content fingerprints (sorted distinct token set —
+    the exact-collapse fp from ``lsh_verified_pairs``) appear in BOTH —
+    the report that tells a corpus owner which feeds are re-scraping each
+    other before mixture weights are trusted.
+
+    Shape: one distinct over (source, 16-byte fp), then a self-join keyed
+    on the fingerprint — the join explodes only within same-fp groups
+    (bounded by the number of sources, not corpus size) and the final
+    aggregate carries one row per source pair. Token-less docs are
+    excluded so md5 of the empty set cannot weld unrelated feeds."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    fp = (
+        d.select(
+            "source",
+            F.md5(
+                F.array_join(F.array_sort(F.array_distinct(toks)), "\x01")
+            ).alias("fp"),
+        )
+        .filter(F.size(toks) > 0)
+        .distinct()
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -235,3 +235,38 @@ def test_dedup_spans_trim_truth(spark, sf_dir):
         assert r.clean_text == " ".join(kept)
         n_trimmed += bool(covered)
     assert n_trimmed > 0  # the corpus really exercises the removal path
+
+
+def test_corpus_overlap_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "corpus_overlap",
+        registry.QUERIES["corpus_overlap"],
+        registry.ORACLES["corpus_overlap"],
+    )
+
+
+def test_corpus_overlap_semantics(spark, sf_correct):
+    """Recompute the matrix in Python from the raw docs: per-pair shared
+    normalized-token-set fingerprints, ordered source_a < source_b."""
+    from collections import defaultdict
+
+    docs = load_table(spark, sf_correct, "documents").collect()
+    by_src: dict[str, set] = defaultdict(set)
+    for r in docs:
+        ts = tuple(sorted(set(w for w in r.text.split(" ") if w != "")))
+        if ts:
+            by_src[r.source].add(ts)
+    expect = {}
+    srcs = sorted(by_src)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            n = len(by_src[sa] & by_src[sb])
+            if n:
+                expect[(sa, sb)] = n
+    got = {
+        (r.source_a, r.source_b): r.n_shared
+        for r in registry.QUERIES["corpus_overlap"](spark, sf_correct).collect()
+    }
+    assert got == expect and len(got) > 0
