@@ -254,6 +254,11 @@ def corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(toks) > 0)
         .distinct()
     )
+    # Materialize the fingerprint table once: both self-join sides consume
+    # it, and the plan otherwise re-scans + re-tokenizes the corpus per
+    # side (2 FileScans measured). Same convention as lsh_verified_pairs'
+    # groups table; at 100 TB this is the persisted fp index.
+    fp = fp.localCheckpoint()
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
