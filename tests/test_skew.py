@@ -1,0 +1,103 @@
+"""AQE skew-join robustness: a deliberately skewed shuffle join (one key
+owning ~95% of the fact side) must complete with correct results AND the
+adaptive planner must actually split the skewed partition — the runtime
+defense SCALE.md relies on for hot keys the static salting operators
+(`agg_salted`, `join_salted`) don't cover.
+
+Two traps found while building this test, both worth remembering when
+debugging "why didn't AQE split my skew" in production:
+- a groupBy on the JOIN KEY downstream of the join disables the split
+  (splitting would break the hash distribution the aggregate needs, and
+  forceOptimizeSkewedJoin is off by default);
+- skew detection works on COMPRESSED shuffle sizes, so a hot partition
+  of constant/pruned columns can compress below the threshold and look
+  healthy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+N_HOT = 200_000  # rows on the hot key
+N_COLD_KEYS = 50
+N_COLD_EACH = 200
+
+_SKEW_CONFS = {
+    # shrink AQE's skew thresholds so the test-sized hot partition trips
+    # the same machinery a 256 MB-per-partition production skew would
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    # keep AQE from first coalescing the skew away at this tiny scale
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+}
+
+
+def _skewed_tables(spark):
+    # non-sequential payload so the hot partition doesn't compress below
+    # the skew threshold (see module docstring)
+    hot = spark.range(N_HOT).select(
+        F.lit(0).alias("k"), (F.col("id") * F.col("id") % 997).alias("payload")
+    )
+    cold = spark.range(N_COLD_KEYS * N_COLD_EACH).select(
+        (F.col("id") % N_COLD_KEYS + 1).alias("k"), F.col("id").alias("payload")
+    )
+    fact = hot.unionAll(cold)
+    dim = spark.range(N_COLD_KEYS + 1).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val")
+    )
+    # a dim with duplicate keys forces a real shuffle join contribution
+    dim = dim.unionAll(dim)
+    return fact, dim
+
+
+def test_aqe_splits_skewed_join(spark):
+    saved = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
+    for k, v in _SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        fact, dim = _skewed_tables(spark)
+        # global agg only: a groupBy on the join key would forbid the
+        # split (module docstring trap #1); summing payload+dim_val keeps
+        # both columns un-pruned through the join (trap #2)
+        j = fact.join(dim, "k").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("payload") + F.col("dim_val")).alias("s"),
+        )
+        row = j.collect()[0]
+        # every fact row matches exactly 2 dim rows (dim duplicated)
+        assert row.n == 2 * (N_HOT + N_COLD_KEYS * N_COLD_EACH)
+        # collect() ran THIS DataFrame's QueryExecution, so the adaptive
+        # plan attached to it is final and records the skew split
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_skewed_join_correct_without_aqe_split(spark):
+    """Same join with skew handling off still returns identical results —
+    the optimization is transparent to semantics."""
+    saved = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        fact, dim = _skewed_tables(spark)
+        agg = (
+            fact.join(dim, "k")
+            .groupBy("k")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        got = {r.k: r.n for r in agg}
+        assert got[0] == 2 * N_HOT
+        for k in range(1, N_COLD_KEYS + 1):
+            assert got[k] == 2 * N_COLD_EACH
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", saved)
