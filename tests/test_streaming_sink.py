@@ -42,3 +42,25 @@ def test_file_sink_exactly_once_on_restart(spark, sf_correct, tmp_path):
     # content spot check
     total = spark.read.parquet(out).agg(F.count_distinct("event_id")).collect()[0][0]
     assert total == 10000
+
+
+def test_foreachbatch_upsert_state_equals_batch(spark, sf_correct, tmp_path):
+    """The foreachBatch MERGE sink's final state must equal the batch
+    computation of latest-row-per-user over the whole feed, regardless of
+    how the stream was micro-batched."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.upsertsink import (
+        _latest_per_key,
+        run_stream_upsert,
+    )
+
+    state = str(tmp_path / "upsert_state")
+    final = run_stream_upsert(spark, sf_correct, state, "t_upsert_sink")
+    expect = _latest_per_key(load_table(spark, sf_correct, "events"))
+    a = sorted(map(tuple, final.collect()))
+    b = sorted(map(tuple, expect.collect()))
+    assert a == b and len(a) > 0
