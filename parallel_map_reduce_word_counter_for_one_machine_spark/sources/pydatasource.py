@@ -28,6 +28,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 VOCAB = [
@@ -98,6 +99,39 @@ class WordgenReader(DataSourceReader):
             yield (doc_id, _doc_text(self.seed, doc_id))
 
 
+class WordgenStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same generator: each micro-batch emits the
+    next ``batch_docs`` doc_ids, up to ``docs`` total. The offset dict
+    carries only the next doc_id — replayable, so a restarted query
+    regenerates identical batches (``readBetweenOffsets`` is the exact
+    replay path Structured Streaming calls during recovery)."""
+
+    def __init__(self, options):
+        self.n_docs = int(options.get("docs", 1000))
+        self.batch = int(options.get("batch_docs", 100))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self):  # noqa: N802 (API name)
+        return {"next": 0}
+
+    def read(self, start):
+        lo = start["next"]
+        hi = min(lo + self.batch, self.n_docs)
+        # a LIST, not a generator: the runner caches and copy.copy()s the
+        # returned iterator for prefetch replay, and generators can't be
+        # copied (TypeError observed) — batches are bounded anyway
+        return (
+            [(i, _doc_text(self.seed, i)) for i in range(lo, hi)],
+            {"next": hi},
+        )
+
+    def readBetweenOffsets(self, start, end):  # noqa: N802 (API name)
+        return [
+            (i, _doc_text(self.seed, i))
+            for i in range(start["next"], end["next"])
+        ]
+
+
 class WordgenDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -108,6 +142,9 @@ class WordgenDataSource(DataSource):
 
     def reader(self, schema):
         return WordgenReader(self.options)
+
+    def simpleStreamReader(self, schema):  # noqa: N802 (API name)
+        return WordgenStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -83,3 +83,35 @@ def test_compose_with_word_count(wordgen):
     for i in range(300):
         truth.update(_doc_text(42, i).split(" "))
     assert got == dict(truth)
+
+
+def test_streaming_wordgen_equals_batch(wordgen):
+    """The streaming face of the source (SimpleDataSourceStreamReader)
+    must emit exactly the batch corpus, across several micro-batches,
+    with replayable offsets (the runner itself re-reads batches through
+    readBetweenOffsets during prefetch)."""
+    import time
+
+    q = (
+        wordgen.readStream.format("wordgen")
+        .option("docs", "250")
+        .option("batch_docs", "100")
+        .load()
+        .writeStream.format("memory")
+        .queryName("t_wg_stream")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if wordgen.sql("SELECT count(*) c FROM t_wg_stream").collect()[0].c >= 250:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = wordgen.sql("SELECT * FROM t_wg_stream").collect()
+    got = sorted((r.doc_id, r.text) for r in rows)
+    expect = sorted((i, _doc_text(42, i)) for i in range(250))
+    assert got == expect
