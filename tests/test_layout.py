@@ -80,3 +80,47 @@ def test_zorder_beats_single_column_sort(spark, sf_correct):
     assert z_cost < supp_cost, (z_cost, supp_cost)
     # and each dimension individually is far better than unclustered
     assert z_cost < 1.0, z_cost
+
+
+def test_zorder_rowgroup_stats_on_real_parquet(spark, sf_correct, tmp_path):
+    """Materialize the layout and read back REAL parquet footer stats:
+    writing z-sorted (repartitionByRange on zkey) produces files whose
+    (l_partkey, l_suppkey) min/max spans are tight in BOTH dimensions —
+    the statistics a scan's file/row-group skipping actually consults."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = layout_zorder(spark, sf_correct)
+
+    def write_and_cost(sorted_df, path) -> float:
+        sorted_df.write.mode("overwrite").parquet(path)
+        spans = []
+        g = {"p": [1 << 62, 0], "s": [1 << 62, 0]}
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)
+            }
+            for rg in range(md.num_row_groups):
+                st_p = md.row_group(rg).column(cols["l_partkey"]).statistics
+                st_s = md.row_group(rg).column(cols["l_suppkey"]).statistics
+                spans.append((st_p.max - st_p.min, st_s.max - st_s.min))
+                g["p"][0] = min(g["p"][0], st_p.min)
+                g["p"][1] = max(g["p"][1], st_p.max)
+                g["s"][0] = min(g["s"][0], st_s.min)
+                g["s"][1] = max(g["s"][1], st_s.max)
+        gp = g["p"][1] - g["p"][0]
+        gs = g["s"][1] - g["s"][0]
+        assert len(spans) >= 8, "need multiple files/row-groups to compare"
+        return sum(wp / gp + ws / gs for wp, ws in spans) / len(spans)
+
+    z_cost = write_and_cost(
+        df.repartitionByRange(N_FILES, "zkey"), str(tmp_path / "z")
+    )
+    p_cost = write_and_cost(
+        df.repartitionByRange(N_FILES, "l_partkey"), str(tmp_path / "p")
+    )
+    assert z_cost < p_cost, (z_cost, p_cost)
+    assert z_cost < 1.0, z_cost
