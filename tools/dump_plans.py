@@ -48,9 +48,22 @@ HEADLINE = [
     "chunk_documents",
     "dedup_chunks",
     "embedding_outliers",
+    "dedup_spans_trim",
+    "corpus_overlap",
+    "layout_zorder",
+    "sql_large_orders",
 ]
 
 NOTES = {
+    "dedup_spans_trim": "span stream materialized once (checkpoint); covered "
+    "(doc_id,idx) explode + token left-join + per-doc sorted collect — all "
+    "linear shuffles, no per-row interval scans",
+    "corpus_overlap": "fingerprint table checkpointed once (was 2 corpus "
+    "scans); self-join fan-out bounded by source count",
+    "layout_zorder": "min/max agg broadcast back over a map-only bit "
+    "interleave; whole-stage codegen shifts/masks",
+    "sql_large_orders": "HAVING-gated IN subquery rewritten to LeftSemi; "
+    "TakeOrderedAndProject top-100",
     "chunk_documents": "map-only: scan -> Filter -> Project(sequence/transform/"
     "slice) -> Generate(posexplode); ZERO Exchange by contract (plan test)",
     "dedup_chunks": "chunker feeds one md5-keyed partial+final HashAggregate; "
