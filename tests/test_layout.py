@@ -124,3 +124,34 @@ def test_zorder_rowgroup_stats_on_real_parquet(spark, sf_correct, tmp_path):
     )
     assert z_cost < p_cost, (z_cost, p_cost)
     assert z_cost < 1.0, z_cost
+
+
+def test_zorder_constant_column_guard(spark):
+    """A dimension with zero range (mx == mn) quantizes to 0 instead of
+    dividing by zero; the key degrades gracefully to a sort on the other
+    dimension."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.layout import (
+        Z_MAX,
+        _quantize,
+        zvalue,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 7) for i in range(10)], "a long, b long"
+    )
+    r = df.agg(
+        F.min("a").alias("amn"), F.max("a").alias("amx"),
+        F.min("b").alias("bmn"), F.max("b").alias("bmx"),
+    )
+    qa = _quantize(F.col("a"), F.col("amn"), F.col("amx"))
+    qb = _quantize(F.col("b"), F.col("bmn"), F.col("bmx"))
+    out = df.crossJoin(F.broadcast(r)).select(
+        "a", qa.alias("qa"), qb.alias("qb"), zvalue(qa, qb).alias("z")
+    ).collect()
+    assert all(o.qb == 0 for o in out)  # constant dim -> grid 0, no error
+    assert {o.qa for o in out} == {
+        int((i * Z_MAX) / 9) for i in range(10)
+    }
+    # z strictly increases with a (b contributes nothing)
+    zs = [o.z for o in sorted(out, key=lambda o: o.a)]
+    assert zs == sorted(zs) and len(set(zs)) == len(zs)
