@@ -268,3 +268,43 @@ def corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+@query(
+    "event_transitions",
+    oracle=(
+        "WITH seq AS (SELECT user_id, event_type, "
+        "lag(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS prev_type FROM events) "
+        "SELECT prev_type, event_type AS next_type, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM seq WHERE prev_type IS NOT NULL "
+        "GROUP BY prev_type, event_type"
+    ),
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event stream
+    — the behavioral fingerprint behind journey analysis and anomaly
+    baselines (which step usually follows which). Deterministic total
+    order (ts, event_id) breaks same-timestamp ties identically on both
+    engines.
+
+    Shape: one window exchange keyed by user_id (the lag), then one
+    partial+final aggregate on the (prev, next) pair — cardinality
+    |event_types|², independent of corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -270,3 +270,36 @@ def test_corpus_overlap_semantics(spark, sf_correct):
         for r in registry.QUERIES["corpus_overlap"](spark, sf_correct).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_event_transitions_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "event_transitions",
+        registry.QUERIES["event_transitions"],
+        registry.ORACLES["event_transitions"],
+    )
+
+
+def test_event_transitions_semantics(spark, sf_correct):
+    """Recompute transitions in Python from the raw events (ts, event_id
+    total order per user)."""
+    from collections import Counter, defaultdict
+
+    evs = load_table(spark, sf_correct, "events").collect()
+    by_user = defaultdict(list)
+    for r in evs:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    n: Counter = Counter()
+    users = defaultdict(set)
+    for uid, seq in by_user.items():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            n[(a, b)] += 1
+            users[(a, b)].add(uid)
+    got = {
+        (r.prev_type, r.next_type): (r.n, r.n_users)
+        for r in registry.QUERIES["event_transitions"](spark, sf_correct).collect()
+    }
+    assert got == {k: (v, len(users[k])) for k, v in n.items()} and len(got) > 0
