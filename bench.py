@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "dedup_spans_trim",
     "pq_topk_listing",
     "layout_zorder",
+    "pagerank_parts",
 ]
 
 

@@ -98,6 +98,7 @@ def load_all() -> None:
         analytics,
         chunking,
         layout,
+        graph,
     )
     from .functions import udfs  # noqa: F401
     from .streaming import dedupstream, joins, tumbling  # noqa: F401

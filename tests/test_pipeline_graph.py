@@ -3,6 +3,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from parallel_map_reduce_word_counter_for_one_machine_spark import registry
 from parallel_map_reduce_word_counter_for_one_machine_spark.operators.graphdedup import (
     dedup_clusters,
     dedup_survivors,
@@ -22,6 +23,8 @@ from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.joins impo
     join_event_attribution,
     run_stream_stream_join,
 )
+
+registry.load_all()
 
 
 def test_global_cumsum_matches_single_window(spark):
@@ -372,3 +375,39 @@ def test_global_cumsum_reset_keys(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_pagerank_oracle(spark, sf_correct):
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "pagerank_parts",
+        registry.QUERIES["pagerank_parts"],
+        registry.ORACLES["pagerank_parts"],
+    )
+
+
+def test_pagerank_invariants(spark, sf_correct):
+    """Rank mass conserved (symmetric graph, no dangling nodes): total ≈ 1
+    within fixed-point rounding; every rank positive; one row per node
+    appearing in lineitem on either side."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = registry.QUERIES["pagerank_parts"](spark, sf_correct).collect()
+    total = sum(r.rank_e9 for r in rows)
+    assert abs(total - 1_000_000_000) < len(rows)  # ±1 ulp/node rounding
+    assert all(r.rank_e9 > 0 for r in rows)
+    li = load_table(spark, sf_correct, "lineitem")
+    n_parts = li.select("l_partkey").distinct().count()
+    n_supps = li.select("l_suppkey").distinct().count()
+    assert len(rows) == n_parts + n_supps
+    # supplier nodes (odd ids) aggregate more volume per node than part
+    # nodes on this schema (1k suppliers vs 20k parts) — sanity that the
+    # bipartite encoding came through
+    supp_mean = sum(r.rank_e9 for r in rows if r.node % 2 == 1) / n_supps
+    part_mean = sum(r.rank_e9 for r in rows if r.node % 2 == 0) / n_parts
+    assert supp_mean > part_mean
