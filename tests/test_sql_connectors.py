@@ -141,3 +141,21 @@ def test_large_orders_oracle_and_plan(spark, sf_correct):
     plan = plan_string(registry.QUERIES["sql_large_orders"](spark, sf_correct))
     assert "LeftSemi" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_xml_roundtrip(spark, sf_correct, tmp_path):
+    """XML connector (built into Spark 4 — formerly spark-xml): nation out
+    as row-tagged XML, read back with the declared schema, content
+    identical."""
+    src = load_table(spark, sf_correct, "nation")
+    out = str(tmp_path / "nation_xml")
+    src.write.format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).save(out)
+    back = (
+        spark.read.schema(SCHEMAS["nation"])
+        .format("xml")
+        .option("rowTag", "nation")
+        .load(out)
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
