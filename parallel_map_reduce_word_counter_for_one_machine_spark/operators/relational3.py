@@ -362,3 +362,32 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("s.new_cents", "t.cents").alias("price_cents"),
         action.alias("action"),
     )
+
+
+@query(
+    "json_variant",
+    oracle=(
+        "SELECT event_id, "
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long, "
+        "json_extract_string(props, '$.k') AS k_str, "
+        "(json_extract_string(props, '$.missing') IS NOT NULL) AS has_missing "
+        "FROM events"
+    ),
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` ingests the payload once into the binary variant
+    encoding and ``variant_get`` extracts typed paths from it — the
+    open-table-format answer to schema-on-read JSON columns (Parquet can
+    store the variant natively, so repeated extraction never re-parses
+    text the way ``get_json_object`` does). Typed long and string
+    extractions plus a missing-path probe, all scalars; the DuckDB oracle
+    reads the same paths with its JSON functions."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k_long"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.missing", "string").isNotNull().alias("has_missing"),
+    )
