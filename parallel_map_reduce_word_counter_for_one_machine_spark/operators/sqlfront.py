@@ -172,3 +172,54 @@ def sql_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped result."""
     register_views(spark, sf_dir)
     return spark.sql(_Q18_SQL)
+
+
+# Identical SQL text on both engines: a correlated LATERAL subquery with
+# ORDER BY + LIMIT — per-customer top-2 orders without a window function.
+# Catalyst decorrelates it into a ranked join (same physical family as
+# window_rank); engines that can't decorrelate would nested-loop it, so
+# this is also a planner-capability probe.
+_LATERAL_SQL = (
+    "SELECT c.c_custkey, o.o_orderkey, o.o_totalprice "
+    "FROM customer c, LATERAL ("
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_custkey = c.c_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o"
+)
+
+
+@query("sql_lateral_topn", oracle=_LATERAL_SQL)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL top-N (SQL:2016 lateral derived table), the
+    'greatest-n-per-group' idiom in its join-shaped form. Customers with
+    no orders vanish (inner lateral) on both engines; the explicit
+    (price DESC, orderkey) total order makes the per-group LIMIT
+    deterministic."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "agg_listagg",
+    oracle=(
+        # DuckDB spells ordered string aggregation string_agg(... ORDER
+        # BY); Spark 4 spells it listagg(...) WITHIN GROUP — same result.
+        "SELECT c_nationkey, "
+        "string_agg(c_mktsegment, ',' ORDER BY c_custkey) AS segments, "
+        "CAST(count(*) AS BIGINT) AS n_customers "
+        "FROM customer GROUP BY c_nationkey"
+    ),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2016 LISTAGG, new in Spark 4) —
+    the report-friendly collect: per-nation market segments concatenated
+    in a deterministic (c_custkey) order so the string hashes identically
+    across engines and shuffles."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT c_nationkey, "
+        "listagg(c_mktsegment, ',') WITHIN GROUP (ORDER BY c_custkey) "
+        "AS segments, "
+        "CAST(count(*) AS BIGINT) AS n_customers "
+        "FROM customer GROUP BY c_nationkey"
+    )

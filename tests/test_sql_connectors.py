@@ -159,3 +159,31 @@ def test_xml_roundtrip(spark, sf_correct, tmp_path):
         .load(out)
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+@pytest.mark.parametrize("name", ["sql_lateral_topn", "agg_listagg"])
+def test_sql4_features_oracle(spark, sf_correct, name):
+    assert_matches_oracle(
+        spark, sf_correct, name, registry.QUERIES[name], registry.ORACLES[name]
+    )
+
+
+def test_lateral_equals_window_formulation(spark, sf_correct):
+    """The LATERAL top-2 must equal the row_number() window formulation —
+    the two classic spellings of greatest-n-per-group."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    lat = registry.QUERIES["sql_lateral_topn"](spark, sf_correct)
+    o = load_table(spark, sf_correct, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    win = (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+        )
+    )
+    assert sorted(map(tuple, lat.collect())) == sorted(map(tuple, win.collect()))
