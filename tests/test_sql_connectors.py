@@ -187,3 +187,33 @@ def test_lateral_equals_window_formulation(spark, sf_correct):
         )
     )
     assert sorted(map(tuple, lat.collect())) == sorted(map(tuple, win.collect()))
+
+
+def test_parameterized_sql_and_session_variables(spark, sf_correct):
+    """Spark 4 SQL front-end extras: named/positional parameter binding
+    (injection-safe literals) and DECLARE/SET session variables, both
+    driving a real query and matching the hand-built equivalent."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        register_views,
+    )
+
+    register_views(spark, sf_correct)
+    expect = (
+        load_table(spark, sf_correct, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .count()
+    )
+    got_named = spark.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice > :floor",
+        args={"floor": 400000},
+    ).collect()[0].n
+    got_pos = spark.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice > ?",
+        args=[400000],
+    ).collect()[0].n
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VARIABLE price_floor = 400000")
+    got_var = spark.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice > price_floor"
+    ).collect()[0].n
+    assert got_named == got_pos == got_var == expect > 0
