@@ -64,3 +64,25 @@ def test_binary_collation_order(spark):
     got = [r.word for r in df.orderBy("word").collect()]
     assert got == sorted(words)  # python sorts str by code point == binary here
     assert got == words
+
+def test_collation_vs_reference_binary_semantics(spark):
+    """The reference's key semantics are byte-wise and case-SENSITIVE
+    (main.cpp:65, 221-224): 'Hello' ≠ 'hello' and uppercase sorts before
+    lowercase. Spark 4's collation support lets the engine OPT INTO
+    case-insensitive semantics per expression — this pins both: the
+    default (used by every word op) stays binary, and UTF8_LCASE is
+    available when a pipeline wants folding without rewriting keys."""
+    cs = spark.sql(
+        "SELECT 'Hello' = 'hello' AS eq_default, "
+        "'Hello' = 'hello' COLLATE UTF8_LCASE AS eq_lcase"
+    ).collect()[0]
+    assert cs.eq_default is False and cs.eq_lcase is True
+    binary = spark.sql(
+        "SELECT w FROM VALUES ('b'), ('A'), ('a'), ('B') AS t(w) ORDER BY w"
+    ).collect()
+    assert [r.w for r in binary] == ["A", "B", "a", "b"]  # bytewise, as ref
+    folded = spark.sql(
+        "SELECT w FROM VALUES ('b'), ('A'), ('a'), ('B') AS t(w) "
+        "ORDER BY w COLLATE UTF8_LCASE, w"
+    ).collect()
+    assert [r.w for r in folded] == ["A", "a", "B", "b"]
