@@ -236,8 +236,8 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_corr",
     oracle=(
         "SELECT l_returnflag, "
-        "round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price, "
-        "round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price, "
+        "round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price, "
+        "round(covar_samp(l_quantity, l_extendedprice), 2) + 0.0 AS covar_qty_price, "
         "round(stddev_samp(l_quantity), 4) AS sd_qty, "
         "round(var_samp(l_discount), 6) AS var_disc "
         "FROM lineitem GROUP BY l_returnflag"
@@ -252,8 +252,10 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (summation/co-moment update order differs)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+        # + 0.0 folds IEEE -0.0 to +0.0 (near-zero co-moments can round
+        # to signed zero differently per engine — see embedding_centroids)
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + 0.0).alias("corr_qty_price"),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2) + 0.0).alias(
             "covar_qty_price"
         ),
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),

@@ -336,11 +336,16 @@ def ivf_topk_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         # Long-form (cell_id, dim, mean) rather than arrays: hash-stable and
         # exactly what the IVF build step aggregates. ::DOUBLE[] cast +
-        # round(4): avg summation order differs between engines.
+        # round(4): avg summation order differs between engines. `+ 0.0`
+        # normalizes IEEE negative zero: a near-zero mean whose SIGN
+        # differs across engine summation orders rounds to -0.0 on one
+        # side and 0.0 on the other (repr/hash mismatch observed at
+        # sf0.001, cell 8 dim 27); -0.0 + 0.0 = +0.0 and every other
+        # value is unchanged.
         "WITH e AS (SELECT label, unnest(embedding::DOUBLE[]) AS val, "
         "generate_subscripts(embedding, 1) AS dim FROM embeddings) "
         "SELECT label AS cell_id, CAST(dim AS INT) AS dim, "
-        "round(avg(val), 4) AS mean FROM e GROUP BY label, dim"
+        "round(avg(val), 4) + 0.0 AS mean FROM e GROUP BY label, dim"
     ),
 )
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,7 +361,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("cell_id"),
             (F.col("dim0") + 1).cast("int").alias("dim"),
         )
-        .agg(F.round(F.avg("val"), 4).alias("mean"))
+        .agg((F.round(F.avg("val"), 4) + 0.0).alias("mean"))
     )
 
 
