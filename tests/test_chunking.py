@@ -197,3 +197,41 @@ def test_chunk_stream_equals_batch(spark, sf_correct):
     assert sorted(map(tuple, stream_df.collect())) == sorted(
         map(tuple, batch_df.collect())
     )
+
+
+def test_chunk_relation_property(spark):
+    """Property check on adversarial token counts (window/stride boundary
+    n ∈ {0,1,S,W-1,W,W+1,W+S-1,W+S,W+S+1,3W}, plus multi-space noise):
+    chunk count matches the closed form, slices are exact, coverage holds."""
+    import math
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.chunking import (
+        CHUNK_STRIDE as S,
+        CHUNK_TOKENS as W,
+        chunk_relation,
+    )
+
+    cases = []
+    for i, n in enumerate([0, 1, S, W - 1, W, W + 1, W + S - 1, W + S, W + S + 1, 3 * W]):
+        toks = [f"w{j}" for j in range(n)]
+        # inject double spaces and a trailing space: split() artifacts the
+        # token filter must absorb
+        text = "  ".join(toks) + " " if n else ""
+        cases.append((i, text, toks))
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id long, text string"
+    )
+    rows = chunk_relation(df).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, _, toks in cases:
+        n = len(toks)
+        if n == 0:
+            assert i not in by_doc
+            continue
+        got = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        assert len(got) == 1 + math.ceil(max(0, n - W) / S), (n, len(got))
+        for r in got:
+            s0 = r.chunk_id * S
+            assert r.chunk_text.split(" ") == toks[s0 : s0 + W]
