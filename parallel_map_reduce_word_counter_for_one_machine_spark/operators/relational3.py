@@ -393,3 +393,41 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "string").alias("k_str"),
         F.variant_get(v, "$.missing", "string").isNotNull().alias("has_missing"),
     )
+
+
+@query(
+    "scalar_try_funcs",
+    oracle=(
+        # DuckDB has TRY_CAST but no try_divide/try_mod — the NULL-on-error
+        # semantics are spelled as explicit zero guards instead.
+        "SELECT l_orderkey, l_linenumber, "
+        "CASE WHEN l_linenumber - 1 = 0 THEN NULL "
+        "ELSE l_extendedprice / (l_linenumber - 1) END AS safe_ratio, "
+        "CASE WHEN l_linenumber - 1 = 0 THEN NULL "
+        "ELSE l_orderkey % (l_linenumber - 1) END AS safe_mod, "
+        "TRY_CAST(CASE WHEN l_quantity > 25 THEN '12' ELSE 'abc' END "
+        "AS INTEGER) AS parsed "
+        "FROM lineitem"
+    ),
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-mode error-safe scalar family (``try_divide``/``try_mod``/
+    ``try_cast``): Spark 4 runs ANSI by default, so a divide-by-zero or a
+    bad cast in a 100 TB scan ABORTS THE JOB unless the expression opts
+    into NULL-on-error — these are the opt-ins, exercised data-dependently
+    (the divisor hits zero on every first lineitem, the cast parses on
+    high-quantity rows only). The rest of this repo uses the same guard in
+    ``when(...)`` form; this key pins the dedicated functions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 1).alias(
+            "safe_ratio"
+        ),
+        F.expr("try_mod(l_orderkey, l_linenumber - 1)").alias("safe_mod"),
+        F.expr(
+            "try_cast(CASE WHEN l_quantity > 25 THEN '12' ELSE 'abc' END "
+            "AS INT)"
+        ).alias("parsed"),
+    )

@@ -77,3 +77,33 @@ def test_word_count_bulk_matches_scaled_counts(spark, sf_dir):
     base = {r.word: r.cnt for r in word_counts(spark, sf_dir).collect()}
     bulk = {r.word: r.cnt for r in word_count_bulk(spark, sf_dir, copies=k).collect()}
     assert bulk == {w: c * k for w, c in base.items()}
+
+
+def test_try_funcs_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "scalar_try_funcs",
+        registry.QUERIES["scalar_try_funcs"],
+        registry.ORACLES["scalar_try_funcs"],
+    )
+
+
+def test_try_funcs_null_on_error_semantics(spark, sf_correct):
+    """Both error arms actually fire on the corpus: NULL rows from the
+    zero divisor (every l_linenumber == 1) and from the failing cast;
+    non-error rows carry real values."""
+    from pyspark.sql import functions as F
+
+    out = registry.QUERIES["scalar_try_funcs"](spark, sf_correct).cache()
+    n_ln1 = out.filter(F.col("l_linenumber") == 1).count()
+    assert n_ln1 > 0
+    assert out.filter(
+        (F.col("l_linenumber") == 1) & F.col("safe_ratio").isNotNull()
+    ).count() == 0
+    assert out.filter(
+        (F.col("l_linenumber") > 1) & F.col("safe_ratio").isNull()
+    ).count() == 0
+    assert out.filter(F.col("parsed").isNull()).count() > 0
+    assert out.filter(F.col("parsed") == 12).count() > 0
+    out.unpersist()
