@@ -101,3 +101,26 @@ def test_skewed_join_correct_without_aqe_split(spark):
             assert got[k] == 2 * N_COLD_EACH
     finally:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", saved)
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """The other AQE lever: a shuffle whose data is far smaller than
+    shuffle.partitions × advisory size must coalesce to fewer partitions
+    at runtime (AQEShuffleRead coalesced) — the behavior that keeps a
+    1000-executor job from scheduling thousands of empty reducers."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(10_000)
+        .select((F.col("id") % 100).alias("k"), "id")
+        .groupBy("k")
+        .agg(F.sum("id").alias("s"))
+    )
+    rows = df.collect()
+    assert len(rows) == 100
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "AQEShuffleRead coalesced" in plan, plan[:1500]
+    assert df.rdd.getNumPartitions() < int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
