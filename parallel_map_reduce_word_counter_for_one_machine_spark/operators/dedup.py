@@ -997,6 +997,8 @@ def _blocked_cosine_pairs(e: DataFrame, prefilter: float) -> DataFrame:
         for pdf in batches:
             out_a, out_b, out_c = [], [], []
             for xr, yr, same in zip(pdf["xr"], pdf["yr"], pdf["same"]):
+                if len(xr) == 0 or (not same and len(yr) == 0):
+                    continue  # empty tile: shape-(0,) array breaks axis=1
                 xid = np.array([r["vec_id"] for r in xr], dtype=np.int64)
                 X = np.array([r["v"] for r in xr], dtype=np.float64)
                 xn = np.linalg.norm(X, axis=1)

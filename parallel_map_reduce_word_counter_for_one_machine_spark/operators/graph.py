@@ -15,9 +15,10 @@ data beyond the scalar node count.
 Cross-engine determinism: the per-edge contribution is computed as
 ``rank * (w / wt)`` with the normalized fraction precomputed on BOTH
 engines (same IEEE op sequence), and the output is fixed-point
-``rank_e9`` — after ITERS=8 damped iterations the cross-engine summation
-drift is ~1e-17 absolute, ~1e-8 of one fixed-point unit, so the BIGINT
-hash is stable (corpus_stats float lesson applied from the start).
+``rank_e6`` — after ITERS=8 damped iterations the cross-engine summation
+drift is ~1e-17 absolute, ~1e-11 of one e6 fixed-point unit; e6 (not e9)
+per round-5 advice, so nothing rides on a 0.5-ulp rounding boundary even
+on other data/scales (corpus_stats float lesson applied from the start).
 """
 
 from __future__ import annotations
@@ -57,7 +58,7 @@ def _pagerank_oracle(iters: int = PAGERANK_ITERS) -> str:
         )
     sql = sql.rstrip(", ")
     sql += (
-        f" SELECT node, CAST(round(rank * 1000000000) AS BIGINT) AS rank_e9 "
+        f" SELECT node, CAST(round(rank * 1000000) AS BIGINT) AS rank_e6 "
         f"FROM pr{iters}"
     )
     return sql
@@ -82,32 +83,53 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     deg = edges.groupBy("src").agg(F.sum("w").alias("wt"))
-    # normalized edge list materialized ONCE and reused every iteration —
-    # the persisted-edge-table shape an at-scale run writes out
-    nedges = (
+    # Pregel-style ADJACENCY-LIST layout, materialized ONCE: one row per
+    # src holding its normalized out-edges. The per-iteration join is then
+    # O(|V|) rows on BOTH sides (21 k here — AQE broadcasts it) instead of
+    # an O(|E|) shuffle join, and the |E| contribution rows exist only
+    # inside the explode feeding the dst aggregate. Same shape GraphX uses
+    # (vertex table ⋈ edge-partition table); at 100 TB the adjacency table
+    # is the persisted, src-partitioned artifact and ranks co-partition
+    # with it. This also collapses the old prelude double-execution
+    # (nedges checkpoint + deg.count both re-ran the edge chain).
+    adj = (
         edges.join(deg, "src")
-        .select("src", "dst", (F.col("w") / F.col("wt")).alias("nw"))
+        .groupBy("src")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("dst"), (F.col("w") / F.col("wt")).alias("nw"))
+            ).alias("out")
+        )
         .localCheckpoint()
     )
-    n = deg.count()  # scalar driver state
+    n = adj.count()  # scalar driver state; symmetric graph → src set = V
     teleport = 0.15 / n
-    ranks = deg.select(F.col("src").alias("node")).withColumn(
-        "rank", F.lit(1.0 / n)
+    ranks = adj.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
+    # Zero-contribution sentinel rows, one per node: unioned into the
+    # contribution stream so the dst aggregate itself emits every node
+    # (dangling/no-in-edge nodes included) — this FUSES the old "left join
+    # against nodes for the teleport term" into the aggregate, leaving ONE
+    # exchange per iteration (the groupBy(dst) shuffle).
+    zeros = (
+        adj.select(F.col("src").alias("dst"), F.lit(0.0).alias("c"))
+        .localCheckpoint()
     )
-    nodes = ranks.select("node").localCheckpoint()
     for i in range(PAGERANK_ITERS):
-        contrib = (
-            nedges.join(ranks, nedges["src"] == ranks["node"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("nw")).alias("c"))
+        contribs = (
+            adj.join(ranks, adj["src"] == ranks["node"])
+            .select(F.explode("out").alias("e"), "rank")
+            .select(
+                F.col("e.dst").alias("dst"),
+                (F.col("rank") * F.col("e.nw")).alias("c"),
+            )
         )
         ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            contribs.unionAll(zeros)
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
             .select(
-                "node",
-                (F.lit(teleport) + DAMPING * F.coalesce("c", F.lit(0.0))).alias(
-                    "rank"
-                ),
+                F.col("dst").alias("node"),
+                (F.lit(teleport) + DAMPING * F.col("c")).alias("rank"),
             )
         )
         # truncate lineage every few iterations: 8 chained joins would
@@ -115,5 +137,5 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         if i % 3 == 2:
             ranks = ranks.localCheckpoint()
     return ranks.select(
-        "node", F.round(F.col("rank") * 1e9).cast("long").alias("rank_e9")
+        "node", F.round(F.col("rank") * 1e6).cast("long").alias("rank_e6")
     )

@@ -138,6 +138,8 @@ def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue  # empty Arrow batch: shape-(0,) array breaks axis=1
             C = np.array(list(pdf["v"]), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy()
             # Zero-norm candidates (padding/failed-encode rows) would give
@@ -575,6 +577,8 @@ def pq_topk_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue  # empty Arrow batch: shape-(0,) array breaks axis=1
             X = np.array(list(pdf["v"]), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy()
             norm = np.linalg.norm(X, axis=1, keepdims=True)
@@ -699,6 +703,8 @@ def ivfpq_topk_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue  # empty Arrow batch: shape-(0,) array breaks axis=1
             X = np.array(list(pdf["v"]), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy()
             labs = pdf["label"].to_numpy()

@@ -15,6 +15,20 @@ than in-place overwrite because a Spark job cannot safely read and
 overwrite the same path — exactly the immutability rule the table
 formats enforce; the latest-version pointer is the commit.
 
+Two correctness properties the naive shape misses (both held here):
+
+* **Total-order merge.** State persists the FULL tiebreak key
+  ``(last_ts, last_event_id)``, and the matched-row rule compares
+  ``struct(b_last_ts, b_last_event_id) >= struct(last_ts,
+  last_event_id)`` — so two same-timestamp events for one key resolve
+  identically whether they share a micro-batch or arrive in different
+  ones, matching the batch ``_latest_per_key`` twin exactly.
+* **Idempotent replay.** Each version commit is keyed on the
+  micro-batch's ``batch_id`` (an ``_applied_b{N}`` marker written after
+  the version directory); a replayed batch after a failure finds its
+  marker and is skipped — the standard foreachBatch exactly-once
+  pattern (Spark docs: "use batchId to deduplicate").
+
 Scale: each batch shuffles batch-keys + state-keys once on the key
 column. For 100 TB state the full-outer rewrite becomes the bottleneck
 and the real systems switch to partitioned/clustered MERGE (rewrite only
@@ -34,10 +48,13 @@ from . import drain
 
 def _latest_per_key(df: DataFrame) -> DataFrame:
     """One row per user_id: the latest (ts, event_id)-ordered event's
-    value — max_by with a total order so replays are deterministic."""
+    value — max_by with a total order so replays are deterministic. The
+    full tiebreak key (last_ts, last_event_id) is part of the output so
+    downstream merges can apply the same total order."""
     return df.groupBy("user_id").agg(
         F.max_by(
-            F.struct("value", "event_type"), F.struct("ts", "event_id")
+            F.struct("value", "event_type", "event_id"),
+            F.struct("ts", "event_id"),
         ).alias("s"),
         F.max("ts").alias("last_ts"),
         F.count("*").alias("n_events_batch"),
@@ -46,6 +63,48 @@ def _latest_per_key(df: DataFrame) -> DataFrame:
         F.col("s.value").alias("value"),
         F.col("s.event_type").alias("event_type"),
         "last_ts",
+        F.col("s.event_id").alias("last_event_id"),
+    )
+
+
+def _merge_state(cur: DataFrame, batch: DataFrame) -> DataFrame:
+    """Full-outer MERGE of a reduced batch (one row per key, from
+    ``_latest_per_key``) into the current state. Batch wins when the key
+    is new OR the batch row is at least as late under the FULL
+    (ts, event_id) total order — the MERGE WHEN MATCHED rule, identical
+    no matter how events were split across micro-batches."""
+    b = batch.select(
+        F.col("user_id").alias("b_user_id"),
+        F.col("value").alias("b_value"),
+        F.col("event_type").alias("b_event_type"),
+        F.col("last_ts").alias("b_last_ts"),
+        F.col("last_event_id").alias("b_last_event_id"),
+    )
+    newer = F.col("b_user_id").isNotNull() & (
+        F.col("user_id").isNull()
+        | (
+            F.struct(
+                F.col("b_last_ts").alias("ts"),
+                F.col("b_last_event_id").alias("eid"),
+            )
+            >= F.struct(
+                F.col("last_ts").alias("ts"),
+                F.col("last_event_id").alias("eid"),
+            )
+        )
+    )
+    return cur.join(
+        b, cur["user_id"] == b["b_user_id"], "full_outer"
+    ).select(
+        F.coalesce("b_user_id", "user_id").alias("user_id"),
+        F.when(newer, F.col("b_value"))
+        .otherwise(F.col("value")).alias("value"),
+        F.when(newer, F.col("b_event_type"))
+        .otherwise(F.col("event_type")).alias("event_type"),
+        F.when(newer, F.col("b_last_ts"))
+        .otherwise(F.col("last_ts")).alias("last_ts"),
+        F.when(newer, F.col("b_last_event_id"))
+        .otherwise(F.col("last_event_id")).alias("last_event_id"),
     )
 
 
@@ -56,47 +115,19 @@ def run_stream_upsert(
     state (latest version directory) as a DataFrame."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(state_root, f"_applied_b{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed micro-batch: version already committed
         batch = _latest_per_key(batch_df)
         versions = sorted(
-            int(d[1:]) for d in os.listdir(state_root) if d.startswith("v")
+            int(d[1:]) for d in os.listdir(state_root)
+            if d.startswith("v") and d[1:].isdigit()
         ) if os.path.isdir(state_root) else []
         if versions:
             cur = batch_df.sparkSession.read.parquet(
                 os.path.join(state_root, f"v{versions[-1]}")
             )
-            b = batch.select(
-                F.col("user_id").alias("b_user_id"),
-                F.col("value").alias("b_value"),
-                F.col("event_type").alias("b_event_type"),
-                F.col("last_ts").alias("b_last_ts"),
-            )
-            merged = cur.join(
-                b, cur["user_id"] == b["b_user_id"], "full_outer"
-            ).select(
-                F.coalesce("b_user_id", "user_id").alias("user_id"),
-                # batch wins when both sides have the key AND the batch is
-                # newer (per-key event time) — the MERGE WHEN MATCHED rule
-                F.when(
-                    F.col("b_user_id").isNotNull()
-                    & (
-                        F.col("user_id").isNull()
-                        | (F.col("b_last_ts") >= F.col("last_ts"))
-                    ),
-                    F.col("b_value"),
-                ).otherwise(F.col("value")).alias("value"),
-                F.when(
-                    F.col("b_user_id").isNotNull()
-                    & (
-                        F.col("user_id").isNull()
-                        | (F.col("b_last_ts") >= F.col("last_ts"))
-                    ),
-                    F.col("b_event_type"),
-                ).otherwise(F.col("event_type")).alias("event_type"),
-                F.greatest(
-                    F.coalesce("b_last_ts", "last_ts"),
-                    F.coalesce("last_ts", "b_last_ts"),
-                ).alias("last_ts"),
-            )
+            merged = _merge_state(cur, batch)
             out_version = versions[-1] + 1
         else:
             merged = batch
@@ -104,6 +135,11 @@ def run_stream_upsert(
         merged.write.mode("overwrite").parquet(
             os.path.join(state_root, f"v{out_version}")
         )
+        # commit marker LAST: a crash before this line leaves the version
+        # directory orphaned and the replayed batch rewrites it (same
+        # content — the merge is a pure function of state + batch)
+        with open(marker, "w") as fh:
+            fh.write(f"v{out_version}\n")
 
     q = (
         read_events_stream(spark, sf_dir)
@@ -115,6 +151,7 @@ def run_stream_upsert(
     )
     drain(q)
     versions = sorted(
-        int(d[1:]) for d in os.listdir(state_root) if d.startswith("v")
+        int(d[1:]) for d in os.listdir(state_root)
+        if d.startswith("v") and d[1:].isdigit()
     )
     return spark.read.parquet(os.path.join(state_root, f"v{versions[-1]}"))

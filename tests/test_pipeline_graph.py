@@ -398,9 +398,9 @@ def test_pagerank_invariants(spark, sf_correct):
     )
 
     rows = registry.QUERIES["pagerank_parts"](spark, sf_correct).collect()
-    total = sum(r.rank_e9 for r in rows)
-    assert abs(total - 1_000_000_000) < len(rows)  # ±1 ulp/node rounding
-    assert all(r.rank_e9 > 0 for r in rows)
+    total = sum(r.rank_e6 for r in rows)
+    assert abs(total - 1_000_000) < len(rows)  # ±1 ulp/node rounding
+    assert all(r.rank_e6 > 0 for r in rows)
     li = load_table(spark, sf_correct, "lineitem")
     n_parts = li.select("l_partkey").distinct().count()
     n_supps = li.select("l_suppkey").distinct().count()
@@ -408,6 +408,6 @@ def test_pagerank_invariants(spark, sf_correct):
     # supplier nodes (odd ids) aggregate more volume per node than part
     # nodes on this schema (1k suppliers vs 20k parts) — sanity that the
     # bipartite encoding came through
-    supp_mean = sum(r.rank_e9 for r in rows if r.node % 2 == 1) / n_supps
-    part_mean = sum(r.rank_e9 for r in rows if r.node % 2 == 0) / n_parts
+    supp_mean = sum(r.rank_e6 for r in rows if r.node % 2 == 1) / n_supps
+    part_mean = sum(r.rank_e6 for r in rows if r.node % 2 == 0) / n_parts
     assert supp_mean > part_mean

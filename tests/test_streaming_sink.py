@@ -64,3 +64,63 @@ def test_foreachbatch_upsert_state_equals_batch(spark, sf_correct, tmp_path):
     a = sorted(map(tuple, final.collect()))
     b = sorted(map(tuple, expect.collect()))
     assert a == b and len(a) > 0
+
+
+def test_upsert_merge_cross_batch_tiebreak(spark):
+    """Two same-timestamp events for one key split ACROSS micro-batches
+    must resolve by the (ts, event_id) total order, not batch arrival
+    order — in either arrival order the higher event_id wins, matching
+    the batch _latest_per_key twin."""
+    import datetime
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.upsertsink import (
+        _latest_per_key,
+        _merge_state,
+    )
+
+    ts = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+
+    def ev(eid, val):
+        return (eid, 7, "click", float(val), ts)
+
+    lo = _latest_per_key(spark.createDataFrame([ev(100, 1.0)], cols))
+    hi = _latest_per_key(spark.createDataFrame([ev(200, 2.0)], cols))
+    # batch-order A: low event_id arrives first, then high
+    a = _merge_state(lo, hi).collect()
+    # batch-order B: high arrives first, then low — the stale low row
+    # must NOT overwrite despite equal last_ts
+    b = _merge_state(hi, lo).collect()
+    both = _latest_per_key(
+        spark.createDataFrame([ev(100, 1.0), ev(200, 2.0)], cols)
+    ).collect()
+    assert len(a) == len(b) == len(both) == 1
+    assert tuple(a[0]) == tuple(b[0]) == tuple(both[0])
+    assert a[0]["last_event_id"] == 200 and a[0]["value"] == 2.0
+
+
+def test_upsert_replay_is_idempotent(spark, sf_correct, tmp_path):
+    """A replayed foreachBatch invocation (same batch_id after a failure)
+    must be skipped via the _applied_b{id} commit marker: no new version
+    directory appears and state is unchanged."""
+    import os
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.upsertsink import (
+        run_stream_upsert,
+    )
+
+    state = str(tmp_path / "upsert_state2")
+    final = run_stream_upsert(spark, sf_correct, state, "t_upsert_replay")
+    versions = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    markers = sorted(d for d in os.listdir(state) if d.startswith("_applied_b"))
+    assert len(versions) == len(markers) >= 1
+    before = sorted(map(tuple, final.collect()))
+    # drive the SAME stream again over a fresh checkpoint so every batch
+    # replays with already-committed batch_ids -> all skipped
+    import shutil
+
+    shutil.rmtree(os.path.join(state, "_chk"))
+    final2 = run_stream_upsert(spark, sf_correct, state, "t_upsert_replay2")
+    versions2 = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert versions2 == versions, "replayed batches wrote new versions"
+    assert sorted(map(tuple, final2.collect())) == before
