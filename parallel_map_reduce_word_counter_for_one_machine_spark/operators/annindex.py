@@ -1,0 +1,284 @@
+"""Persisted IVFPQ index with partition-pruned probes — ANN index
+LIFECYCLE management (VERDICT r04 next-round item 3; extension surface,
+the reference has no vector ops at all, src/main.cpp:78-281).
+
+``similarity.py``'s PQ/IVFPQ tiers re-train codebooks and re-encode the
+corpus inside every query — fine for a verdict, wrong for a deployment.
+A real 100 TB vector store builds the index ONCE and ships three tables
+(FAISS IVFPQ on disk, Jégou et al. TPAMI'11, re-expressed relationally):
+
+* ``codebooks``  — M×KSUB rows (m, k, sub: array<double>), a few KB.
+* ``centroids``  — one row per IVF cell (cell, centroid), the coarse
+  quantizer.
+* ``codes``      — one row per vector (vec_id, code: 16-byte BINARY),
+  written ``partitionBy(cell)`` — hive-style ``cell=<id>/`` directories.
+
+A probe then reads ``codes`` with ``cell IN (probed…)``: Spark resolves
+the filter at file-listing time (``PartitionFilters`` in the plan,
+asserted by tests/test_annindex.py), so a 10 B-vector index with 4096
+cells opens nprobe/4096 of the files and reads 16 B/vector — the two
+compoundings that make full-corpus ANN affordable. Raw embeddings
+surface only for the |queries|×shortlist exact re-rank.
+
+The ADC scan here scores codes by per-query LOOKUP TABLES (lut[m][k] =
+q_m · codeword — M·KSUB dots per query, computed once) instead of
+reconstructing candidate vectors; same math as similarity.py's in-query
+ADC, evaluated the FAISS way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from .similarity import (
+    _IVF_VERDICT_ORACLE,
+    _pq_codebooks,
+    _recall_verdict,
+    _vectors,
+    cosine,
+    IVFPQ_N_PROBE,
+    N_QUERIES,
+    PQ_M,
+    PQ_SHORTLIST,
+    TOP_K,
+    similarity_topk,
+)
+
+
+def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_root: str) -> None:
+    """One-off index build: train codebooks (bounded driver sample), write
+    codebooks + per-cell centroids + cell-partitioned 16-byte codes. The
+    encode is ONE distributed Arrow pass over the corpus; nothing here is
+    proportional to corpus size on the driver."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    vecs = _vectors(spark, sf_dir)
+    books = _pq_codebooks(vecs)  # (M, KSUB, dsub), ~4 KB driver state
+    dim = books.shape[0] * books.shape[2]
+    dsub = books.shape[2]
+
+    # 1. codebooks table
+    cb_rows = [
+        (int(m), int(k), [float(x) for x in books[m, k]])
+        for m in range(books.shape[0])
+        for k in range(books.shape[1])
+    ]
+    spark.createDataFrame(cb_rows, "m INT, k INT, sub ARRAY<DOUBLE>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(index_root, "codebooks"))
+
+    # 2. coarse-quantizer centroids (cell = the label column), distributed agg
+    cent = (
+        vecs.select("label", F.posexplode("v").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("dm", lambda s: s.getField("m")).alias("centroid"),
+        )
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_root, "centroids")
+    )
+
+    # 3. codes, one distributed encode pass, partitioned by cell
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.LongType()),
+            T.StructField("code", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue  # empty Arrow batch: shape-(0,) array breaks axis=1
+            X = np.array(list(pdf["v"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            cells = pdf["label"].to_numpy()
+            norm = np.linalg.norm(X, axis=1, keepdims=True)
+            ok = norm[:, 0] > 0  # zero-norm rows are unindexable (NULL cosine)
+            X, ids, cells = X[ok] / norm[ok], ids[ok], cells[ok]
+            codes = np.empty((len(X), PQ_M), dtype=np.uint8)
+            for m in range(PQ_M):
+                S = X[:, m * dsub : (m + 1) * dsub]
+                d2 = ((S[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": cells,
+                    "code": [c.tobytes() for c in codes],
+                }
+            )
+
+    (
+        vecs.select("vec_id", "label", "v")
+        .mapInPandas(encode, schema=out_schema)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_root, "codes"))
+    )
+    assert dim % PQ_M == 0
+
+
+# One built index per (session, sf_dir) — build is the one-off ingest step,
+# same lifecycle pattern as sources/partitioned.py / bucketed.py.
+_BUILT: dict[tuple[str, str], str] = {}
+
+
+def ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BUILT:
+        base = tempfile.mkdtemp(
+            prefix="pmrwc_ivfpq_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        )
+        build_ivfpq_index(spark, sf_dir, base)
+        _BUILT[key] = base
+    return _BUILT[key]
+
+
+def probed_codes_scan(
+    spark: SparkSession, index_root: str, cells: list[int]
+) -> DataFrame:
+    """The pruned scan: only ``cell=<id>/`` directories in ``cells`` are
+    listed/opened (PartitionFilters; plan-asserted)."""
+    return spark.read.parquet(os.path.join(index_root, "codes")).filter(
+        F.col("cell").isin([int(c) for c in cells])
+    )
+
+
+def ivfpq_pruned_topk_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ probe against the PERSISTED index: top-k per query via
+    partition-pruned ADC scan + exact re-rank. First call per session pays
+    the index build (the ingest step); steady-state queries touch only
+    codebooks (KB), centroids (cells×dim), and the probed code partitions.
+    Unregistered listing; the driver-checked face is the
+    ``similarity_topk_ivfpq_pruned`` recall verdict."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    root = ivfpq_index_dir(spark, sf_dir)
+
+    # small index tables -> driver state (M·KSUB codewords, cells×dim)
+    cb = spark.read.parquet(os.path.join(root, "codebooks")).collect()
+    n_m = max(r.m for r in cb) + 1
+    n_k = max(r.k for r in cb) + 1
+    dsub = len(cb[0].sub)
+    books = np.zeros((n_m, n_k, dsub))
+    for r in cb:
+        books[r.m, r.k] = r.sub
+    crows = spark.read.parquet(os.path.join(root, "centroids")).collect()
+    cells = [int(r.cell) for r in crows]
+    C = np.array([r.centroid for r in crows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    qrows = _vectors(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).collect()
+    q_ids = np.array([r.vec_id for r in qrows])
+    Q = np.array([r.v for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    keep = qn[:, 0] > 0
+    q_ids, Qn = q_ids[keep], Q[keep] / qn[keep]
+
+    # per-query probe sets + the union that drives partition pruning
+    cell_sims = Qn @ Cn.T
+    probes = {
+        int(q_ids[i]): {cells[j] for j in np.argsort(-cell_sims[i])[:IVFPQ_N_PROBE]}
+        for i in range(len(q_ids))
+    }
+    probed = sorted(set().union(*probes.values())) if probes else []
+
+    # per-query ADC lookup tables: lut[q, m, k] = q_m · codeword(m, k)
+    lut = np.einsum(
+        "qmd,mkd->qmk", Qn.reshape(len(Qn), n_m, dsub), books
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cand_id", T.LongType()),
+            T.StructField("pq_score", T.DoubleType()),
+        ]
+    )
+
+    def adc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            cls = pdf["cell"].to_numpy()
+            codes = np.frombuffer(
+                b"".join(pdf["code"]), dtype=np.uint8
+            ).reshape(len(ids), n_m)
+            # scores[q, cand] = sum_m lut[q, m, codes[cand, m]]
+            S = lut[:, np.arange(n_m)[None, :], codes[None, :, :][0]].sum(axis=2)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, len(ids)),
+                    "cand_id": np.tile(ids, len(q_ids)),
+                    "cand_cell": np.tile(cls, len(q_ids)),
+                    "pq_score": S.reshape(-1),
+                }
+            )
+            out = out[out.query_id != out.cand_id]
+            mask = [
+                cl in probes[int(qid)]
+                for qid, cl in zip(out.query_id, out.cand_cell)
+            ]
+            yield out.loc[mask, ["query_id", "cand_id", "pq_score"]]
+
+    scored = probed_codes_scan(spark, root, probed).mapInPandas(
+        adc, schema=out_schema
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("pq_score", 6)), F.asc("cand_id")
+    )
+    shortlist = (
+        scored.withColumn("srk", F.row_number().over(w_short))
+        .filter(F.col("srk") <= PQ_SHORTLIST)
+        .select("query_id", "cand_id")
+    )
+    # exact re-rank: raw vectors only for |queries|×L shortlist rows
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cands = vecs.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        cands.join(F.broadcast(shortlist), "cand_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "cand_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+@query("similarity_topk_ivfpq_pruned", oracle=_IVF_VERDICT_ORACLE)
+def similarity_topk_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked recall verdict for the PERSISTED-index IVFPQ path —
+    same contract as the other ANN verdicts. Distinct from
+    ``similarity_topk_ivfpq`` in every way that matters at scale: codes
+    are encoded once at build time and read back as a 16 B/vector binary
+    column, the probe is partition-pruned file listing (not a row filter),
+    and codebooks/centroids come from tables, not in-query training."""
+    exact = similarity_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = ivfpq_pruned_topk_listing(spark, sf_dir).select("query_id", "cand_id")
+    return _recall_verdict(exact, approx)

@@ -223,3 +223,107 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(count(*) AS BIGINT) AS n_customers "
         "FROM customer GROUP BY c_nationkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTEs (SQL:1999 WITH RECURSIVE, shipped in Spark 4 — SPARK-24497).
+#
+# Spark 4.1's recursion is UNION ALL-only with a single recursive reference
+# and no aggregation over the recursive relation (error classes
+# UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE / INVALID_RECURSIVE_REFERENCE.PLACE,
+# pinned by tests/test_sql_connectors.py). That rules out fixpoint closures
+# over CYCLIC graphs — a distinct-union walk (the DuckDB _CC_ORACLE shape in
+# graphdedup.py) cannot be expressed, and an ALL-walk diverges on cycles; a
+# path-guarded walk enumerates simple paths, which is exponential in clique
+# size (the sf0.01 dup graph has a 342-node component). Connected components
+# therefore stays with the iterative DataFrame closure / large-star small-star
+# (graphdedup.py). These keys exercise recursion where it is the RIGHT tool:
+# ACYCLIC successor structures, where UNION ALL recursion terminates at the
+# chain depth. Physically each recursion step materializes as a UnionLoop
+# over the previous step's rows (depth capped by
+# spark.sql.cteRecursionLevelLimit, default 100) — see PLANS.md.
+# ---------------------------------------------------------------------------
+
+_SPINE_SQL_SPARK = """
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+         date_trunc('month', max(o_orderdate)) AS hi FROM orders
+),
+months(m, hi) AS (
+  SELECT lo, hi FROM bounds
+  UNION ALL
+  SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi
+),
+rev AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT date_format(months.m, 'yyyy-MM') AS month,
+       coalesce(rev.revenue, 0.0) AS revenue,
+       coalesce(rev.n_orders, 0) AS n_orders
+FROM months LEFT JOIN rev ON months.m = rev.m
+"""
+
+
+@query(
+    "sql_recursive_spine",
+    oracle=_SPINE_SQL_SPARK.replace("INTERVAL '1' MONTH", "INTERVAL 1 MONTH")
+    .replace("date_format(months.m, 'yyyy-MM')", "strftime(months.m, '%Y-%m')"),
+)
+def sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill via recursive CTE: generate every month
+    between min and max order date (anchor = bounds row, recursive step =
+    +1 month while m < hi — the bound rides along the recursion so the
+    recursive member needs no subquery), then left-join monthly revenue so
+    silent zero-activity months appear as explicit 0 rows. The classic
+    reporting-spine pattern; recursion depth = month span (80 at sf0.01),
+    far under the level limit. DuckDB oracle is the same query modulo
+    dialect spelling (INTERVAL literal, strftime)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SPINE_SQL_SPARK)
+
+
+_CHAINS_SQL_SPARK = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_id, ts,
+         lead(event_id) OVER w AS next_id,
+         lead(ts) OVER w AS next_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+edges AS (
+  SELECT event_id AS src, next_id AS dst FROM ordered
+  WHERE next_id IS NOT NULL AND next_ts <= ts + INTERVAL '30' MINUTE
+),
+heads AS (
+  SELECT o.event_id FROM ordered o LEFT JOIN edges ON edges.dst = o.event_id
+  WHERE edges.dst IS NULL
+),
+chain(event_id, head_id, depth) AS (
+  SELECT event_id, event_id, 1 FROM heads
+  UNION ALL
+  SELECT e.dst, c.head_id, c.depth + 1
+  FROM chain c JOIN edges e ON e.src = c.event_id
+)
+SELECT event_id, head_id, CAST(depth AS BIGINT) AS depth FROM chain
+"""
+
+
+@query(
+    "sql_recursive_chains",
+    oracle=_CHAINS_SQL_SPARK.replace("INTERVAL '30' MINUTE", "INTERVAL 30 MINUTE"),
+)
+def sql_recursive_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive sessionization: per-user next-event edges (gap ≤ 30 min
+    under the (ts, event_id) total order — each event has ≤ 1 incoming
+    edge, so the successor graph is a forest of chains, i.e. ACYCLIC and
+    UNION ALL recursion terminates at max chain depth), heads = events
+    with no incoming edge, then the recursion walks each chain labeling
+    every event with its session head and 1-based depth. Every event
+    appears exactly once (head or unique successor), so rows = |events|.
+    The window-function ``sessionize`` key computes the same grouping
+    one-shot; this is the recursion-native spelling, useful when the step
+    relation is richer than a time gap (e.g. referrer chains)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CHAINS_SQL_SPARK)

@@ -38,16 +38,19 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-def _green_keys() -> set[str]:
-    """Keys with at least one green driver hash row across all recorded
-    CORRECTNESS_r*.json rounds (repo root)."""
+def _last_green_round() -> dict[str, int]:
+    """key → most recent round number with a green driver hash row, read
+    from the recorded CORRECTNESS_r{N}.json files (repo root)."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green: set[str] = set()
+    last: dict[str, int] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -55,27 +58,29 @@ def _green_keys() -> set[str]:
             continue
         for key, row in data.items():
             if isinstance(row, dict) and row.get("hash_match"):
-                green.add(key)
-    return green
+                last[key] = max(last.get(key, 0), rnd)
+    return last
 
 
 def prioritize() -> None:
-    """Reorder ``QUERIES`` so keys WITHOUT a green driver row come first.
+    """Reorder ``QUERIES``: never-green keys first, then green keys by
+    STALENESS (oldest last-green round first).
 
     ORDER MATTERS for the driver: it walks ``queries()`` in registration
     order under a per-round budget (~50 keys/round, STATUS.md), so keys past
     the budget never receive a CORRECTNESS row. Rounds 1-2 left 23 keys
-    never stamped and 10 stamped-but-not-green (VERDICT.md r2 item 1). By
-    deriving the head set from the recorded CORRECTNESS files, never-checked
-    and failed keys (plus any newly registered key) automatically rotate to
-    the front each round, and previously-green keys fill the remaining
-    budget as drift re-checks.
+    never stamped and 10 stamped-but-not-green (VERDICT.md r2 item 1); with
+    the whole registry green after r04, the budget's remaining slots now
+    rotate as DRIFT RE-CHECKS — staleness ordering (VERDICT r04 item 8)
+    guarantees no key's most recent green row ages more than
+    ceil(registry/budget) rounds, instead of the tail never re-stamping.
+    Python's sort is stable, so registration order breaks ties within one
+    staleness class.
     """
-    green = _green_keys()
-    ordered = {k: v for k, v in QUERIES.items() if k not in green}
-    ordered.update({k: v for k, v in QUERIES.items() if k in green})
+    last = _last_green_round()
+    items = sorted(QUERIES.items(), key=lambda kv: last.get(kv[0], -1))
     QUERIES.clear()
-    QUERIES.update(ordered)
+    QUERIES.update(items)
 
 
 def load_all() -> None:
@@ -89,6 +94,7 @@ def load_all() -> None:
         dedup,
         graphdedup,  # after dedup: composes its registered oracle
         similarity,
+        annindex,  # after similarity: composes its codebooks/verdict
         text,
         corpusstats,
         dataquality,

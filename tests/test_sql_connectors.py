@@ -217,3 +217,43 @@ def test_parameterized_sql_and_session_variables(spark, sf_correct):
         "SELECT count(*) AS n FROM orders WHERE o_totalprice > price_floor"
     ).collect()[0].n
     assert got_named == got_pos == got_var == expect > 0
+
+
+@pytest.mark.parametrize("name", ["sql_recursive_spine", "sql_recursive_chains"])
+def test_recursive_cte_oracle(spark, sf_correct, name):
+    """Spark 4 WITH RECURSIVE keys (calendar spine, chain sessionization)
+    vs identical-structure DuckDB recursion."""
+    assert_matches_oracle(
+        spark, sf_correct, name, registry.QUERIES[name], registry.ORACLES[name]
+    )
+
+
+def test_recursive_chains_cover_all_events(spark, sf_correct):
+    """Every event lands in exactly one chain (head or unique successor),
+    and depth-1 rows are self-headed."""
+    out = registry.QUERIES["sql_recursive_chains"](spark, sf_correct)
+    n_events = load_table(spark, sf_correct, "events").count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
+    bad = out.filter((F.col("depth") == 1) & (F.col("event_id") != F.col("head_id")))
+    assert bad.count() == 0
+
+
+def test_recursive_cte_union_distinct_unsupported(spark):
+    """Pins WHY connected components has no recursive-SQL spelling in this
+    engine (sqlfront.py module comment): Spark 4.1 recursion rejects
+    distinct UNION, so the DuckDB-style fixpoint walk over a cyclic graph
+    is inexpressible (an ALL-walk diverges on cycles; a path-guarded walk
+    is exponential in clique size). If a future Spark version lifts this,
+    this test fails and dedup_clusters_sql becomes implementable."""
+    spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"]).createOrReplaceTempView(
+        "t_cc_edges"
+    )
+    with pytest.raises(Exception, match="UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"):
+        spark.sql(
+            "WITH RECURSIVE walk(node, r) AS ("
+            "  SELECT src, src FROM (SELECT DISTINCT src FROM t_cc_edges)"
+            "  UNION"
+            "  SELECT w.node, e.dst FROM walk w JOIN t_cc_edges e ON e.src = w.r"
+            ") SELECT node, min(r) FROM walk GROUP BY node"
+        ).collect()

@@ -52,9 +52,25 @@ HEADLINE = [
     "corpus_overlap",
     "layout_zorder",
     "sql_large_orders",
+    "pagerank_parts",
+    "sql_recursive_spine",
+    "sql_recursive_chains",
 ]
 
 NOTES = {
+    "pagerank_parts": "adjacency-list (Pregel) layout: per-iteration plan is "
+    "a tiny O(V)-row join against the checkpointed adjacency table, explode "
+    "to contributions, ONE groupBy(dst) exchange (teleport fused via zero "
+    "sentinels); the dumped plan shows only the final iteration — earlier "
+    "ones ran identically behind the localCheckpoints",
+    "sql_recursive_spine": "WITH RECURSIVE month generator: recursion "
+    "materializes as UnionLoop over the previous step's rows (anchor = "
+    "bounds row, +1 month per step, depth = month span); the revenue agg "
+    "and left join are ordinary exchanges outside the loop",
+    "sql_recursive_chains": "recursive sessionization: lead() window builds "
+    "the acyclic successor edges once; the recursion is a UnionLoop whose "
+    "step joins the previous frontier against the edge table — depth = max "
+    "chain length, each step one small hash join",
     "dedup_spans_trim": "span stream materialized once (checkpoint); covered "
     "(doc_id,idx) explode + token left-join + per-doc sorted collect — all "
     "linear shuffles, no per-row interval scans",
