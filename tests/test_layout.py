@@ -155,3 +155,64 @@ def test_zorder_constant_column_guard(spark):
     # z strictly increases with a (b contributes nothing)
     zs = [o.z for o in sorted(out, key=lambda o: o.a)]
     assert zs == sorted(zs) and len(set(zs)) == len(zs)
+
+def test_zvalue_n_hand_cases(spark):
+    """3-dim interleave: bit i of column j lands at position 3i + j."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.layout import (
+        zvalue_n,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (0, 1, 0), (0, 0, 1), (3, 0, 0), (1, 1, 1)],
+        "a long, b long, c long",
+    ).select(
+        "a", "b", "c",
+        zvalue_n([F.col("a"), F.col("b"), F.col("c")]).alias("z"),
+    )
+    got = {(r.a, r.b, r.c): r.z for r in df.collect()}
+    assert got[(1, 0, 0)] == 0b001  # a bit 0 -> position 0
+    assert got[(0, 1, 0)] == 0b010  # b bit 0 -> position 1
+    assert got[(0, 0, 1)] == 0b100  # c bit 0 -> position 2
+    assert got[(3, 0, 0)] == 0b001001  # a bits 0,1 -> positions 0,3
+    assert got[(1, 1, 1)] == 0b111
+
+
+def _file_range_cost3(df, order_col) -> tuple[float, float, float]:
+    """Per-dimension normalized mean file widths for the 3-dim layout."""
+    w = Window.orderBy(order_col, "l_orderkey", "l_linenumber")
+    bounds = (
+        df.withColumn("f", F.ntile(N_FILES).over(w))
+        .groupBy("f")
+        .agg(
+            (F.max("l_partkey") - F.min("l_partkey")).alias("wp"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("ws"),
+            (F.max("l_quantity") - F.min("l_quantity")).alias("wq"),
+        )
+    )
+    g = df.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("gp"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("gs"),
+        (F.max("l_quantity") - F.min("l_quantity")).alias("gq"),
+    ).collect()[0]
+    r = bounds.agg(
+        F.avg("wp").alias("p"), F.avg("ws").alias("s"), F.avg("wq").alias("q")
+    ).collect()[0]
+    return (r.p / g.gp, r.s / g.gs, r.q / g.gq)
+
+
+def test_zorder3_tightens_all_three_dimensions(spark, sf_correct):
+    """The 3-dim layout must (a) bound EVERY dimension below the
+    unclustered cost (~1.0 each), and (b) beat each single-column sort on
+    the combined 3-dim cost — a single-column sort leaves the other two
+    dimensions unclustered (cost ~2.x of 3)."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.layout import (
+        layout_zorder3,
+    )
+
+    df = layout_zorder3(spark, sf_correct)
+    zp, zs, zq = _file_range_cost3(df, "zkey")
+    assert zp < 0.9 and zs < 0.9 and zq < 0.9, (zp, zs, zq)
+    z_total = zp + zs + zq
+    for single in ("l_partkey", "l_suppkey", "l_quantity"):
+        cost = sum(_file_range_cost3(df, single))
+        assert z_total < cost, (single, z_total, cost)
