@@ -1,0 +1,83 @@
+"""Sketch algebra: mergeable HLL union, CMS bounds, and the registered
+verdicts' oracles at both test scales."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+    load_table,
+)
+
+from .oracle import assert_matches_oracle
+
+registry.load_all()
+
+
+@pytest.mark.parametrize("name", ["hll_partition_merge", "cms_heavy_hitters"])
+def test_sketch_verdict_oracle(spark, sf_correct, name):
+    assert_matches_oracle(
+        spark, sf_correct, name, registry.QUERIES[name], registry.ORACLES[name]
+    )
+
+
+@pytest.mark.parametrize("name", ["hll_partition_merge", "cms_heavy_hitters"])
+def test_sketch_verdict_green_at_smoke_scale(spark, sf_dir, name):
+    """The bound checks must hold at every sf, not just the driver's —
+    a sketch whose envelope only clears on one corpus is mis-tuned."""
+    row = registry.QUERIES[name](spark, sf_dir).collect()[0]
+    assert row[-1] is True, row
+
+
+def test_hll_union_equals_global_sketch(spark, sf_correct):
+    """Mergeability is exact, not approximate: the union of per-lang
+    sketches must estimate IDENTICALLY to one global sketch over the same
+    rows (same lgK, same stream items — the sketch is order-insensitive)."""
+    d = load_table(spark, sf_correct, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    merged = (
+        toks.groupBy("lang")
+        .agg(F.hll_sketch_agg("word").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    direct = (
+        toks.agg(F.hll_sketch_estimate(F.hll_sketch_agg("word")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert merged == direct
+
+
+def test_cms_never_undercounts_and_bounds_absent_words(spark, sf_correct):
+    """The one-sided CMS guarantee on hits, and est(absent) ≤ ε·N on
+    misses (an absent word's estimate is pure collision mass)."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.sketches import (
+        CMS_CONFIDENCE,
+        CMS_EPS,
+        CMS_SEED,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.wordcount import (
+        tokenize,
+    )
+
+    toks = tokenize(load_table(spark, sf_correct, "documents"))
+    sk = toks.agg(
+        F.count_min_sketch(
+            "word", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE), F.lit(CMS_SEED)
+        ).alias("sk")
+    ).collect()[0]
+    cms = spark.sparkContext._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk.sk)
+    )
+    exact = {r["word"]: r["count"] for r in toks.groupBy("word").count().collect()}
+    n = sum(exact.values())
+    for w, c in exact.items():
+        assert cms.estimateCount(w) >= c, (w, c)
+    for absent in ["qzx", "notaword", ""]:
+        assert cms.estimateCount(absent) <= CMS_EPS * n
