@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources.tables import load_table
@@ -343,4 +344,69 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total") * 1e6 / (F.col("n_groups") * F.col("toks")))
         .cast("long")
         .alias("weight_e6"),
+    )
+
+
+# Per-group document quota (the "cap docs per domain" curation rule from
+# web-corpus pipelines — CCNet/RefinedWeb cap pages per domain so one site
+# cannot dominate the training mix; here the grouping key is `source`).
+CAP_PER_SOURCE = 20
+
+
+@query(
+    "cap_per_source",
+    oracle=(
+        "SELECT doc_id, source, n_chars FROM ("
+        "SELECT doc_id, source, n_chars, "
+        "row_number() OVER (PARTITION BY source "
+        "ORDER BY n_chars DESC, doc_id) AS rk FROM documents) "
+        f"WHERE rk <= {CAP_PER_SOURCE}"
+    ),
+)
+def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most CAP_PER_SOURCE docs per source, preferring the longest
+    (n_chars DESC, doc_id tiebreak — a deterministic total order per
+    group). One window exchange keyed on `source`; each group streams
+    through its rank independently, so a 100 TB corpus with millions of
+    domains parallelizes on the group key and no group's rows leave their
+    partition twice. The degenerate case — a single mega-domain — is the
+    usual skew story (AQE skew split applies; see tests/test_skew.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CAP_PER_SOURCE)
+        .drop("rk")
+    )
+
+
+@query(
+    "shuffle_deterministic",
+    oracle=(
+        "SELECT doc_id, CAST(row_number() OVER (ORDER BY "
+        "md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS BIGINT) "
+        "AS shuffle_pos FROM documents"
+    ),
+)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: position = rank under
+    md5(doc_id || salt) — reproducible across reruns, partitionings, and
+    cluster sizes (unlike `orderBy(rand(seed))`, whose sample depends on
+    partition layout), and portable across engines (md5 is md5
+    everywhere). The rank is the two-level distributed row_number from
+    rank.py — range exchange on the hash, per-partition windows in
+    parallel, P-row offset table broadcast back; NO single-partition
+    window sees the corpus. Changing the salt reshuffles every epoch."""
+    from .rank import global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    return (
+        global_rank(
+            d.select("doc_id", key.alias("_sk")),
+            ["_sk", "doc_id"],
+            rank_col="shuffle_pos",
+        )
+        .select("doc_id", F.col("shuffle_pos").cast("long").alias("shuffle_pos"))
     )

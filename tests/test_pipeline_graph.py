@@ -411,3 +411,65 @@ def test_pagerank_invariants(spark, sf_correct):
     supp_mean = sum(r.rank_e6 for r in rows if r.node % 2 == 1) / n_supps
     part_mean = sum(r.rank_e6 for r in rows if r.node % 2 == 0) / n_parts
     assert supp_mean > part_mean
+
+
+def test_cap_per_source_oracle_and_binding(spark, sf_correct):
+    """Per-source quota: oracle match, cap actually binds, and no group
+    exceeds CAP_PER_SOURCE."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.pipeline import (
+        CAP_PER_SOURCE,
+    )
+
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "cap_per_source",
+        registry.QUERIES["cap_per_source"],
+        registry.ORACLES["cap_per_source"],
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    out = registry.QUERIES["cap_per_source"](spark, sf_correct)
+    total_docs = load_table(spark, sf_correct, "documents").count()
+    assert out.count() < total_docs, "cap never binds at this sf"
+    over = out.groupBy("source").count().filter(F.col("count") > CAP_PER_SOURCE)
+    assert over.count() == 0
+
+
+def test_shuffle_deterministic_is_partitioning_invariant(spark, sf_correct):
+    """The training-order shuffle must be a pure function of the data:
+    identical positions regardless of input partitioning (the property
+    orderBy(rand(seed)) does NOT have), plus oracle match and a perfect
+    1..N permutation."""
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "shuffle_deterministic",
+        registry.QUERIES["shuffle_deterministic"],
+        registry.ORACLES["shuffle_deterministic"],
+    )
+    out = registry.QUERIES["shuffle_deterministic"](spark, sf_correct)
+    rows = sorted((r.doc_id, r.shuffle_pos) for r in out.collect())
+    n = len(rows)
+    assert sorted(p for _, p in rows) == list(range(1, n + 1))
+    # recompute over a repartitioned source through the same plan body
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.rank import (
+        global_rank,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table as lt,
+    )
+
+    d = lt(spark, sf_correct, "documents").repartition(17)
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    again = global_rank(
+        d.select("doc_id", key.alias("_sk")), ["_sk", "doc_id"],
+        rank_col="shuffle_pos",
+    ).select("doc_id", F.col("shuffle_pos").cast("long").alias("shuffle_pos"))
+    assert sorted((r.doc_id, r.shuffle_pos) for r in again.collect()) == rows
