@@ -284,7 +284,36 @@ def sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SPINE_SQL_SPARK)
 
 
-_CHAINS_SQL_SPARK = """
+_CHAIN_EDGES_MAT_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         lead(event_id) OVER w AS next_id,
+         lead(ts) OVER w AS next_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id AS src, next_id AS dst FROM ordered
+WHERE next_id IS NOT NULL AND next_ts <= ts + INTERVAL '30' MINUTE
+"""
+
+_CHAINS_WALK_SQL = """
+WITH RECURSIVE heads AS (
+  SELECT e.event_id FROM events e
+  LEFT JOIN t_chain_edges_mat x ON x.dst = e.event_id
+  WHERE x.dst IS NULL
+),
+chain(event_id, head_id, depth) AS (
+  SELECT event_id, event_id, 1 FROM heads
+  UNION ALL
+  SELECT e.dst, c.head_id, c.depth + 1
+  FROM chain c JOIN t_chain_edges_mat e ON e.src = c.event_id
+)
+SELECT event_id, head_id, CAST(depth AS BIGINT) AS depth FROM chain
+"""
+
+# Single-statement spelling for the DuckDB oracle (DuckDB CTEs are
+# materialized by default, so one statement is fine THERE).
+_CHAINS_SQL_DUCKDB = """
 WITH RECURSIVE ordered AS (
   SELECT user_id, event_id, ts,
          lead(event_id) OVER w AS next_id,
@@ -294,7 +323,7 @@ WITH RECURSIVE ordered AS (
 ),
 edges AS (
   SELECT event_id AS src, next_id AS dst FROM ordered
-  WHERE next_id IS NOT NULL AND next_ts <= ts + INTERVAL '30' MINUTE
+  WHERE next_id IS NOT NULL AND next_ts <= ts + INTERVAL 30 MINUTE
 ),
 heads AS (
   SELECT o.event_id FROM ordered o LEFT JOIN edges ON edges.dst = o.event_id
@@ -310,10 +339,7 @@ SELECT event_id, head_id, CAST(depth AS BIGINT) AS depth FROM chain
 """
 
 
-@query(
-    "sql_recursive_chains",
-    oracle=_CHAINS_SQL_SPARK.replace("INTERVAL '30' MINUTE", "INTERVAL 30 MINUTE"),
-)
+@query("sql_recursive_chains", oracle=_CHAINS_SQL_DUCKDB)
 def sql_recursive_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive sessionization: per-user next-event edges (gap ≤ 30 min
     under the (ts, event_id) total order — each event has ≤ 1 incoming
@@ -322,8 +348,20 @@ def sql_recursive_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no incoming edge, then the recursion walks each chain labeling
     every event with its session head and 1-based depth. Every event
     appears exactly once (head or unique successor), so rows = |events|.
+
+    TWO STATEMENTS on the Spark side, on purpose: Spark INLINES
+    non-recursive CTEs into the UnionLoop step, so a single-statement
+    spelling re-runs the corpus window EVERY recursion step (verified in
+    the executed plan — one Window operator per loop reference). The
+    production shape materializes the edge table ONCE (localCheckpoint →
+    temp view) and the recursion walks the materialized table: depth D
+    costs D scans of |edges|, not D re-windows of the corpus. DuckDB
+    materializes CTEs by default, so its oracle stays one statement.
+
     The window-function ``sessionize`` key computes the same grouping
     one-shot; this is the recursion-native spelling, useful when the step
     relation is richer than a time gap (e.g. referrer chains)."""
     register_views(spark, sf_dir)
-    return spark.sql(_CHAINS_SQL_SPARK)
+    edges = spark.sql(_CHAIN_EDGES_MAT_SQL).localCheckpoint()
+    edges.createOrReplaceTempView("t_chain_edges_mat")
+    return spark.sql(_CHAINS_WALK_SQL)
