@@ -186,3 +186,100 @@ def test_statestore_reader_exposes_aggregation_state(spark, sf_dir, tmp_path):
         )
     )
     assert len(got) > 0 and got == want
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir, tmp_path):
+    """The production state-store config: RocksDB provider + changelog
+    checkpointing (bounded executor memory for 100 TB-scale streaming
+    state, incremental commits instead of full snapshots). The tumbling
+    aggregation must produce identical results under it, and the
+    checkpoint must contain RocksDB artifacts (proof the provider was
+    actually engaged, not silently defaulted)."""
+    import os
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+        read_events_stream,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming import drain
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.tumbling import (
+        WATERMARK,
+        _tumbling_plan,
+    )
+
+    prov = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", prov)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+    try:
+        ckpt = str(tmp_path / "ckpt_rocks")
+        stream = read_events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+        q = (
+            _tumbling_plan(stream)
+            .writeStream.format("memory")
+            .queryName("t_rocksdb_provider")
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain(q)
+        got = sorted(
+            map(tuple, spark.sql("SELECT * FROM t_rocksdb_provider").collect())
+        )
+        want = sorted(
+            map(tuple, _tumbling_plan(load_table(spark, sf_dir, "events")).collect())
+        )
+        assert got == want and len(got) > 0
+        arts = [
+            f
+            for root, _, fs in os.walk(ckpt)
+            for f in fs
+            if f.endswith((".zip", ".sst", ".changelog"))
+        ]
+        assert arts, "no RocksDB snapshot/changelog artifacts in checkpoint"
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        )
+
+
+def test_observe_metrics_piggyback_on_pipeline(spark, sf_correct):
+    """`df.observe`: accumulator-style metrics collected DURING a real
+    action, no second scan — the operational counterpart of dq_profile
+    (which is itself a query). The observed totals must equal a separate
+    aggregation's answer."""
+    from pyspark.sql import Observation
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    d = load_table(spark, sf_correct, "documents")
+    obs = Observation("corpus_metrics")
+    observed = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.approx_count_distinct("lang").alias("n_langs_est"),
+    )
+    observed.write.mode("overwrite").format("noop").save()  # one real action
+    got = obs.get
+    want = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+    ).collect()[0]
+    assert got["n_docs"] == want["n_docs"] > 0
+    assert got["total_chars"] == want["total_chars"]
+    # observed metrics forbid DISTINCT aggregates (pinned error class
+    # INVALID_OBSERVED_METRICS...DISTINCT_UNSUPPORTED) - the HLL estimate
+    # is the supported spelling, exact at this cardinality (3 langs)
+    assert got["n_langs_est"] == want["n_langs"]
