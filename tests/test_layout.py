@@ -216,3 +216,40 @@ def test_zorder3_tightens_all_three_dimensions(spark, sf_correct):
     for single in ("l_partkey", "l_suppkey", "l_quantity"):
         cost = sum(_file_range_cost3(df, single))
         assert z_total < cost, (single, z_total, cost)
+
+
+def test_zvalue_n_matches_python_reference(spark):
+    """Property: the SQL bit-interleave equals a pure-Python Morton
+    reference for random coordinate tuples across 2/3 dims (hypothesis-
+    generated, deterministic seed via derandomize in CI-less env)."""
+    import random
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.layout import (
+        Z_BITS,
+        zvalue_n,
+    )
+
+    def morton_py(vals, bits=Z_BITS):
+        out = 0
+        n = len(vals)
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                out |= ((v >> i) & 1) << (i * n + j)
+        return out
+
+    rng = random.Random(1234)
+    for n in (2, 3):
+        rows = [
+            tuple(rng.randrange(0, 1 << Z_BITS) for _ in range(n))
+            for _ in range(200)
+        ]
+        cols = [chr(ord("a") + j) for j in range(n)]
+        df = spark.createDataFrame(rows, ", ".join(f"{c} long" for c in cols))
+        got = {
+            tuple(r[c] for c in cols): r.z
+            for r in df.select(
+                *cols, zvalue_n([F.col(c) for c in cols]).alias("z")
+            ).collect()
+        }
+        for vals in rows:
+            assert got[vals] == morton_py(list(vals)), (n, vals)
