@@ -431,3 +431,37 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS INT)"
         ).alias("parsed"),
     )
+
+
+@query(
+    "regr_funcs",
+    oracle=(
+        "SELECT l_returnflag, "
+        "CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n, "
+        "round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope, "
+        "round(regr_intercept(l_extendedprice, l_quantity), 2) + 0.0 "
+        "AS intercept, "
+        "round(regr_r2(l_extendedprice, l_quantity), 6) + 0.0 AS r2, "
+        "round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def regr_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 linear-regression aggregate family (regr_slope /
+    intercept / r2 / count / avgx — price regressed on quantity per
+    return flag): same constant-size co-moment state per group as
+    ``agg_corr``, one partial+final pass, shuffle carries one state tuple
+    per (group, task). The rounded-aggregate + ``+ 0.0`` signed-zero
+    policy applies (co-moment update order differs per engine). These are
+    the in-warehouse fit the quality-scoring pipelines use before
+    reaching for a UDF — a slope/R² per stratum answers 'is length
+    predictive of score in THIS slice' without leaving the JVM."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        (F.round(F.regr_slope(y, x), 4) + 0.0).alias("slope"),
+        (F.round(F.regr_intercept(y, x), 2) + 0.0).alias("intercept"),
+        (F.round(F.regr_r2(y, x), 6) + 0.0).alias("r2"),
+        F.round(F.regr_avgx(y, x), 4).alias("avg_qty"),
+    )

@@ -22,6 +22,7 @@ ORACLE_KEYS = [
     "agg_salted",
     "tfidf_ngrams",
     "agg_corr",
+    "regr_funcs",
     "map_funcs",
 ]
 
