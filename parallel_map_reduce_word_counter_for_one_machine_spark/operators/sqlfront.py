@@ -365,3 +365,44 @@ def sql_recursive_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = spark.sql(_CHAIN_EDGES_MAT_SQL).localCheckpoint()
     edges.createOrReplaceTempView("t_chain_edges_mat")
     return spark.sql(_CHAINS_WALK_SQL)
+
+
+_SCRIPT_GATE_SQL = """
+BEGIN
+  DECLARE n_docs BIGINT;
+  DECLARE avg_chars DOUBLE;
+  SET n_docs = (SELECT count(*) FROM documents);
+  SET avg_chars = (SELECT round(avg(n_chars), 2) FROM documents);
+  IF n_docs >= 100 AND avg_chars > 50 THEN
+    SELECT n_docs AS n_docs, avg_chars AS avg_chars, 'pass' AS gate;
+  ELSE
+    SELECT n_docs AS n_docs, avg_chars AS avg_chars, 'fail' AS gate;
+  END IF;
+END
+"""
+
+
+@query(
+    "sql_script_gate",
+    oracle=(
+        "SELECT n_docs, avg_chars, CASE WHEN n_docs >= 100 AND "
+        "avg_chars > 50 THEN 'pass' ELSE 'fail' END AS gate FROM ("
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "round(avg(n_chars), 2) AS avg_chars FROM documents)"
+    ),
+)
+def sql_script_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (SQL/PSM compound statements, shipped in Spark 4:
+    BEGIN/END blocks, DECLARE'd session-local variables, IF/ELSE control
+    flow) driving a data-quality gate: compute corpus stats into
+    variables, branch on thresholds, return the verdict row — the
+    stored-procedure-style orchestration warehouses script inline.
+    Control flow runs on the DRIVER between statements; each statement is
+    still a full distributed query, so nothing here fights the planner.
+    DuckDB has no scripting — the oracle is the equivalent single
+    declarative query (same relation, CASE instead of IF), which is also
+    the honest note: anything a script's IF can decide per-ROW belongs in
+    a CASE expression; scripting earns its keep only for multi-STATEMENT
+    orchestration (conditional DDL, retry loops, branching pipelines)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCRIPT_GATE_SQL)

@@ -257,3 +257,32 @@ def test_recursive_cte_union_distinct_unsupported(spark):
             "  SELECT w.node, e.dst FROM walk w JOIN t_cc_edges e ON e.src = w.r"
             ") SELECT node, min(r) FROM walk GROUP BY node"
         ).collect()
+
+
+def test_sql_script_gate_oracle_and_branches(spark, sf_correct):
+    """The scripted gate: oracle match (pass branch at the 500-doc
+    corpus) AND the fail branch actually takes when the documents view
+    is substituted with a sub-threshold corpus — both control-flow paths
+    execute."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.sqlfront import (
+        _SCRIPT_GATE_SQL,
+    )
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "sql_script_gate",
+        registry.QUERIES["sql_script_gate"],
+        registry.ORACLES["sql_script_gate"],
+    )
+    big = registry.QUERIES["sql_script_gate"](spark, sf_correct).collect()[0]
+    assert big.gate == "pass" and big.n_docs == 500
+    # fail branch: 10 docs < the 100-doc threshold
+    spark.createDataFrame(
+        [(i, 100 + i) for i in range(10)], "doc_id long, n_chars long"
+    ).createOrReplaceTempView("documents")
+    try:
+        small = spark.sql(_SCRIPT_GATE_SQL).collect()[0]
+        assert small.gate == "fail" and small.n_docs == 10
+    finally:
+        spark.catalog.dropTempView("documents")
