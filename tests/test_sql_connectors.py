@@ -286,3 +286,38 @@ def test_sql_script_gate_oracle_and_branches(spark, sf_correct):
         assert small.gate == "fail" and small.n_docs == 10
     finally:
         spark.catalog.dropTempView("documents")
+
+
+def test_managed_table_catalog_roundtrip(spark, sf_correct, tmp_path):
+    """Catalog/DDL surface: saveAsTable into the session catalog, INSERT
+    INTO appends through the catalog, DESCRIBE sees the schema, and the
+    managed table answers SQL identically to the path-based source. The
+    engine is path-first (TESTDATA parquet), but a user of a SQL engine
+    expects CREATE/INSERT/DROP to work."""
+    tbl = "t_catalog_nation"
+    src = spark.read.parquet(f"{sf_correct}/nation.parquet")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    src.write.saveAsTable(tbl)
+    try:
+        assert spark.catalog.tableExists(tbl)
+        n0 = spark.sql(f"SELECT count(*) AS n FROM {tbl}").collect()[0].n
+        assert n0 == src.count() == 25
+        spark.sql(
+            f"INSERT INTO {tbl} VALUES (991, 'ATLANTIS', 0), "
+            f"(992, 'LEMURIA', 1)"
+        )
+        n1 = spark.sql(f"SELECT count(*) AS n FROM {tbl}").collect()[0].n
+        assert n1 == n0 + 2
+        cols = {r.col_name for r in spark.sql(f"DESCRIBE {tbl}").collect()}
+        assert {"n_nationkey", "n_name", "n_regionkey"} <= cols
+        # catalog table and path source agree on real data
+        a = sorted(
+            map(tuple, spark.sql(
+                f"SELECT * FROM {tbl} WHERE n_nationkey < 900"
+            ).collect())
+        )
+        b = sorted(map(tuple, src.collect()))
+        assert a == b
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    assert not spark.catalog.tableExists(tbl)
