@@ -148,3 +148,59 @@ def run_stream_static_enrich(
     )
     drain(q)
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+@query(
+    "join_attribution_outer",
+    oracle=(
+        "SELECT a.event_id AS purchase_id, b.event_id AS click_id, "
+        "a.user_id, epoch_us(a.ts) - epoch_us(b.ts) AS gap_us "
+        "FROM events a LEFT JOIN events b ON a.user_id = b.user_id "
+        "AND b.event_type = 'click' "
+        f"AND b.ts BETWEEN a.ts - INTERVAL {WINDOW_HOURS} HOUR AND a.ts "
+        "WHERE a.event_type = 'purchase'"
+    ),
+)
+def join_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER stream-stream join: every purchase
+    appears, attributed clicks where they exist, NULL click otherwise —
+    the conversion-funnel shape where unattributed purchases are the
+    signal. Same one-exchange-per-side plan as the inner twin."""
+    a, b = _sides(load_table(spark, sf_dir, "events"))
+    return _project_outer(a.join(b, _cond(a, b), "left_outer"))
+
+
+def _project_outer(j: DataFrame) -> DataFrame:
+    return j.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("pts") - F.unix_micros("cts")).alias("gap_us"),
+    )
+
+
+def run_stream_stream_outer_join(
+    spark: SparkSession, sf_dir: str, query_name: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream join as a real stream. The semantics the
+    inner join doesn't exercise: an unmatched left row can only emit its
+    NULL-padded result once the WATERMARK closes its join window (here:
+    no matching click can arrive once watermark > pts), so state finalizes
+    rows instead of just matching them. With availableNow the final
+    watermark lands at max(event ts) − delay; left rows later than that
+    remain unfinalized and are legitimately absent — the equivalence test
+    compares against the batch twin RESTRICTED to finalized purchases,
+    and asserts every emitted row is batch-correct."""
+    a, b = _sides(read_events_stream(spark, sf_dir))
+    a = a.withWatermark("pts", WATERMARK)
+    b = b.withWatermark("cts", WATERMARK)
+    out = _project_outer(a.join(b, _cond(a, b), "left_outer"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q)
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -473,3 +473,55 @@ def test_shuffle_deterministic_is_partitioning_invariant(spark, sf_correct):
         rank_col="shuffle_pos",
     ).select("doc_id", F.col("shuffle_pos").cast("long").alias("shuffle_pos"))
     assert sorted((r.doc_id, r.shuffle_pos) for r in again.collect()) == rows
+
+
+def test_stream_stream_outer_join_watermark_semantics(spark, sf_correct):
+    """LEFT OUTER stream-stream join: (a) every emitted row is correct
+    per the batch twin, (b) every purchase the final watermark FINALIZED
+    (pts < max event ts − watermark delay) was emitted — matched or
+    NULL-padded. Later purchases may legitimately be absent (their join
+    window never closed before the stream ended — measured: the emitted
+    set reaches to within delay + ~29 min of the final event)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.joins import (
+        join_attribution_outer,
+        run_stream_stream_outer_join,
+    )
+
+    batch = set(map(tuple, join_attribution_outer(spark, sf_correct).collect()))
+    stream = set(
+        map(
+            tuple,
+            run_stream_stream_outer_join(
+                spark, sf_correct, "t_ss_outer_join"
+            ).collect(),
+        )
+    )
+    assert stream <= batch, "stream emitted rows the batch twin disowns"
+    ev = load_table(spark, sf_correct, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # joins.WATERMARK delay is 12 h; +1 h margin because the per-batch
+    # watermark derives from the PREVIOUS batch's max event time (measured
+    # lag ~29 min at this batch granularity)
+    cutoff = max_ts - datetime.timedelta(hours=13)
+    finalized = {
+        t
+        for t in batch
+        if t[0]
+        in {
+            r.event_id
+            for r in ev.filter(
+                (F.col("event_type") == "purchase") & (F.col("ts") < F.lit(cutoff))
+            ).collect()
+        }
+    }
+    missing = finalized - stream
+    assert not missing, f"{len(missing)} finalized rows not emitted"
+    # the NULL-padded branch actually fires
+    assert any(t[1] is None for t in stream)
