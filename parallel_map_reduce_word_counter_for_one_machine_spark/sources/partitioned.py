@@ -54,6 +54,55 @@ def partitioned_documents_dir(spark: SparkSession, sf_dir: str) -> str:
     return _BUILT[key]
 
 
+# Tiny lang→family dim for the dynamic-partition-pruning join. Hard-coded
+# VALUES on both engines so the oracle is self-contained.
+_LANG_FAMILY = [
+    ("en", "germanic"),
+    ("de", "germanic"),
+    ("fr", "romance"),
+    ("es", "romance"),
+    ("zh", "sinitic"),
+]
+
+_DPP_ORACLE = (
+    "WITH dim(lang, family) AS (VALUES "
+    + ", ".join(f"('{l}', '{f}')" for l, f in _LANG_FAMILY)
+    + ") "
+    "SELECT d.lang AS lang, family, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents d JOIN dim USING (lang) WHERE family = 'germanic' "
+    "GROUP BY d.lang, family"
+)
+
+
+@query("join_dpp", oracle=_DPP_ORACLE)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: fact (lang-partitioned documents) joined
+    to a dim filtered on a NON-partition column (family). The partition
+    filter on the fact cannot be written statically — Spark synthesizes it
+    at runtime from the dim's broadcast (``dynamicpruningexpression(lang IN
+    dynamicpruning#N)`` inside PartitionFilters, plan-asserted in
+    tests/test_temporal_partitioned.py), so the fact scan lists only the
+    lang directories the filtered dim actually selects. This is THE star-
+    schema scan-reduction mechanism at 100 TB: a date-dim predicate prunes
+    a date-partitioned fact to the matching partitions with zero manual
+    filter rewriting, at broadcast-reuse cost (DPP's default
+    ``reuseBroadcastOnly`` mode — the pruning subquery reuses the join's
+    own broadcast exchange, no extra job)."""
+    from pyspark.sql import functions as F
+
+    fact = spark.read.parquet(partitioned_documents_dir(spark, sf_dir))
+    dim = spark.createDataFrame(_LANG_FAMILY, "lang STRING, family STRING")
+    return (
+        fact.join(dim.filter(F.col("family") == "germanic"), "lang")
+        .groupBy("lang", "family")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 @query(
     "scan_partition_pruned",
     oracle=(

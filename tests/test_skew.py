@@ -124,3 +124,71 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     assert df.rdd.getNumPartitions() < int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+
+
+_BLOOM_CONFS = {
+    # force a shuffle join (broadcast joins get DPP-style reuse instead)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # test-scale scans are far below the 10 GB production threshold
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+}
+
+
+def test_runtime_bloom_filter_injected_on_shuffle_join(spark):
+    """Runtime filter injection — the shuffle-join sibling of DPP: a
+    selective predicate on one join side materializes a bloom filter
+    (bloom_filter_agg over the creation side's join keys) that is pushed
+    into the other side's scan as might_contain(), discarding non-matching
+    rows BEFORE the shuffle. At 100 TB this is the difference between
+    shuffling the full fact table and shuffling the ~1% that can join.
+    Thresholds (creation side ≤ 10 MB agg'd, application side ≥ 10 GB
+    scanned by default) gate it in production; the test lowers the
+    application-side floor to make the injection observable at sf scale,
+    and asserts results are unchanged vs the un-filtered plan."""
+    sf = "/root/testdata/sf0.01"
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+
+    def run():
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("l_quantity").cast("long")).alias("q"),
+            )
+        )
+
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        j = run()
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        # the runtime filter lands on the APPLICATION side's scan condition
+        # (l_orderkey), not the creation side
+        cond = [ln for ln in plan.splitlines() if "might_contain" in ln]
+        assert any("l_orderkey" in ln for ln in cond), cond
+        with_filter = {tuple(r) for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # semantics unchanged: same result without the runtime filter
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    try:
+        without = {tuple(r) for r in run().collect()}
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    assert with_filter == without and with_filter

@@ -77,3 +77,27 @@ def test_registered_partition_pruned_scan(spark, sf_correct):
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
     flat = load_table(spark, sf_correct, "documents").filter("lang = 'de'")
     assert df.count() == flat.count() > 0
+
+
+def test_join_dpp_plans_dynamic_pruning(spark, sf_correct):
+    """`join_dpp` must prune the partitioned fact scan with a RUNTIME
+    filter derived from the dim's broadcast: the static plan cannot name
+    the langs (the predicate is on the dim's family column), so pruning
+    only happens if Spark injects dynamicpruningexpression into the fact's
+    PartitionFilters. Also checks oracle parity."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.partitioned import (
+        join_dpp,
+    )
+
+    df = join_dpp(spark, sf_correct)
+    plan = plan_string(df)
+    assert "dynamicpruning" in plan.lower(), plan
+    part_line = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "dynamicpruning" in part_line.lower(), part_line
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "join_dpp",
+        registry.QUERIES["join_dpp"],
+        registry.ORACLES["join_dpp"],
+    )
