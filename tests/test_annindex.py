@@ -83,3 +83,40 @@ def test_registered_verdict_matches_oracle(spark, sf_correct):
         registry.QUERIES["similarity_topk_ivfpq_pruned"],
         registry.ORACLES["similarity_topk_ivfpq_pruned"],
     )
+
+
+def test_kmeans_index_deepens_pruning(spark, sf_dir):
+    """The trained coarse quantizer spreads codes over more cells than the
+    10 labels, so a fixed-n_probe probe opens a SMALLER fraction of the
+    partition directories — the pruning-depth knob the label-cell index
+    can't turn. Asserts the kmeans index has more cell dirs than labels
+    and that a single probe's file fraction is below the label-cell one."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.annindex import (
+        IVFPQ_KMEANS_CELLS,
+        IVFPQ_KMEANS_PROBE,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.similarity import (
+        IVFPQ_N_PROBE,
+    )
+
+    root_km = ivfpq_index_dir(spark, sf_dir, n_cells=IVFPQ_KMEANS_CELLS)
+    cell_dirs = [
+        d for d in os.listdir(os.path.join(root_km, "codes")) if d.startswith("cell=")
+    ]
+    n_labels = 10
+    assert len(cell_dirs) > n_labels
+    # per-query scan fraction: n_probe / n_cells, strictly deeper pruning
+    assert IVFPQ_KMEANS_PROBE / len(cell_dirs) < IVFPQ_N_PROBE / n_labels
+    # every nonzero vector still indexed exactly once
+    codes = spark.read.parquet(os.path.join(root_km, "codes"))
+    assert codes.select("vec_id").distinct().count() == codes.count()
+
+
+def test_kmeans_pruned_verdict_matches_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "similarity_topk_ivfpq_kmeans_pruned",
+        registry.QUERIES["similarity_topk_ivfpq_kmeans_pruned"],
+        registry.ORACLES["similarity_topk_ivfpq_kmeans_pruned"],
+    )
