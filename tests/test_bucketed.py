@@ -13,6 +13,12 @@ from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables impor
     load_table,
 )
 
+from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+
+from .oracle import assert_matches_oracle
+
+registry.load_all()
+
 
 def test_bucketed_join_has_no_exchange(spark, sf_correct, tmp_path):
     """The whole point of bucketing: the fact-fact join plans with ZERO
@@ -63,3 +69,51 @@ def test_registered_join_bucketed_no_exchange_and_correct(spark, sf_correct):
         assert j.count() == plain.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_compaction_reduces_files_and_preserves_content(spark, sf_correct, tmp_path):
+    """64 debris files → size-derived file count (1 at test scale), byte
+    sizing from the FS content summary, exact content roundtrip."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.compaction import (
+        compact_parquet,
+        directory_bytes,
+        parquet_file_count,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "out")
+    docs = load_table(spark, sf_correct, "documents")
+    docs.repartition(64).write.parquet(frag)
+    assert parquet_file_count(frag) == 64
+    total = directory_bytes(spark, frag)
+    assert total > 0
+    # target chosen to land at exactly 2 files at this scale
+    n = compact_parquet(spark, frag, out, target_bytes=(total + 1) // 2)
+    assert n == 2 == parquet_file_count(out)
+    a = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    b = sorted(r.doc_id for r in docs.collect())
+    assert a == b
+
+
+def test_compact_roundtrip_matches_oracle(spark, sf_correct):
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.compaction import (
+        FRAGMENT_FILES,
+        compacted_documents_dir,
+        parquet_file_count,
+    )
+
+    frag, compact = compacted_documents_dir(spark, sf_correct)
+    assert parquet_file_count(frag) == FRAGMENT_FILES
+    assert parquet_file_count(compact) < FRAGMENT_FILES
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "compact_roundtrip",
+        registry.QUERIES["compact_roundtrip"],
+        registry.ORACLES["compact_roundtrip"],
+    )
