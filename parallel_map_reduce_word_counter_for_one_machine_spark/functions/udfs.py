@@ -129,3 +129,46 @@ def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, s.word, s.pos "
         "FROM v_docs_udtf, LATERAL split_words(text) AS s"
     )
+
+
+@query(
+    "arrow_vector_norms",
+    oracle=(
+        # closed-form twin: L2 norm per embedding, 6dp to absorb last-ulp
+        "SELECT vec_id, "
+        "round(sqrt(list_sum(list_transform(embedding, x -> x * x))), 6)"
+        " AS l2 FROM embeddings"
+    ),
+)
+def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy tier of the Python boundary — batches
+    arrive as pyarrow RecordBatches and never materialize a pandas frame
+    (no object-boxing, no index allocation), which matters exactly when the
+    payload is large fixed-width arrays like embeddings. numpy views the
+    Arrow buffers directly: for a 64-dim float column the pandas detour
+    costs more than the math. Production case: feeding batches to a
+    C++/GPU scorer that speaks Arrow. Held to the same closed-form oracle
+    as every other Python-boundary demo (package UDF doctrine above)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def norms(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column(batch.schema.get_field_index("embedding"))
+            flat = col.flatten()  # one contiguous values buffer
+            X = np.asarray(flat, dtype=np.float64).reshape(batch.num_rows, -1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("vec_id")),
+                    pa.array(
+                        np.round(np.sqrt((X * X).sum(axis=1)), 6),
+                        type=pa.float64(),
+                    ),
+                ],
+                names=["vec_id", "l2"],
+            )
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return vecs.mapInArrow(norms, schema="vec_id long, l2 double")
