@@ -108,6 +108,45 @@ def _merge_state(cur: DataFrame, batch: DataFrame) -> DataFrame:
     )
 
 
+def list_versions(state_root: str) -> list[int]:
+    if not os.path.isdir(state_root):
+        return []
+    return sorted(
+        int(d[1:])
+        for d in os.listdir(state_root)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+
+
+def apply_batch(batch_df: DataFrame, batch_id: int, state_root: str) -> None:
+    """One sink commit: reduce the micro-batch, merge into the latest
+    version, write version N+1, then the ``_applied_b{batch_id}`` marker.
+    Named (not a closure) so the stream, replay tests, and any manual
+    backfill drive the IDENTICAL commit path."""
+    marker = os.path.join(state_root, f"_applied_b{batch_id}")
+    if os.path.exists(marker):
+        return  # replayed micro-batch: version already committed
+    batch = _latest_per_key(batch_df)
+    versions = list_versions(state_root)
+    if versions:
+        cur = batch_df.sparkSession.read.parquet(
+            os.path.join(state_root, f"v{versions[-1]}")
+        )
+        merged = _merge_state(cur, batch)
+        out_version = versions[-1] + 1
+    else:
+        merged = batch
+        out_version = 0
+    merged.write.mode("overwrite").parquet(
+        os.path.join(state_root, f"v{out_version}")
+    )
+    # commit marker LAST: a crash before this line leaves the version
+    # directory orphaned and the replayed batch rewrites it (same
+    # content — the merge is a pure function of state + batch)
+    with open(marker, "w") as fh:
+        fh.write(f"v{out_version}\n")
+
+
 def run_stream_upsert(
     spark: SparkSession, sf_dir: str, state_root: str, query_name: str
 ) -> DataFrame:
@@ -115,31 +154,7 @@ def run_stream_upsert(
     state (latest version directory) as a DataFrame."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(state_root, f"_applied_b{batch_id}")
-        if os.path.exists(marker):
-            return  # replayed micro-batch: version already committed
-        batch = _latest_per_key(batch_df)
-        versions = sorted(
-            int(d[1:]) for d in os.listdir(state_root)
-            if d.startswith("v") and d[1:].isdigit()
-        ) if os.path.isdir(state_root) else []
-        if versions:
-            cur = batch_df.sparkSession.read.parquet(
-                os.path.join(state_root, f"v{versions[-1]}")
-            )
-            merged = _merge_state(cur, batch)
-            out_version = versions[-1] + 1
-        else:
-            merged = batch
-            out_version = 0
-        merged.write.mode("overwrite").parquet(
-            os.path.join(state_root, f"v{out_version}")
-        )
-        # commit marker LAST: a crash before this line leaves the version
-        # directory orphaned and the replayed batch rewrites it (same
-        # content — the merge is a pure function of state + batch)
-        with open(marker, "w") as fh:
-            fh.write(f"v{out_version}\n")
+        apply_batch(batch_df, batch_id, state_root)
 
     q = (
         read_events_stream(spark, sf_dir)
@@ -150,8 +165,34 @@ def run_stream_upsert(
         .start()
     )
     drain(q)
-    versions = sorted(
-        int(d[1:]) for d in os.listdir(state_root)
-        if d.startswith("v") and d[1:].isdigit()
-    )
+    versions = list_versions(state_root)
     return spark.read.parquet(os.path.join(state_root, f"v{versions[-1]}"))
+
+
+def vacuum_versions(state_root: str, keep_last: int = 2) -> list[int]:
+    """Retention for the versioned state table — the VACUUM half of the
+    table-maintenance story (compaction is sources/compaction.py): every
+    commit above writes a full new version, so without retention the sink
+    stores one complete state copy per micro-batch forever. Removes all
+    but the newest ``keep_last`` version directories and returns the
+    removed version numbers.
+
+    Two things deliberately survive a vacuum:
+
+    * the newest ``keep_last`` versions — ``keep_last >= 1`` is enforced
+      because the latest version IS the table; real formats additionally
+      keep a time-travel horizon, which is what ``keep_last > 1`` models;
+    * ALL ``_applied_b{N}`` commit markers — they are the replay ledger,
+      not data: a marker whose version directory was vacuumed still
+      proves batch N was applied, and deleting it would let a replayed
+      batch N re-apply against newer state (the exactly-once violation
+      the markers exist to prevent).
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    doomed = list_versions(state_root)[:-keep_last]
+    for v in doomed:
+        shutil.rmtree(os.path.join(state_root, f"v{v}"))
+    return doomed

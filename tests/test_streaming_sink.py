@@ -283,3 +283,62 @@ def test_observe_metrics_piggyback_on_pipeline(spark, sf_correct):
     # INVALID_OBSERVED_METRICS...DISTINCT_UNSUPPORTED) - the HLL estimate
     # is the supported spelling, exact at this cardinality (3 langs)
     assert got["n_langs_est"] == want["n_langs"]
+
+
+def test_vacuum_keeps_latest_versions_and_replay_ledger(spark, sf_correct, tmp_path):
+    """VACUUM over a multi-version state table: drives three commits
+    through the REAL apply_batch path (event_id-range micro-batches), then
+    vacuums to keep_last=1 — only the newest version survives, all commit
+    markers survive, the surviving state is untouched, and a replayed old
+    batch_id is still skipped (the ledger outlives its vacuumed version)."""
+    import os
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.upsertsink import (
+        apply_batch,
+        list_versions,
+        vacuum_versions,
+    )
+
+    state = str(tmp_path / "vacuum_state")
+    os.makedirs(state)
+    events = load_table(spark, sf_correct, "events")
+    n = events.count()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    w = F.row_number().over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+            "ts", "event_id"
+        )
+    )
+    numbered = events.withColumn("rn", w).localCheckpoint()
+    for i in range(3):
+        batch = numbered.filter(
+            (F.col("rn") > cuts[i]) & (F.col("rn") <= cuts[i + 1])
+        ).drop("rn")
+        apply_batch(batch, i, state)
+    assert list_versions(state) == [0, 1, 2]
+    latest_before = sorted(
+        map(tuple, spark.read.parquet(os.path.join(state, "v2")).collect())
+    )
+
+    removed = vacuum_versions(state, keep_last=1)
+    assert removed == [0, 1]
+    assert list_versions(state) == [2]
+    markers = sorted(d for d in os.listdir(state) if d.startswith("_applied_b"))
+    assert markers == ["_applied_b0", "_applied_b1", "_applied_b2"]
+    latest_after = sorted(
+        map(tuple, spark.read.parquet(os.path.join(state, "v2")).collect())
+    )
+    assert latest_after == latest_before
+
+    # replay of a vacuumed batch: marker still blocks it — no new version
+    replay = numbered.filter(F.col("rn") <= cuts[1]).drop("rn")
+    apply_batch(replay, 0, state)
+    assert list_versions(state) == [2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        vacuum_versions(state, keep_last=0)
