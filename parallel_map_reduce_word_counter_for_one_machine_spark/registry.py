@@ -109,7 +109,7 @@ def load_all() -> None:
     )
     from .functions import udfs  # noqa: F401
     from .streaming import dedupstream, joins, tumbling  # noqa: F401
-    from .sources import bucketed, compaction, partitioned  # noqa: F401
+    from .sources import bucketed, compaction, evolution, partitioned  # noqa: F401
     from .operators import (  # noqa: F401
         relational,
         relational2,

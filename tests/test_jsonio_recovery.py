@@ -6,6 +6,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.utils import AnalysisException
 
+from .oracle import assert_matches_oracle
+
 from parallel_map_reduce_word_counter_for_one_machine_spark.sources.jsonio import (
     CORRUPT_COL,
     quarantine_split,
@@ -138,3 +140,40 @@ def test_csv_robust_modes(spark, tmp_path):
 
     dropped = read_csv_robust(spark, str(p), SCHEMA, mode="dropmalformed")
     assert sorted(r["id"] for r in dropped.collect()) == [1, 4]
+
+
+def test_merge_schema_unions_footers_and_nulls_old_rows(spark, sf_correct, tmp_path):
+    """mergeSchema read: all 5 columns present, generation-1 rows read
+    with NULL source/n_chars, no rows dropped."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.evolution import (
+        read_evolved,
+        write_evolving_batches,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    root = str(tmp_path / "evolve")
+    write_evolving_batches(spark, sf_correct, root)
+    d = read_evolved(spark, root)
+    assert set(d.columns) >= {"doc_id", "text", "lang", "source", "n_chars"}
+    docs = load_table(spark, sf_correct, "documents")
+    assert d.count() == docs.count()
+    gen1 = d.filter(F.col("doc_id") % 2 == 0)
+    assert gen1.filter(F.col("source").isNotNull()).count() == 0
+    assert gen1.filter(F.col("n_chars").isNotNull()).count() == 0
+    gen2 = d.filter(F.col("doc_id") % 2 == 1)
+    assert gen2.filter(F.col("source").isNull()).count() == 0
+
+
+def test_schema_evolution_key_matches_oracle(spark, sf_correct):
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+
+    registry.load_all()
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "schema_evolution_read",
+        registry.QUERIES["schema_evolution_read"],
+        registry.ORACLES["schema_evolution_read"],
+    )
