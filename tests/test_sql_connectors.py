@@ -321,3 +321,49 @@ def test_managed_table_catalog_roundtrip(spark, sf_correct, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     assert not spark.catalog.tableExists(tbl)
+
+
+def test_analyze_table_feeds_cbo_statistics(spark, sf_correct):
+    """ANALYZE TABLE → cost-based optimizer inputs: table-level rowCount/
+    sizeInBytes land in the catalog and the optimized plan's stats, and
+    FOR ALL COLUMNS records per-column min/max/distinct-count. At 100 TB
+    these stats are what let the CBO pick join orders and broadcast sides
+    without AQE having to discover sizes at runtime (the two are
+    complementary: CBO plans from history, AQE corrects live)."""
+    tbl = "t_stats_orders"
+    src = spark.read.parquet(f"{sf_correct}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    src.write.saveAsTable(tbl)
+    saved = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        n = src.count()
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+        # catalog-level stats
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+        }
+        assert "Statistics" in desc, desc
+        assert f"{n} rows" in desc["Statistics"], desc["Statistics"]
+        # column-level stats (min/max/ndv) recorded
+        col = {
+            r.info_name: r.info_value
+            for r in spark.sql(
+                f"DESCRIBE EXTENDED {tbl} o_orderkey"
+            ).collect()
+        }
+        assert col.get("min") not in (None, "NULL")
+        assert col.get("max") not in (None, "NULL")
+        assert int(col["distinct_count"]) > 0
+        # the optimizer actually SEES them: logical-plan stats carry the
+        # exact row count (not a size-based guess)
+        df = spark.table(tbl)
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined()
+        assert int(str(stats.rowCount().get())) == n
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", saved)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
