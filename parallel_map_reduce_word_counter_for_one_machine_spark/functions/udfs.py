@@ -172,3 +172,32 @@ def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return vecs.mapInArrow(norms, schema="vec_id long, l2 double")
+
+
+@query(
+    "udf_arrow_optimized",
+    oracle=(
+        # closed-form twin of the per-row bucketing logic
+        "SELECT event_id, CASE WHEN value < 0 THEN 'neg' "
+        "WHEN value < 50 THEN 'low' ELSE 'high' END AS bucket FROM events"
+    ),
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED scalar Python UDF (``useArrow=True``): still
+    row-at-a-time Python logic, but batched over Arrow instead of pickled
+    row-by-row — the right tier when the logic is genuinely per-row Python
+    (a business-rule engine, a C extension taking scalars) yet the
+    pandas_udf vectorized form doesn't apply. Completes the Python
+    boundary ladder demonstrated in this module: builtin expr < arrow
+    udf < pandas_udf < mapInPandas < mapInArrow, each one oracle-checked.
+    The per-row form is NEVER used on package hot paths (plan-test-
+    enforced doctrine; this key exists to cover the API tier)."""
+
+    @F.udf(returnType="string", useArrow=True)
+    def bucket(v: float) -> str:
+        if v is None:
+            return None
+        return "neg" if v < 0 else ("low" if v < 50 else "high")
+
+    e = load_table(spark, sf_dir, "events")
+    return e.select("event_id", bucket("value").alias("bucket"))
