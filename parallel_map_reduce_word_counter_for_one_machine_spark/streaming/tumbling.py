@@ -171,3 +171,68 @@ def run_stream_session(spark: SparkSession, sf_dir: str, query_name: str) -> Dat
         )
 
     return _run_windowed_stream(spark, sf_dir, query_name, plan)
+
+
+def _chained_plan(events: DataFrame) -> DataFrame:
+    """TWO chained event-time aggregations in one plan: hourly per-type
+    counts/sums rolled up into 6-hour windows by re-windowing the FIRST
+    aggregation's window struct (``F.window`` over a window column, the
+    Spark-3.4+ time-window-of-window form). Identical logical plan batch
+    or streaming — in streaming this is Spark 4's multiple-stateful-
+    operators support: two stateful aggs share one query, one watermark,
+    per-operator state stores."""
+    hourly = events.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    return (
+        hourly.groupBy(F.window("w", "6 hours").alias("d"), "event_type")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("sv"), 2).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("d.start")).alias("bucket_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_chained_windows",
+    oracle=(
+        # 6h buckets: both engines align to midnight-divisible boundaries
+        # (24h is a multiple of 6h), so time_bucket ≡ Spark's epoch-aligned
+        # window despite different origin conventions.
+        "SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts)) AS bucket_ms, "
+        "event_type, count(*) AS n, round(sum(value), 2) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the chained hourly→6-hourly rollup (equals the flat
+    6-hour aggregation by associativity of count/sum; rounding only at the
+    outer level). The REAL two-stateful-operator stream runs in
+    ``run_stream_chained`` with watermark-finalization semantics pinned by
+    tests."""
+    return _chained_plan(load_table(spark, sf_dir, "events"))
+
+
+def run_stream_chained(
+    spark: SparkSession, sf_dir: str, query_name: str
+) -> DataFrame:
+    """The chained aggregation as a real stream. Chained stateful
+    aggregations require APPEND mode (complete/update are unsupported for
+    downstream stateful consumers), so only windows the final watermark
+    CLOSED are emitted — the test asserts exactly that subset relation
+    against the batch twin, the same finalization contract as the outer
+    stream-stream join."""
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    q = (
+        _chained_plan(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q)
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -98,3 +98,51 @@ def test_multimodal_resize_shape_and_determinism(spark, sf_correct):
         for r in registry.QUERIES["multimodal_resize"](spark, sf_correct).collect()
     }
     assert all(bytes(r["thumb"]).hex().upper() == hexed[r["doc_id"]] for r in rows)
+
+
+def test_chained_stateful_aggs_stream_vs_batch(spark, sf_correct):
+    """TWO stateful aggregations chained in one streaming query (hourly →
+    6-hourly rollup): every emitted row matches the batch twin exactly,
+    and every 6-hour window the final watermark closed was emitted —
+    append-mode finalization, the same contract as the outer stream-stream
+    join test. Oracle parity of the batch face is checked separately."""
+    import datetime
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.tumbling import (
+        run_stream_chained,
+        stream_chained_windows,
+    )
+
+    batch = set(map(tuple, stream_chained_windows(spark, sf_correct).collect()))
+    stream = set(
+        map(
+            tuple,
+            run_stream_chained(spark, sf_correct, "t_chained_aggs").collect(),
+        )
+    )
+    assert stream <= batch, "stream emitted rows the batch twin disowns"
+    ev = load_table(spark, sf_correct, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # tumbling.WATERMARK is 10 min; +1 h margin for per-batch watermark lag
+    # (derived from the PREVIOUS batch's max event time)
+    cutoff_ms = int(
+        (max_ts - datetime.timedelta(minutes=70)).timestamp() * 1000
+    )
+    six_h_ms = 6 * 3600 * 1000
+    finalized = {t for t in batch if t[0] + six_h_ms <= cutoff_ms}
+    missing = finalized - stream
+    assert not missing, f"{len(missing)} finalized windows not emitted"
+    assert stream  # the chained path actually produced output
+
+
+def test_stream_chained_windows_matches_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "stream_chained_windows",
+        registry.QUERIES["stream_chained_windows"],
+        registry.ORACLES["stream_chained_windows"],
+    )
