@@ -367,3 +367,30 @@ def test_analyze_table_feeds_cbo_statistics(spark, sf_correct):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", saved)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_alter_table_add_column_default(spark):
+    """Catalog-side additive evolution — the DDL twin of the mergeSchema
+    read (sources/evolution.py): ALTER TABLE ADD COLUMN ... DEFAULT makes
+    pre-evolution rows read the EXISTS-default WITHOUT rewriting their
+    files (the catalog stores it; parquet files are untouched), new
+    inserts take the default via the DEFAULT keyword, and explicit values
+    override. This is how a 100 TB table gains a column in O(1)."""
+    tbl = "t_default_evolve"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.range(3).selectExpr("id AS k").write.saveAsTable(tbl)
+    try:
+        spark.sql(f"ALTER TABLE {tbl} ADD COLUMN flag STRING DEFAULT 'legacy'")
+        spark.sql(f"INSERT INTO {tbl} VALUES (10, 'new'), (11, DEFAULT)")
+        rows = {
+            (r.k, r.flag) for r in spark.sql(f"SELECT * FROM {tbl}").collect()
+        }
+        assert rows == {
+            (0, "legacy"),
+            (1, "legacy"),
+            (2, "legacy"),
+            (10, "new"),
+            (11, "legacy"),
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
