@@ -65,3 +65,64 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(
         dedup, kept.doc_id == dedup.keep_id
     ).select("doc_id", "lang", "n_tokens", "ttr", "n_copies")
+
+
+@query(
+    "source_typo_pairs",
+    oracle=(
+        # brute-force truth over the (small) distinct-source domain — the
+        # blocked candidate generation must be COMPLETE at distance <= 1
+        "WITH s AS (SELECT DISTINCT source FROM documents) "
+        "SELECT a.source AS src_a, b.source AS src_b, "
+        "CAST(levenshtein(a.source, b.source) AS BIGINT) AS dist "
+        "FROM s a JOIN s b ON a.source < b.source "
+        "AND levenshtein(a.source, b.source) <= 1"
+    ),
+)
+def source_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical source/domain detection — the variant-collapse step
+    of source-level curation (``cap_per_source``'s sibling: before capping
+    per domain you must notice 'src1' and 'src11' are different but
+    'example.com' / 'examp1e.com' are a typosquat pair). All pairs of
+    distinct sources at Levenshtein distance <= 1, WITHOUT the O(V²)
+    all-pairs join: SymSpell-style deletion-neighborhood blocking — each
+    string generates itself plus its |s| single-deletion variants, pairs
+    sharing a variant are the only candidates, then an exact levenshtein
+    verify. Complete at distance 1 by construction (substitution ⇒ both
+    sides delete the substituted position and meet at the same string;
+    insertion/deletion ⇒ the longer side's deletion meets the shorter
+    side's identity variant). At 100 TB vocabulary scale this is linear in
+    total string length with a groupBy-shaped shuffle on variant keys —
+    the same bucketed-not-all-pairs doctrine as every dedup path here;
+    deeper neighborhoods (distance 2) add the deletions-of-deletions
+    tier, same plan shape."""
+    src = (
+        load_table(spark, sf_dir, "documents").select("source").distinct()
+    )
+    # identity + 1-deletion variants, as pure array expressions
+    variants = src.select(
+        "source",
+        F.explode(
+            F.array_union(
+                F.array(F.col("source")),
+                F.expr(
+                    "transform(sequence(1, length(source)), "
+                    "i -> concat(substr(source, 1, i - 1), "
+                    "substr(source, i + 1, length(source))))"
+                ),
+            )
+        ).alias("v"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cands = (
+        a.join(b, F.col("a.v") == F.col("b.v"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("src_a", "src_b")
+    return cands.filter(dist <= 1).select(
+        "src_a", "src_b", dist.cast("long").alias("dist")
+    )

@@ -116,3 +116,36 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(exact), n_tokens, bool(ok))],
         "n_words BIGINT, n_tokens BIGINT, bounds_ok BOOLEAN",
     )
+
+
+@query(
+    "bitmap_distinct_users",
+    oracle=(
+        "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+        "AS n_users FROM events GROUP BY event_type"
+    ),
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via bitmap aggregates (the third
+    member of the mergeable family here, between exact groupBy-distinct
+    and the approximate HLL): ids map to (bucket, bit-position), each
+    bucket aggregates to a fixed ≤4 KB bitmap (``bitmap_construct_agg``),
+    and counts sum across buckets. Unlike ``count(DISTINCT ...)`` — whose
+    shuffle carries every distinct id — the shuffle here carries one
+    bitmap per (group, bucket): for dense id spaces that is ~1 bit per id
+    pre-combined map-side, and the bitmaps union associatively
+    (``bitmap_or_agg``) across partitions, days, or incremental loads.
+    The exactness contract is the whole point vs HLL — the oracle is a
+    plain COUNT(DISTINCT), no tolerance verdict needed."""
+    e = load_table(spark, sf_dir, "events")
+    buckets = e.select(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bk"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    )
+    per_bucket = buckets.groupBy("event_type", "bk").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )

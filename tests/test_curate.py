@@ -69,3 +69,42 @@ def test_decontaminate_flags_actual_overlap(spark, sf_correct):
     assert out.filter(
         (~F.col("contaminated")) & (F.col("n_eval_shingles") != 0)
     ).count() == 0
+
+
+def test_source_typo_pairs_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "source_typo_pairs",
+        registry.QUERIES["source_typo_pairs"],
+        registry.ORACLES["source_typo_pairs"],
+    )
+
+
+def test_deletion_blocking_complete_at_distance_one(spark, sf_correct):
+    """The SymSpell blocking must be COMPLETE: candidates cover every pair
+    the O(V²) brute force finds at levenshtein <= 1 (in-engine twin of the
+    cross-engine oracle)."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.curate import (
+        source_typo_pairs,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    src = load_table(spark, sf_correct, "documents").select("source").distinct()
+    a = src.select(F.col("source").alias("src_a"))
+    b = src.select(F.col("source").alias("src_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(
+            (F.col("src_a") < F.col("src_b"))
+            & (F.levenshtein("src_a", "src_b") <= 1)
+        )
+        .select("src_a", "src_b")
+    )
+    got = {(r.src_a, r.src_b) for r in source_typo_pairs(spark, sf_correct).collect()}
+    want = {tuple(r) for r in brute.collect()}
+    assert got == want and got

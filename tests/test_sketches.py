@@ -16,7 +16,10 @@ from .oracle import assert_matches_oracle
 registry.load_all()
 
 
-@pytest.mark.parametrize("name", ["hll_partition_merge", "cms_heavy_hitters"])
+@pytest.mark.parametrize(
+    "name",
+    ["hll_partition_merge", "cms_heavy_hitters", "bitmap_distinct_users"],
+)
 def test_sketch_verdict_oracle(spark, sf_correct, name):
     assert_matches_oracle(
         spark, sf_correct, name, registry.QUERIES[name], registry.ORACLES[name]
@@ -81,3 +84,36 @@ def test_cms_never_undercounts_and_bounds_absent_words(spark, sf_correct):
         assert cms.estimateCount(w) >= c, (w, c)
     for absent in ["qzx", "notaword", ""]:
         assert cms.estimateCount(absent) <= CMS_EPS * n
+
+
+def test_bitmap_or_agg_merges_partial_bitmaps(spark, sf_correct):
+    """Mergeability, the property that makes bitmaps incremental: per-
+    partition partial bitmaps OR-merged (`bitmap_or_agg`) count exactly
+    what one global construct counts."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    e = load_table(spark, sf_correct, "events")
+    base = e.select(
+        "event_type",
+        (F.col("event_id") % 4).alias("shard"),  # simulated ingest shards
+        F.expr("bitmap_bucket_number(user_id)").alias("bk"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    )
+    sharded = (
+        base.groupBy("event_type", "shard", "bk")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .groupBy("event_type", "bk")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n"))
+    )
+    direct = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n")
+    )
+    got = {(r.event_type, r.n) for r in sharded.collect()}
+    want = {(r.event_type, r.n) for r in direct.collect()}
+    assert got == want and got
