@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "dedup_spans_trim",
     "pq_topk_listing",
     "ivfpq_pruned_probe",
+    "ivfpq_kmeans_probe",
     "layout_zorder",
     "pagerank_parts",
 ]
@@ -114,6 +115,25 @@ def _bench_fn(name: str):
         # cold run includes the one-off index build (the ingest step);
         # warm runs time the steady-state partition-pruned probe alone
         return ivfpq_pruned_topk_listing
+    if name == "ivfpq_kmeans_probe":
+        from parallel_map_reduce_word_counter_for_one_machine_spark.operators.annindex import (
+            IVFPQ_KMEANS_CELLS,
+            IVFPQ_KMEANS_PROBE,
+            ivfpq_pruned_topk_listing,
+        )
+
+        # same probe against the k-means-quantized index: deeper pruning
+        # (5/16 of cell files vs 7/10) — warm delta vs ivfpq_pruned_probe
+        # is the measured benefit
+        def kmeans_probe(spark, sf_dir):
+            return ivfpq_pruned_topk_listing(
+                spark,
+                sf_dir,
+                n_cells=IVFPQ_KMEANS_CELLS,
+                n_probe=IVFPQ_KMEANS_PROBE,
+            )
+
+        return kmeans_probe
     return registry.QUERIES[name]
 
 
