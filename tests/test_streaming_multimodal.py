@@ -146,3 +146,51 @@ def test_stream_chained_windows_matches_oracle(spark, sf_correct):
         registry.QUERIES["stream_chained_windows"],
         registry.ORACLES["stream_chained_windows"],
     )
+
+
+def test_streaming_query_listener_observes_progress(spark, sf_correct):
+    """StreamingQueryListener — the ops surface a production pipeline
+    hangs monitoring on: start/progress/termination events fire with the
+    query's id, progress reports the true input row count, and the
+    listener detaches cleanly. (df.observe metrics piggyback is covered in
+    test_streaming_sink; this pins the listener half.)"""
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.tumbling import (
+        run_stream_tumbling,
+    )
+
+    events = {"started": [], "progress": [], "terminated": []}
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            events["started"].append(e.id)
+
+        def onQueryProgress(self, e):
+            events["progress"].append(e.progress)
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            events["terminated"].append(e.id)
+
+    listener = Capture()
+    spark.streams.addListener(listener)
+    try:
+        run_stream_tumbling(spark, sf_correct, "t_listener_probe")
+        # listener events are delivered asynchronously on the listener bus
+        deadline = time.time() + 30
+        while time.time() < deadline and not events["terminated"]:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert events["started"] and events["terminated"]
+    n_in = sum(int(p.numInputRows) for p in events["progress"])
+    n_events = load_table(spark, sf_correct, "events").count()
+    assert n_in == n_events, (n_in, n_events)
