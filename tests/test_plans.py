@@ -183,3 +183,34 @@ def test_lsh_verify_joins_no_hardcoded_broadcast(spark, sf_dir):
         analyzed = df._jdf.queryExecution().analyzed().toString()
         assert "ResolvedHint" not in analyzed
         assert "UnresolvedHint" not in analyzed
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The per-join strategy hint surface: SHUFFLE_HASH forces a
+    ShuffledHashJoin, MERGE forces SortMergeJoin, BROADCAST forces
+    BroadcastHashJoin — the escape hatches when stats mislead the planner
+    (a 100 TB join whose build side fits memory per-partition wants
+    shuffle-hash: no sort, no broadcast collect). The package's own
+    operators rely on AQE + stats instead of hard-coded hints
+    (plan-tested elsewhere); this pins that the hint mechanism itself
+    works when an operator genuinely needs it."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+    def plan_of(hint):
+        j = li.join(orders.hint(hint), li.l_orderkey == orders.o_orderkey)
+        return plan_string(j, mode="simple")
+
+    assert "ShuffledHashJoin" in plan_of("shuffle_hash")
+    assert "SortMergeJoin" in plan_of("merge")
+    assert "BroadcastHashJoin" in plan_of("broadcast")
+    # and the hinted plans agree on the answer
+    n = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey).count()
+    m = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey).count()
+    assert n == m > 0
