@@ -196,3 +196,16 @@ def vacuum_versions(state_root: str, keep_last: int = 2) -> list[int]:
     for v in doomed:
         shutil.rmtree(os.path.join(state_root, f"v{v}"))
     return doomed
+
+
+def read_version(spark: SparkSession, state_root: str, version: int) -> DataFrame:
+    """Time travel: read state AS OF a retained version. The horizon is
+    whatever ``vacuum_versions``'s keep_last preserved — exactly the
+    Delta/Iceberg ``VERSION AS OF`` / retention interaction: travel works
+    until vacuum reclaims the version, then raises."""
+    if version not in list_versions(state_root):
+        raise ValueError(
+            f"version {version} not retained in {state_root} "
+            f"(have {list_versions(state_root)}); vacuumed or never written"
+        )
+    return spark.read.parquet(os.path.join(state_root, f"v{version}"))

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -342,3 +343,41 @@ def test_vacuum_keeps_latest_versions_and_replay_ledger(spark, sf_correct, tmp_p
 
     with _pytest.raises(ValueError):
         vacuum_versions(state, keep_last=0)
+
+
+def test_time_travel_reads_retained_versions_until_vacuumed(
+    spark, sf_correct, tmp_path
+):
+    """VERSION AS OF semantics on the versioned sink: an old version reads
+    back its exact historical state while retained, and raises once
+    vacuum reclaims it (the retention-horizon contract)."""
+    import os
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.upsertsink import (
+        apply_batch,
+        read_version,
+        vacuum_versions,
+    )
+    from pyspark.sql.window import Window
+
+    state = str(tmp_path / "tt_state")
+    os.makedirs(state)
+    events = load_table(spark, sf_correct, "events")
+    n = events.count()
+    numbered = events.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    ).localCheckpoint()
+    apply_batch(numbered.filter(F.col("rn") <= n // 2).drop("rn"), 0, state)
+    v0 = sorted(map(tuple, read_version(spark, state, 0).collect()))
+    apply_batch(numbered.filter(F.col("rn") > n // 2).drop("rn"), 1, state)
+    # v0 still reads its exact pre-batch-1 content
+    assert sorted(map(tuple, read_version(spark, state, 0).collect())) == v0
+    v1 = sorted(map(tuple, read_version(spark, state, 1).collect()))
+    assert v1 != v0
+    vacuum_versions(state, keep_last=1)
+    assert sorted(map(tuple, read_version(spark, state, 1).collect())) == v1
+    with pytest.raises(ValueError, match="not retained"):
+        read_version(spark, state, 0)
