@@ -55,9 +55,31 @@ HEADLINE = [
     "pagerank_parts",
     "sql_recursive_spine",
     "sql_recursive_chains",
+    "join_dpp",
+    "stream_chained_windows",
+    "bitmap_distinct_users",
+    "source_typo_pairs",
+    "schema_evolution_read",
 ]
 
 NOTES = {
+    "join_dpp": "dynamic partition pruning: the lang-partitioned fact scan "
+    "carries dynamicpruningexpression(lang IN dynamicpruning#N) in its "
+    "PartitionFilters, fed by the dim's own broadcast exchange (reused, no "
+    "extra job) — the runtime filter a static plan cannot write",
+    "stream_chained_windows": "two stacked window aggregations (hourly then "
+    "6-hourly over the window struct): two partial+final HashAggregate "
+    "pairs, the second keyed on the first's window column — in streaming "
+    "the same plan runs as two stateful operators under one watermark",
+    "bitmap_distinct_users": "two-level exact distinct: (group, bucket) "
+    "bitmap_construct_agg then per-group summed bitmap_count — the shuffle "
+    "carries fixed-size bitmaps, never the id stream",
+    "source_typo_pairs": "deletion-neighborhood blocking: variant explode "
+    "(map-only) -> self-join on variant key -> distinct -> levenshtein "
+    "verify; linear in total string length, no O(V^2) operator anywhere",
+    "schema_evolution_read": "mergeSchema scan: one FileScan whose "
+    "ReadSchema is the union of both generations' footers; missing columns "
+    "materialize as nulls in the scan itself, no join/backfill operator",
     "pagerank_parts": "adjacency-list (Pregel) layout: per-iteration plan is "
     "a tiny O(V)-row join against the checkpointed adjacency table, explode "
     "to contributions, ONE groupBy(dst) exchange (teleport fused via zero "
