@@ -739,3 +739,55 @@ def quality_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.alias("n_dup_occ"),
         (dup.cast("double") / F.sum("n")).alias("dup_frac"),
     )
+
+
+OOV_VOCAB_K = 20
+
+
+@query(
+    "oov_rate",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text,"
+        " ' '), w -> w <> '')) AS word FROM documents), "
+        "freq AS (SELECT word, count(*) AS c FROM toks GROUP BY word), "
+        f"vocab AS (SELECT word FROM freq ORDER BY c DESC, word LIMIT {OOV_VOCAB_K}) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(count(CASE WHEN word NOT IN (SELECT word FROM vocab) THEN 1 "
+        "END) AS BIGINT) AS n_oov, "
+        "round(count(CASE WHEN word NOT IN (SELECT word FROM vocab) THEN 1 "
+        "END) * 1.0 / count(*), 6) AS oov_rate "
+        "FROM toks GROUP BY doc_id"
+    ),
+)
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own top-K
+    vocabulary — the coverage metric a tokenizer/vocab decision is judged
+    by (a doc whose tokens are mostly OOV is noise to a fixed-vocab model
+    and a candidate for filtering or vocab growth). Deterministic vocab:
+    top OOV_VOCAB_K words by (count DESC, word ASC) — a TakeOrdered over
+    the word-frequency aggregate, i.e. bounded driver-side state like
+    every top-k here. Membership is a broadcast left join (K rows), so
+    the corpus is scanned once for frequencies and once for scoring —
+    in a deployment the vocab is a persisted table and scoring is the
+    only pass. Empty-token docs emit no row (no tokens to rate), same on
+    both engines."""
+    from .wordcount import SPACE_DELIM
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", SPACE_DELIM)).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(OOV_VOCAB_K)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "word", "left")
+    n_oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        n_oov.cast("long").alias("n_oov"),
+        F.round(n_oov / F.count("*"), 6).alias("oov_rate"),
+    )

@@ -17,6 +17,7 @@ TEXT_KEYS = [
     "ngram_bigrams",
     "tfidf",
     "lm_unigram_logprob",
+    "oov_rate",
 ]
 
 
