@@ -116,3 +116,30 @@ def compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    in_root: str,
+    out_root: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+) -> dict[str, int]:
+    """Per-partition compaction over a hive-layout table (``key=value/``
+    directories): each partition directory is sized and rewritten
+    independently, preserving the partition layout — the granularity real
+    OPTIMIZE jobs use, because partitions age (and fragment) at different
+    rates and a hot partition can be re-compacted without touching cold
+    ones. The directory loop is driver-side but metadata-scale (one
+    iteration per partition, not per file); each rewrite is a distributed
+    job. Returns {partition_dir_name: chosen_file_count}."""
+    out: dict[str, int] = {}
+    for d in sorted(os.listdir(in_root)):
+        if "=" not in d or not os.path.isdir(os.path.join(in_root, d)):
+            continue
+        out[d] = compact_parquet(
+            spark,
+            os.path.join(in_root, d),
+            os.path.join(out_root, d),
+            target_bytes=target_bytes,
+        )
+    return out

@@ -117,3 +117,40 @@ def test_compact_roundtrip_matches_oracle(spark, sf_correct):
         registry.QUERIES["compact_roundtrip"],
         registry.ORACLES["compact_roundtrip"],
     )
+
+
+def test_partitioned_compaction_preserves_layout_and_content(
+    spark, sf_correct, tmp_path
+):
+    """Per-partition compaction: the lang= layout survives, every
+    partition collapses to its size-derived file count, and a pruned read
+    over the compacted root equals the source filter."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.compaction import (
+        compact_partitioned,
+        parquet_file_count,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    frag = str(tmp_path / "part_frag")
+    out = str(tmp_path / "part_out")
+    docs = load_table(spark, sf_correct, "documents")
+    docs.repartition(8).write.partitionBy("lang").parquet(frag)
+    counts = compact_partitioned(spark, frag, out)
+    assert set(counts) == {
+        f"lang={r.lang}" for r in docs.select("lang").distinct().collect()
+    }
+    for d, n in counts.items():
+        assert n == 1  # tiny partitions at test scale
+        assert parquet_file_count(f"{out}/{d}") == 1
+        assert parquet_file_count(f"{frag}/{d}") > 1
+    # pruned read over the compacted layout matches the flat filter
+    got = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/lang=de").collect()
+    )
+    want = sorted(
+        r.doc_id for r in docs.filter(F.col("lang") == "de").collect()
+    )
+    assert got == want and got
