@@ -101,3 +101,53 @@ def test_join_dpp_plans_dynamic_pruning(spark, sf_correct):
         registry.QUERIES["join_dpp"],
         registry.ORACLES["join_dpp"],
     )
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(
+    spark, sf_correct, tmp_path
+):
+    """partitionOverwriteMode=dynamic: INSERT OVERWRITE of one lang
+    partition replaces ONLY that directory; static mode (the default)
+    would truncate every partition first — the difference between a
+    partition refresh and wiping a 100 TB table. Asserts other partitions
+    byte-identical and the target partition replaced."""
+    import os
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.partitioned import (
+        write_partitioned_documents,
+    )
+
+    root = str(tmp_path / "dyn_overwrite")
+    write_partitioned_documents(spark, sf_correct, root)
+    before_en = sorted(
+        r.doc_id for r in spark.read.parquet(f"{root}/lang=en").collect()
+    )
+    de_files_before = sorted(os.listdir(f"{root}/lang=de"))
+
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # refreshed 'en' partition: same docs, n_chars recomputed (+1 marker)
+        refreshed = (
+            spark.read.parquet(f"{root}/lang=en")
+            .withColumn("n_chars", F.col("n_chars") + 1)
+            .withColumn("lang", F.lit("en"))
+        )
+        refreshed.write.mode("overwrite").partitionBy("lang").parquet(root)
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    # untouched partition: same files on disk, same content
+    assert sorted(os.listdir(f"{root}/lang=de")) == de_files_before
+    # overwritten partition: same docs, marker applied
+    after = spark.read.parquet(f"{root}/lang=en")
+    assert sorted(r.doc_id for r in after.collect()) == before_en
+    src = spark.read.parquet(f"{sf_correct}/documents.parquet").filter(
+        "lang = 'en'"
+    )
+    want = {(r.doc_id, r.n_chars + 1) for r in src.collect()}
+    got = {(r.doc_id, r.n_chars) for r in after.collect()}
+    assert got == want
