@@ -129,3 +129,83 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# Content-defined chunking: a token is a CUT POINT iff its md5 hex digest
+# starts with '0' or '1' — P(cut) = 2/16, mean chunk ≈ 8 tokens. The
+# criterion is a pure function of the token, chosen over an integer
+# rolling hash because md5-prefix comparison evaluates IDENTICALLY in
+# Spark and DuckDB (no cross-engine integer-hash to reconcile); the
+# statistical behavior (geometric chunk lengths, content-anchored
+# boundaries) is the same as Rabin-style CDC.
+CDC_CUT_PREFIXES = ("0", "1")
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """Content-DEFINED chunking (the storage/dedup-world complement of the
+    fixed-window `chunk_relation`): boundaries are anchored to token
+    CONTENT, so inserting or deleting text re-chunks only up to the next
+    cut point — every later chunk keeps its exact bytes and fingerprint,
+    which is what makes chunk-level dedup robust to edits (fixed windows
+    shift every downstream boundary and zero fingerprints survive; pinned
+    by the stability test). Plan shape: one posexplode + ONE exchange
+    keyed on doc_id (the running cut count needs a per-doc window) + the
+    grouped re-assembly on the same key — Exchange-reuse keeps it a
+    single shuffle at scale.
+
+    Returns (doc_id, chunk_id, fp, n_tokens): fingerprint-ready chunks.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+            "pos", "word"
+        ),
+    )
+    cut = F.when(
+        F.substring(F.md5("word"), 1, 1).isin(*CDC_CUT_PREFIXES), 1
+    ).otherwise(0)
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.select(
+        "doc_id",
+        "pos",
+        "word",
+        F.coalesce(F.sum(cut).over(w_prev), F.lit(0)).alias("chunk_id"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "word"))),
+        lambda s: s.getField("word"),
+    )
+    return chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(F.array_join(ordered, " ")).alias("fp"),
+        F.count("*").alias("n_tokens"),
+    )
+
+
+_CDC_ORACLE = (
+    "WITH a AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "w -> w <> '') AS toks FROM documents), "
+    "t AS (SELECT doc_id, toks[i] AS word, i AS pos FROM a, "
+    "LATERAL unnest(generate_series(1, len(toks))) g(i)), "
+    "f AS (SELECT doc_id, word, pos, CASE WHEN substr(md5(word), 1, 1) IN "
+    "('0', '1') THEN 1 ELSE 0 END AS cut FROM t), "
+    "c AS (SELECT doc_id, word, pos, COALESCE(sum(cut) OVER ("
+    "PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id "
+    "FROM f) "
+    "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+    "md5(string_agg(word, ' ' ORDER BY pos)) AS fp, "
+    "CAST(count(*) AS BIGINT) AS n_tokens "
+    "FROM c GROUP BY doc_id, chunk_id"
+)
+
+
+@query("chunk_cdc", oracle=_CDC_ORACLE)
+def chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of content-defined chunking over the corpus."""
+    return cdc_chunks(load_table(spark, sf_dir, "documents"))

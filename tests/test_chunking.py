@@ -235,3 +235,54 @@ def test_chunk_relation_property(spark):
         for r in got:
             s0 = r.chunk_id * S
             assert r.chunk_text.split(" ") == toks[s0 : s0 + W]
+
+
+def test_cdc_chunk_cdc_matches_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "chunk_cdc",
+        registry.QUERIES["chunk_cdc"],
+        registry.ORACLES["chunk_cdc"],
+    )
+
+
+def test_cdc_boundaries_survive_prefix_edit(spark, sf_correct):
+    """THE content-defined property: prepend tokens to every document and
+    most chunk fingerprints survive (only the chunk containing the edit —
+    and nothing after the next cut point — changes), while the fixed-
+    window chunker loses essentially all of them (every boundary shifts).
+    This asymmetry is why storage/dedup systems chunk by content."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.chunking import (
+        cdc_chunks,
+        chunk_relation,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_correct, "documents").select("doc_id", "text")
+    edited = docs.withColumn("text", F.concat(F.lit("zzz yyy xxx "), "text"))
+
+    def fps(chunks):
+        return {(r.doc_id, r.fp) for r in chunks.select("doc_id", "fp").collect()}
+
+    cdc_before, cdc_after = fps(cdc_chunks(docs)), fps(cdc_chunks(edited))
+    cdc_survival = len(cdc_before & cdc_after) / len(cdc_before)
+
+    def win_fps(d):
+        return {
+            (r.doc_id, r.chunk_md5)
+            for r in chunk_relation(d)
+            .select("doc_id", F.md5("chunk_text").alias("chunk_md5"))
+            .collect()
+        }
+
+    win_before, win_after = win_fps(docs), win_fps(edited)
+    win_survival = len(win_before & win_after) / len(win_before)
+
+    assert cdc_survival > 0.8, cdc_survival
+    assert win_survival < 0.2, win_survival
+    assert cdc_survival > win_survival + 0.5
