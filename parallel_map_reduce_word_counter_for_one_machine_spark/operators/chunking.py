@@ -209,3 +209,33 @@ _CDC_ORACLE = (
 def chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered face of content-defined chunking over the corpus."""
     return cdc_chunks(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_chunks_cdc",
+    oracle=(
+        f"WITH chunks AS ({_CDC_ORACLE}) "
+        "SELECT fp, CAST(count(*) AS BIGINT) AS n_copies, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(min(doc_id) AS BIGINT) AS first_doc "
+        "FROM chunks GROUP BY fp HAVING count(*) > 1"
+    ),
+)
+def dedup_chunks_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup over CONTENT-DEFINED chunks — the combination
+    the storage-dedup literature runs: because CDC boundaries survive
+    edits (stability test above), a boilerplate paragraph recurs with the
+    SAME fingerprint even when its surrounding documents differ, so this
+    catches shared content the fixed-window `dedup_chunks` misses
+    whenever the boilerplate sits at different offsets. Same scale shape:
+    fingerprint-keyed groupBy, bodies never shuffled."""
+    chunks = chunk_cdc(spark, sf_dir)
+    return (
+        chunks.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

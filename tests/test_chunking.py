@@ -124,7 +124,9 @@ def test_chunk_plan_is_map_only(spark, sf_correct):
     assert "Exchange" not in plan, plan
 
 
-@pytest.mark.parametrize("name", ["dedup_chunks", "quality_dup_ngrams"])
+@pytest.mark.parametrize(
+    "name", ["dedup_chunks", "quality_dup_ngrams", "dedup_chunks_cdc"]
+)
 def test_oracle_match_round2(spark, sf_correct, name):
     assert_matches_oracle(
         spark, sf_correct, name, registry.QUERIES[name], registry.ORACLES[name]
