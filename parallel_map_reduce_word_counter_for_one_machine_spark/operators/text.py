@@ -791,3 +791,56 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_oov.cast("long").alias("n_oov"),
         F.round(n_oov / F.count("*"), 6).alias("oov_rate"),
     )
+
+
+@query(
+    "quality_deciles",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens, "
+        "len(list_distinct(list_filter(string_split(text, ' '), w -> w <> '')))"
+        " AS n_distinct FROM documents), "
+        "q AS (SELECT doc_id, "
+        "(CASE WHEN n_tokens >= 20 THEN 1.0 ELSE CAST(n_tokens AS DOUBLE) / 20"
+        " END) * (CAST(n_distinct AS DOUBLE) / NULLIF(n_tokens, 0)) AS quality"
+        " FROM t), "
+        "r AS (SELECT doc_id, quality, row_number() OVER (ORDER BY quality,"
+        " doc_id) AS rk, count(*) OVER () AS n FROM q "
+        "WHERE quality IS NOT NULL) "
+        "SELECT CAST(floor((rk - 1) * 10.0 / n) AS BIGINT) AS decile, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "min(quality) AS q_min, max(quality) AS q_max "
+        "FROM r GROUP BY 1"
+    ),
+)
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile bucketing — the curriculum/mixture-design step that
+    follows scoring (sample decile 9 at full weight, decile 0 not at all).
+    Decile = floor((global_rank − 1) · 10 / N) over (quality, doc_id) —
+    computed with the DISTRIBUTED rank (operators/rank.py: range exchange
+    + per-partition row_number + P-row offsets), NOT an
+    `ntile() OVER (ORDER BY …)` single-partition window, which would
+    funnel the corpus through one task at 100 TB. min/max per decile are
+    order-insensitive exact doubles (the quality expression is fixed-order
+    arithmetic on both engines); no averages, so no rounding slack
+    needed. Token-less docs (NULL quality) are excluded — their decile is
+    undefined, same rule both engines."""
+    from .rank import global_rank
+
+    q = quality_score(spark, sf_dir).filter(F.col("quality").isNotNull())
+    ranked = global_rank(q.select("doc_id", "quality"), ["quality", "doc_id"])
+    n_total = ranked.count()
+    return (
+        ranked.withColumn(
+            "decile",
+            # explicit floor: DuckDB CAST(double AS BIGINT) ROUNDS, Spark
+            # cast truncates — floor() agrees everywhere for rk >= 1
+            F.floor((F.col("rk") - 1) * 10 / F.lit(n_total)).cast("long"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("quality").alias("q_min"),
+            F.max("quality").alias("q_max"),
+        )
+    )

@@ -18,6 +18,7 @@ TEXT_KEYS = [
     "tfidf",
     "lm_unigram_logprob",
     "oov_rate",
+    "quality_deciles",
 ]
 
 
