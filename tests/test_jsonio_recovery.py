@@ -177,3 +177,53 @@ def test_schema_evolution_key_matches_oracle(spark, sf_correct):
         registry.QUERIES["schema_evolution_read"],
         registry.ORACLES["schema_evolution_read"],
     )
+
+
+def test_union_by_name_is_the_dataframe_twin_of_merge_schema(
+    spark, sf_correct, tmp_path
+):
+    """unionByName(allowMissingColumns=True) over the two generations
+    reconstructs exactly what the mergeSchema read returns — the in-memory
+    and on-disk spellings of additive evolution agree."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.evolution import (
+        read_evolved,
+        write_evolving_batches,
+    )
+
+    root = str(tmp_path / "ubn")
+    write_evolving_batches(spark, sf_correct, root)
+    merged = read_evolved(spark, root)
+    import os
+
+    gen1 = spark.read.parquet(os.path.join(root, "batch=1"))
+    gen2 = spark.read.parquet(os.path.join(root, "batch=2"))
+    ubn = gen1.unionByName(gen2, allowMissingColumns=True)
+    cols = sorted(merged.columns)
+    a = sorted(map(tuple, merged.select(*cols).collect()))
+    b = sorted(map(tuple, ubn.select(*cols).collect()))
+    assert a == b and a
+
+
+def test_file_metadata_columns_expose_lineage(spark, sf_correct, tmp_path):
+    """The hidden `_metadata` struct: every row can name the file it came
+    from (file-level quarantine/lineage at scale). Per-file row counts
+    through _metadata agree with reading each file individually."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "meta")
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    docs.repartition(4).write.parquet(root)
+    d = spark.read.parquet(root).select(
+        "doc_id", F.col("_metadata.file_name").alias("fname")
+    )
+    per_file = {
+        r.fname: r.n
+        for r in d.groupBy("fname").agg(F.count("*").alias("n")).collect()
+    }
+    files = [f for f in os.listdir(root) if f.endswith(".parquet")]
+    assert set(per_file) == set(files) and len(files) == 4
+    for f in files:
+        assert per_file[f] == spark.read.parquet(os.path.join(root, f)).count()
+    assert sum(per_file.values()) == docs.count()
