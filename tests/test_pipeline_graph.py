@@ -563,3 +563,32 @@ def test_graph_triangles_on_known_graph(spark):
     ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
     out = graph_triangles(spark, d).collect()[0]
     assert (out.n_edges, out.n_triangles, out.clustering) == (6, 4, 1.0)
+
+
+def test_degree_oriented_triangles_equal_id_oriented(spark):
+    """The scale-path orientation (degree order) counts exactly the same
+    triangles as id order — on a hub graph where the two orientations
+    produce very different wedge volumes: a star (hub 0, leaves 1..10)
+    plus a triangle among leaves (1,2,3) and leaf-leaf edge (4,5)."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.graph import (
+        count_triangles_degree_oriented,
+    )
+
+    star = [(0, i) for i in range(1, 11)]
+    extra = [(1, 2), (2, 3), (1, 3), (4, 5)]
+    edges = spark.createDataFrame(star + extra, "u LONG, v LONG")
+    got = count_triangles_degree_oriented(edges).collect()[0].n_triangles
+    # truth: triangles (0,1,2),(0,2,3),(0,1,3),(1,2,3),(0,4,5) = 5
+    assert got == 5
+
+    # and against the id-oriented enumeration on the same edges
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    id_count = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .count()
+    )
+    assert got == id_count == 5
