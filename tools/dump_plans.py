@@ -60,9 +60,22 @@ HEADLINE = [
     "bitmap_distinct_users",
     "source_typo_pairs",
     "schema_evolution_read",
+    "chunk_cdc",
+    "quality_deciles",
+    "oov_rate",
 ]
 
 NOTES = {
+    "chunk_cdc": "content-defined chunking: posexplode -> ONE doc_id-keyed "
+    "exchange shared by the running-cut-count window and the grouped chunk "
+    "reassembly (Exchange reuse); boundaries are token-content functions, "
+    "so edits re-chunk only to the next cut (stability-tested)",
+    "quality_deciles": "decile = floor((global_rank-1)*10/N) via the "
+    "distributed rank (range exchange + per-partition row_number + P-row "
+    "offsets) — NOT a single-partition ntile window over the corpus",
+    "oov_rate": "vocab = TakeOrdered top-K of the word-frequency agg; "
+    "membership is a broadcast left join — two corpus scans total, no "
+    "vocab-sized shuffle",
     "join_dpp": "dynamic partition pruning: the lang-partitioned fact scan "
     "carries dynamicpruningexpression(lang IN dynamicpruning#N) in its "
     "PartitionFilters, fed by the dim's own broadcast exchange (reused, no "
