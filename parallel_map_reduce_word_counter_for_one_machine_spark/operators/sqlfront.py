@@ -406,3 +406,36 @@ def sql_script_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     orchestration (conditional DDL, retry loops, branching pipelines)."""
     register_views(spark, sf_dir)
     return spark.sql(_SCRIPT_GATE_SQL)
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle=(
+        # standard-SQL twin of the piped query below — DuckDB runs this
+        # form; the whole point of the key is that the |> spelling plans
+        # and evaluates identically to it
+        "SELECT * FROM ("
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "round(sum(o_totalprice), 2) AS total "
+        "FROM orders WHERE o_totalprice > 100 "
+        "GROUP BY o_orderstatus, o_orderpriority) t WHERE n > 5"
+    ),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL PIPE syntax (`|>`): linear dataflow spelling of
+    scan → filter → aggregate → post-filter. Each `|>` stage consumes the
+    previous relation, so the query reads in execution order and the
+    post-aggregation filter needs no subquery or HAVING — the `AGGREGATE
+    ... GROUP BY` stage exposes its outputs to the next `WHERE` directly.
+    Catalyst plans it identically to the nested standard form (the DuckDB
+    oracle IS that form), so the feature is free at any scale — this key
+    pins the dialect, not new semantics."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "FROM orders "
+        "|> WHERE o_totalprice > 100 "
+        "|> AGGREGATE count(*) AS n, round(sum(o_totalprice), 2) AS total "
+        "   GROUP BY o_orderstatus, o_orderpriority "
+        "|> WHERE n > 5"
+    )

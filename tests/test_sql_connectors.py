@@ -394,3 +394,33 @@ def test_alter_table_add_column_default(spark):
         }
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_sql_pipe_syntax_matches_standard_form(spark, sf_correct):
+    """The |> spelling returns exactly the nested standard form's result
+    AND its oracle row set (dialect equivalence, not new semantics)."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.sqlfront import (
+        sql_pipe_syntax,
+    )
+
+    piped = sorted(map(tuple, sql_pipe_syntax(spark, sf_correct).collect()))
+    std = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT * FROM ("
+                "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+                "round(sum(o_totalprice), 2) AS total "
+                "FROM orders WHERE o_totalprice > 100 "
+                "GROUP BY o_orderstatus, o_orderpriority) t WHERE n > 5"
+            ).collect(),
+        )
+    )
+    assert piped == std and piped
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "sql_pipe_syntax",
+        registry.QUERIES["sql_pipe_syntax"],
+        registry.ORACLES["sql_pipe_syntax"],
+    )
