@@ -194,3 +194,40 @@ def test_streaming_query_listener_observes_progress(spark, sf_correct):
     n_in = sum(int(p.numInputRows) for p in events["progress"])
     n_events = load_table(spark, sf_correct, "events").count()
     assert n_in == n_events, (n_in, n_events)
+
+
+def test_chained_stream_runs_two_state_operators(spark, sf_correct):
+    """Runtime proof of the multiple-stateful-operators claim: the drained
+    chained query's progress reports TWO stateOperators (one per window
+    aggregation), each having kept state rows."""
+    import json
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        read_events_stream,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming import (
+        drain,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.tumbling import (
+        WATERMARK,
+        _chained_plan,
+    )
+
+    stream = read_events_stream(spark, sf_correct).withWatermark("ts", WATERMARK)
+    q = (
+        _chained_plan(stream)
+        .writeStream.format("memory")
+        .queryName("t_chained_stateops")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q)
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    with_state = [p for p in progress if p.get("stateOperators")]
+    assert with_state, "no progress entry carried state operators"
+    ops = with_state[-1]["stateOperators"]
+    assert len(ops) == 2, ops
+    names = {o.get("operatorName") for o in ops}
+    assert names == {"stateStoreSave"}, names
+    assert all(o["numRowsTotal"] > 0 for o in ops), ops
