@@ -108,3 +108,63 @@ def test_deletion_blocking_complete_at_distance_one(spark, sf_correct):
     got = {(r.src_a, r.src_b) for r in source_typo_pairs(spark, sf_correct).collect()}
     want = {tuple(r) for r in brute.collect()}
     assert got == want and got
+
+
+def test_deletion_blocking_complete_property(spark):
+    """Hypothesis: for ARBITRARY small source vocabularies (short lowercase
+    strings), the SymSpell deletion-blocked pipeline finds exactly the
+    brute-force Levenshtein<=1 pair set. Few examples (one Spark job
+    each), but adversarial shapes: repeats collapse via distinct, near-
+    identical strings, single chars, empty-adjacent lengths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.curate import (
+        source_typo_pairs,
+    )
+
+    words = st.text(alphabet="abc", min_size=1, max_size=4)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(words, min_size=2, max_size=8, unique=True))
+    def check(vocab):
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="typo_prop_")
+        rows = [
+            (i, "x", "en", src, 1) for i, src in enumerate(vocab)
+        ]
+        spark.createDataFrame(
+            rows,
+            "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            (r.src_a, r.src_b)
+            for r in source_typo_pairs(spark, d).collect()
+        }
+
+        def lev(a, b):
+            m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+            for i in range(len(a) + 1):
+                m[i][0] = i
+            for j in range(len(b) + 1):
+                m[0][j] = j
+            for i in range(1, len(a) + 1):
+                for j in range(1, len(b) + 1):
+                    m[i][j] = min(
+                        m[i - 1][j] + 1,
+                        m[i][j - 1] + 1,
+                        m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                    )
+            return m[len(a)][len(b)]
+
+        want = {
+            (a, b)
+            for a in vocab
+            for b in vocab
+            if a < b and lev(a, b) <= 1
+        }
+        assert got == want, (sorted(got), sorted(want), vocab)
+
+    check()
