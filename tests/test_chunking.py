@@ -288,3 +288,51 @@ def test_cdc_boundaries_survive_prefix_edit(spark, sf_correct):
     assert cdc_survival > 0.8, cdc_survival
     assert win_survival < 0.2, win_survival
     assert cdc_survival > win_survival + 0.5
+
+
+def test_cdc_chunks_partition_the_token_stream_property(spark):
+    """Hypothesis invariants for the CDC chunker on generated corpora:
+    (a) chunk token counts per doc sum to the doc's token count — the
+    chunks PARTITION the stream; (b) appending tokens at the END changes
+    no chunk fingerprint except (possibly) the final chunk's — boundary
+    stability, the sharp form of the prefix-edit test."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.chunking import (
+        cdc_chunks,
+    )
+
+    word = st.text(alphabet="abcde", min_size=1, max_size=3)
+    doc = st.lists(word, min_size=1, max_size=30).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=4))
+    def check(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        chunks = cdc_chunks(d).collect()
+        # (a) partition property
+        got_tokens = {}
+        for r in chunks:
+            got_tokens[r.doc_id] = got_tokens.get(r.doc_id, 0) + r.n_tokens
+        want_tokens = {
+            i: len([w for w in t.split(" ") if w]) for i, t in enumerate(texts)
+        }
+        assert got_tokens == want_tokens
+
+        # (b) append stability: add tokens at the end of every doc
+        d2 = spark.createDataFrame(
+            [(i, t + " zz qq") for i, t in enumerate(texts)],
+            "doc_id LONG, text STRING",
+        )
+        chunks2 = cdc_chunks(d2).collect()
+        before = {(r.doc_id, r.chunk_id): r.fp for r in chunks}
+        after = {(r.doc_id, r.chunk_id): r.fp for r in chunks2}
+        for i, t in enumerate(texts):
+            last = max(cid for (d_, cid) in before if d_ == i)
+            for (d_, cid), fp in before.items():
+                if d_ == i and cid < last:
+                    assert after.get((d_, cid)) == fp, (d_, cid, texts)
+
+    check()
