@@ -117,3 +117,26 @@ def test_bitmap_or_agg_merges_partial_bitmaps(spark, sf_correct):
     got = {(r.event_type, r.n) for r in sharded.collect()}
     want = {(r.event_type, r.n) for r in direct.collect()}
     assert got == want and got
+
+
+def test_bitmap_distinct_handles_negative_and_large_ids(spark):
+    """Domain edges of the bitmap scheme: negative ids, bucket-boundary
+    values, 40-bit ids, and duplicates — distinct count stays exact."""
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [(-(2**40),), (-5,), (-1,), (0,), (1,), (63,), (64,), (-5,), (2**40,)],
+        "id LONG",
+    )
+    n = (
+        d.select(
+            F.expr("bitmap_bucket_number(id)").alias("bk"),
+            F.expr("bitmap_bit_position(id)").alias("p"),
+        )
+        .groupBy("bk")
+        .agg(F.expr("bitmap_construct_agg(p)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert n == d.distinct().count() == 8
