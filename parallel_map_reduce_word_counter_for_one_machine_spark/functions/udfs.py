@@ -201,3 +201,61 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return e.select("event_id", bucket("value").alias("bucket"))
+
+
+@query(
+    "robust_length_stats",
+    oracle=(
+        "WITH m AS (SELECT source, median(n_chars) AS med FROM documents "
+        "GROUP BY source), "
+        "dev AS (SELECT d.source, abs(d.n_chars - m.med) AS dv "
+        "FROM documents d JOIN m ON d.source = m.source), "
+        "s AS (SELECT source, median(dv) AS mad FROM dev GROUP BY source) "
+        "SELECT m.source AS source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(m.med AS DOUBLE) AS med_chars, CAST(s.mad AS DOUBLE) AS mad_chars, "
+        "CAST(count(CASE WHEN s.mad > 0 AND abs(d.n_chars - m.med) > 3 * s.mad "
+        "THEN 1 END) AS BIGINT) AS n_outliers "
+        "FROM documents d JOIN m ON d.source = m.source "
+        "JOIN s ON d.source = s.source "
+        "GROUP BY m.source, m.med, s.mad"
+    ),
+)
+def robust_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` — the per-GROUP rung of the Python
+    ladder (each source's docs arrive as ONE pandas frame): median/MAD
+    robust length profile + 3-MAD outlier count per source, the
+    quarantine signal length-based curation uses (mean/stddev are
+    dragged by the very outliers being hunted; median/MAD are not).
+    Justified as a grouped-map demo because rank statistics are genuinely
+    awkward as streaming aggregates; the closed-form DuckDB twin (median
+    is exact on both engines, interpolating at even counts) holds it to
+    the hard gate. Caveat stated for 100 TB: one group must fit one
+    worker's memory — true for per-source profiles (docs-per-source is
+    capped by `cap_per_source` upstream), NOT true for groupBy(lang);
+    skewed grouping keys need the sketch path (`percentiles_approx`)."""
+    import numpy as np
+    import pandas as pd
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["n_chars"].to_numpy(dtype=np.float64)
+        med = float(np.median(x))
+        mad = float(np.median(np.abs(x - med)))
+        n_out = int(((np.abs(x - med) > 3 * mad).sum())) if mad > 0 else 0
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(x)],
+                "med_chars": [med],
+                "mad_chars": [mad],
+                "n_outliers": [n_out],
+            }
+        )
+
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return d.groupBy("source").applyInPandas(
+        stats,
+        schema=(
+            "source string, n_docs long, med_chars double, "
+            "mad_chars double, n_outliers long"
+        ),
+    )

@@ -11,7 +11,13 @@ registry.load_all()
 
 
 @pytest.mark.parametrize(
-    "name", ["udf_scalar_pandas", "udf_grouped_agg", "arrow_vector_norms", "udf_arrow_optimized"]
+    "name", [
+        "udf_scalar_pandas",
+        "udf_grouped_agg",
+        "arrow_vector_norms",
+        "udf_arrow_optimized",
+        "robust_length_stats",
+    ]
 )
 def test_oracle_match(spark, sf_correct, name):
     assert_matches_oracle(
