@@ -227,3 +227,19 @@ def test_correlated_exists_plans_as_semi_and_anti_joins(spark, sf_dir):
     plan = plan_string(df, mode="simple")
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_quality_deciles_rank_is_distributed_and_reused(spark, sf_dir):
+    """quality_deciles must inherit global_rank's contract: the range
+    exchange planned once (ReusedExchange in the final adaptive plan) and
+    the full-data window per-_pid — never a corpus-wide ntile window."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["quality_deciles"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final[:3000]
+    assert "rangepartitioning" in final
+    assert "windowspecdefinition(_pid" in final
