@@ -424,3 +424,84 @@ def test_sql_pipe_syntax_matches_standard_form(spark, sf_correct):
         registry.QUERIES["sql_pipe_syntax"],
         registry.ORACLES["sql_pipe_syntax"],
     )
+
+
+def test_group_by_all_and_order_by_all_sugar(spark, sf_correct):
+    """GROUP BY ALL (group on every non-aggregate select item) and ORDER
+    BY ALL must equal the explicit spellings — pure sugar, same plan
+    family."""
+    spark.read.parquet(f"{sf_correct}/orders.parquet").createOrReplaceTempView(
+        "v_orders_gba"
+    )
+    sugar = spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n "
+        "FROM v_orders_gba GROUP BY ALL ORDER BY ALL"
+    ).collect()
+    explicit = spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n "
+        "FROM v_orders_gba GROUP BY o_orderstatus, o_orderpriority "
+        "ORDER BY o_orderstatus, o_orderpriority, n"
+    ).collect()
+    assert [tuple(r) for r in sugar] == [tuple(r) for r in explicit] != []
+
+
+def test_sql_unpivot_clause_equals_dataframe_unpivot(spark, sf_correct):
+    """The SQL UNPIVOT clause lowers to the same Expand as the DataFrame
+    unpivot — asserted by exact result equality with the registered
+    `unpivot_measures` key (modulo its measure renames)."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.relational3 import (
+        unpivot_measures,
+    )
+
+    spark.read.parquet(f"{sf_correct}/lineitem.parquet").createOrReplaceTempView(
+        "v_li_unpivot"
+    )
+    sql_form = spark.sql(
+        "SELECT l_orderkey, l_linenumber, measure, val "
+        "FROM v_li_unpivot UNPIVOT (val FOR measure IN ("
+        "l_quantity AS quantity, l_extendedprice AS price, l_tax AS tax))"
+    )
+    a = sorted(map(tuple, sql_form.collect()))
+    b = sorted(map(tuple, unpivot_measures(spark, sf_correct).collect()))
+    assert a == b and a
+
+
+def test_transpose_small_aggregate(spark, sf_correct):
+    """`df.transpose()` (Spark 4): rows become columns — sound ONLY on
+    small aggregate results (the new column set is the old row count,
+    driver-bound by design). Status totals flipped to one row per
+    measure."""
+    agg = (
+        spark.read.parquet(f"{sf_correct}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("o_orderstatus")
+        .select("o_orderstatus", F.col("n").cast("string").alias("n"))
+    )
+    t = agg.transpose("o_orderstatus")
+    rows = t.collect()
+    assert set(t.columns) >= {"key", "F", "O", "P"}
+    wide = {c: rows[0][c] for c in ("F", "O", "P")}
+    tall = {r.o_orderstatus: r.n for r in agg.collect()}
+    assert wide == tall
+
+
+def test_stat_crosstab_contingency(spark, sf_correct):
+    """df.stat.crosstab: the contingency-table shorthand — cell counts
+    must equal the explicit groupBy pair counts."""
+    e = spark.read.parquet(f"{sf_correct}/events.parquet")
+    ct = e.stat.crosstab("event_type", "user_id")
+    pair = {
+        (r.event_type, str(r.user_id)): r.n
+        for r in e.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    cols = [c for c in ct.columns if c != "event_type_user_id"]
+    total = 0
+    for r in ct.collect():
+        for c in cols:
+            got = r[c]
+            total += got
+            assert got == pair.get((r["event_type_user_id"], c), 0)
+    assert total == e.count()
