@@ -39,15 +39,17 @@ from pyspark.sql.window import Window
 from ..registry import query
 from .similarity import (
     _IVF_VERDICT_ORACLE,
-    _pq_codebooks,
     _recall_verdict,
     _vectors,
     cosine,
     IVFPQ_N_PROBE,
     kmeans_centroids,
     N_QUERIES,
+    PQ_ITERS,
+    PQ_KSUB,
     PQ_M,
     PQ_SHORTLIST,
+    PQ_TRAIN_CAP,
     TOP_K,
     similarity_topk,
 )
@@ -62,6 +64,63 @@ IVFPQ_KMEANS_CELLS = 16
 IVFPQ_KMEANS_PROBE = 5
 
 
+def _train_residual_codebooks(R, n_m: int = PQ_M, n_k: int = PQ_KSUB):
+    """Per-subspace numpy Lloyd's over a RESIDUAL sample matrix — the same
+    deterministic training loop as similarity._pq_codebooks but without
+    its input normalization (residuals are small off-center offsets, not
+    unit vectors; normalizing them would destroy exactly the magnitude
+    information the quantizer must keep)."""
+    import numpy as np
+
+    dim = R.shape[1]
+    dsub = dim // n_m
+    books = []
+    for m in range(n_m):
+        S = R[:, m * dsub : (m + 1) * dsub]
+        init_idx = np.linspace(0, len(S) - 1, n_k).astype(int)
+        C = S[init_idx].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(n_k):
+                mask = assign == k
+                if mask.any():  # empty cell keeps its old codeword
+                    C[k] = S[mask].mean(axis=0)
+        books.append(C)
+    return np.stack(books)
+
+
+def _coarse_centroids(
+    spark: SparkSession, vecs: DataFrame, n_cells: int | None, dim: int
+):
+    """(cell_ids, C raw, Cn normalized) for either quantizer mode: trained
+    k-means cells, or the label column's per-label means (distributed agg,
+    collected — cells×dim driver state either way)."""
+    import numpy as np
+
+    if n_cells is not None:
+        crows = kmeans_centroids(vecs, k=n_cells, iters=3, dim=dim).collect()
+        cell_ids = np.array([int(r.cell_id) for r in crows])
+        C = np.array([r.centroid for r in crows], dtype=np.float64)
+    else:
+        crows = (
+            vecs.select("label", F.posexplode("v").alias("dim", "val"))
+            .groupBy("label", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                F.col("label").alias("cell"),
+                F.transform("dm", lambda s: s.getField("m")).alias("centroid"),
+            )
+            .collect()
+        )
+        cell_ids = np.array([int(r.cell) for r in crows])
+        C = np.array([r.centroid for r in crows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return cell_ids, C, Cn
+
+
 def build_ivfpq_index(
     spark: SparkSession, sf_dir: str, index_root: str, n_cells: int | None = None
 ) -> None:
@@ -74,23 +133,44 @@ def build_ivfpq_index(
     pre-clustered case); an int trains a k-means coarse quantizer
     (``kmeans_centroids``, distributed Lloyd's) and assigns each vector to
     its nearest-centroid cell inside the same encode pass — only the
-    k×dim centroid matrix rides into the Arrow workers."""
+    k×dim centroid matrix rides into the Arrow workers.
+
+    PQ encodes RESIDUALS (x̂ − ĉ_cell), the Jégou et al. IVFADC form, not
+    raw vectors: within a tight cluster every member shares the centroid
+    direction, so raw-vector codes are near-identical and ADC cannot rank
+    neighbors INSIDE the probed cell — measured on the 50 k clustered
+    corpus (tests/test_annindex_bulk.py), raw encoding scored shortlist
+    recall ≈0.06 with PERFECT cell recall; residual encoding restores it.
+    Score algebra: q̂·x̂ = q̂·ĉ_cell + q̂·r, so the probe adds one scalar
+    per (query, cell) to the residual LUT sums."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import types as T
 
     vecs = _vectors(spark, sf_dir)
-    books = _pq_codebooks(vecs)  # (M, KSUB, dsub), ~4 KB driver state
-    dim = books.shape[0] * books.shape[2]
-    dsub = books.shape[2]
+    first = vecs.select(F.size("v").alias("d")).first()
+    dim = int(first.d)
+    assert dim % PQ_M == 0
+    cell_ids, C, Cn = _coarse_centroids(spark, vecs, n_cells, dim)
+    dsub = dim // PQ_M
 
-    Cn = None
+    # residual training sample (bounded, deterministic — same cap/policy
+    # as similarity._pq_codebooks)
+    srows = (
+        vecs.orderBy("vec_id").limit(PQ_TRAIN_CAP).select("v", "label").collect()
+    )
+    S = np.array([r.v for r in srows], dtype=np.float64)
+    nrm = np.linalg.norm(S, axis=1, keepdims=True)
+    keep = nrm[:, 0] > 0
+    Sn = S[keep] / nrm[keep]
     if n_cells is not None:
-        crows = kmeans_centroids(vecs, k=n_cells, iters=3, dim=dim).collect()
-        cell_ids = np.array([int(r.cell_id) for r in crows])
-        C = np.array([r.centroid for r in crows], dtype=np.float64)
-        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        s_cells = np.argmax(Sn @ Cn.T, axis=1)
+    else:
+        labels = np.array([r.label for r in srows])[keep]
+        row_of = {int(c): i for i, c in enumerate(cell_ids)}
+        s_cells = np.array([row_of[int(l)] for l in labels])
+    books = _train_residual_codebooks(Sn - Cn[s_cells])
 
     # 1. codebooks table
     cb_rows = [
@@ -102,26 +182,14 @@ def build_ivfpq_index(
         1
     ).write.mode("overwrite").parquet(os.path.join(index_root, "codebooks"))
 
-    # 2. coarse-quantizer centroids: trained k-means cells, or the label
-    # column's per-label means (distributed agg) in the pre-clustered case
-    if Cn is not None:
-        c_rows = [
-            (int(cell_ids[i]), [float(x) for x in C[i]]) for i in range(len(C))
-        ]
-        cent = spark.createDataFrame(c_rows, "cell LONG, centroid ARRAY<DOUBLE>")
-    else:
-        cent = (
-            vecs.select("label", F.posexplode("v").alias("dim", "val"))
-            .groupBy("label", "dim")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("label")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select(
-                F.col("label").alias("cell"),
-                F.transform("dm", lambda s: s.getField("m")).alias("centroid"),
-            )
-        )
-    cent.coalesce(1).write.mode("overwrite").parquet(
+    # 2. coarse-quantizer centroids (raw; every consumer re-normalizes the
+    # same float64 values, so encode and probe see bit-identical ĉ)
+    c_rows = [
+        (int(cell_ids[i]), [float(x) for x in C[i]]) for i in range(len(C))
+    ]
+    spark.createDataFrame(
+        c_rows, "cell LONG, centroid ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_root, "centroids")
     )
 
@@ -133,6 +201,8 @@ def build_ivfpq_index(
             T.StructField("code", T.BinaryType()),
         ]
     )
+    row_of = {int(c): i for i, c in enumerate(cell_ids)}
+    use_kmeans = n_cells is not None
 
     def encode(batches):
         for pdf in batches:
@@ -143,15 +213,18 @@ def build_ivfpq_index(
             norm = np.linalg.norm(X, axis=1, keepdims=True)
             ok = norm[:, 0] > 0  # zero-norm rows are unindexable (NULL cosine)
             X, ids = X[ok] / norm[ok], ids[ok]
-            if Cn is not None:
-                # nearest trained centroid by cosine (X already normalized)
-                cells = cell_ids[np.argmax(X @ Cn.T, axis=1)]
+            if use_kmeans:
+                rows = np.argmax(X @ Cn.T, axis=1)
             else:
-                cells = pdf["label"].to_numpy()[ok]
+                rows = np.array(
+                    [row_of[int(l)] for l in pdf["label"].to_numpy()[ok]]
+                )
+            cells = cell_ids[rows]
+            R = X - Cn[rows]
             codes = np.empty((len(X), PQ_M), dtype=np.uint8)
             for m in range(PQ_M):
-                S = X[:, m * dsub : (m + 1) * dsub]
-                d2 = ((S[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                Sm = R[:, m * dsub : (m + 1) * dsub]
+                d2 = ((Sm[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
                 codes[:, m] = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {
@@ -168,7 +241,6 @@ def build_ivfpq_index(
         .partitionBy("cell")
         .parquet(os.path.join(index_root, "codes"))
     )
-    assert dim % PQ_M == 0
 
 
 # One built index per (session, sf_dir, quantizer) — build is the one-off
@@ -204,6 +276,7 @@ def ivfpq_pruned_topk_listing(
     sf_dir: str,
     n_cells: int | None = None,
     n_probe: int = IVFPQ_N_PROBE,
+    shortlist: int = PQ_SHORTLIST,
 ) -> DataFrame:
     """IVFPQ probe against the PERSISTED index: top-k per query via
     partition-pruned ADC scan + exact re-rank. First call per session pays
@@ -250,10 +323,13 @@ def ivfpq_pruned_topk_listing(
     }
     probed = sorted(set().union(*probes.values())) if probes else []
 
-    # per-query ADC lookup tables: lut[q, m, k] = q_m · codeword(m, k)
+    # per-query ADC lookup tables over the RESIDUAL codebooks:
+    # lut[q, m, k] = q_m · codeword(m, k); the candidate's full score is
+    # q̂·ĉ_cell + Σ_m lut[q, m, code_m] (see build_ivfpq_index docstring)
     lut = np.einsum(
         "qmd,mkd->qmk", Qn.reshape(len(Qn), n_m, dsub), books
     )
+    cell_row = {int(c): i for i, c in enumerate(cells)}
 
     out_schema = T.StructType(
         [
@@ -272,8 +348,10 @@ def ivfpq_pruned_topk_listing(
             codes = np.frombuffer(
                 b"".join(pdf["code"]), dtype=np.uint8
             ).reshape(len(ids), n_m)
-            # scores[q, cand] = sum_m lut[q, m, codes[cand, m]]
+            # scores[q, cand] = q̂·ĉ_cell(cand) + sum_m lut[q, m, code_m]
             S = lut[:, np.arange(n_m)[None, :], codes[None, :, :][0]].sum(axis=2)
+            cand_rows = np.array([cell_row[int(c)] for c in cls])
+            S = S + cell_sims[:, cand_rows]
             out = pd.DataFrame(
                 {
                     "query_id": np.repeat(q_ids, len(ids)),
@@ -297,7 +375,7 @@ def ivfpq_pruned_topk_listing(
     )
     shortlist = (
         scored.withColumn("srk", F.row_number().over(w_short))
-        .filter(F.col("srk") <= PQ_SHORTLIST)
+        .filter(F.col("srk") <= shortlist)
         .select("query_id", "cand_id")
     )
     # exact re-rank: raw vectors only for |queries|×L shortlist rows
