@@ -90,6 +90,15 @@ def _train_residual_codebooks(R, n_m: int = PQ_M, n_k: int = PQ_KSUB):
     return np.stack(books)
 
 
+# Coarse-quantizer training subsample: ~128 points per centroid —
+# measured on the 50 k bulk corpus, 36/cell under-trains (recall 0.52 →
+# 0.32) while ~128/cell matches full-corpus training; FAISS guidance is
+# the same 39–256/centroid band. Deterministic modulo-id sample (not
+# .sample(): reproducible across runs/partitionings). Assignment of the
+# FULL corpus to cells still happens in the encode pass.
+KMEANS_TRAIN_PER_CELL = 128
+
+
 def _coarse_centroids(
     spark: SparkSession, vecs: DataFrame, n_cells: int | None, dim: int
 ):
@@ -99,7 +108,13 @@ def _coarse_centroids(
     import numpy as np
 
     if n_cells is not None:
-        crows = kmeans_centroids(vecs, k=n_cells, iters=3, dim=dim).collect()
+        n = vecs.count()
+        cap = KMEANS_TRAIN_PER_CELL * n_cells
+        train = vecs
+        if n > cap:
+            step = max(2, n // cap)
+            train = vecs.filter(F.col("vec_id") % step == 0)
+        crows = kmeans_centroids(train, k=n_cells, iters=3, dim=dim).collect()
         cell_ids = np.array([int(r.cell_id) for r in crows])
         C = np.array([r.centroid for r in crows], dtype=np.float64)
     else:
@@ -122,7 +137,11 @@ def _coarse_centroids(
 
 
 def build_ivfpq_index(
-    spark: SparkSession, sf_dir: str, index_root: str, n_cells: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    index_root: str,
+    n_cells: int | None = None,
+    pq_m: int = PQ_M,
 ) -> None:
     """One-off index build: train codebooks (bounded driver sample), write
     codebooks + per-cell centroids + cell-partitioned 16-byte codes. The
@@ -151,9 +170,9 @@ def build_ivfpq_index(
     vecs = _vectors(spark, sf_dir)
     first = vecs.select(F.size("v").alias("d")).first()
     dim = int(first.d)
-    assert dim % PQ_M == 0
+    assert dim % pq_m == 0
     cell_ids, C, Cn = _coarse_centroids(spark, vecs, n_cells, dim)
-    dsub = dim // PQ_M
+    dsub = dim // pq_m
 
     # residual training sample (bounded, deterministic — same cap/policy
     # as similarity._pq_codebooks)
@@ -170,7 +189,12 @@ def build_ivfpq_index(
         labels = np.array([r.label for r in srows])[keep]
         row_of = {int(c): i for i, c in enumerate(cell_ids)}
         s_cells = np.array([row_of[int(l)] for l in labels])
-    books = _train_residual_codebooks(Sn - Cn[s_cells])
+    # pq_m is the bytes/vector ↔ recall knob (the probe reads M and dsub
+    # back from the codebooks table, so no reader change): 16 B suffices
+    # at sf scale; the 50 k clustered corpus needs 32 B for recall ≥ the
+    # package bound because intra-cluster cosine gaps sit inside 16-B
+    # quantization noise (measured in tests/test_annindex_bulk.py).
+    books = _train_residual_codebooks(Sn - Cn[s_cells], n_m=pq_m)
 
     # 1. codebooks table
     cb_rows = [
@@ -221,8 +245,8 @@ def build_ivfpq_index(
                 )
             cells = cell_ids[rows]
             R = X - Cn[rows]
-            codes = np.empty((len(X), PQ_M), dtype=np.uint8)
-            for m in range(PQ_M):
+            codes = np.empty((len(X), pq_m), dtype=np.uint8)
+            for m in range(pq_m):
                 Sm = R[:, m * dsub : (m + 1) * dsub]
                 d2 = ((Sm[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
                 codes[:, m] = d2.argmin(axis=1)
