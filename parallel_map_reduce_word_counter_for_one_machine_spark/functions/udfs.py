@@ -178,7 +178,10 @@ def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_arrow_optimized",
     oracle=(
         # closed-form twin of the per-row bucketing logic
-        "SELECT event_id, CASE WHEN value < 0 THEN 'neg' "
+        # explicit NULL arm: the UDF returns None for NULL input, while a
+        # bare CASE's ELSE would map NULL to 'high'
+        "SELECT event_id, CASE WHEN value IS NULL THEN NULL "
+        "WHEN value < 0 THEN 'neg' "
         "WHEN value < 50 THEN 'low' ELSE 'high' END AS bucket FROM events"
     ),
 )

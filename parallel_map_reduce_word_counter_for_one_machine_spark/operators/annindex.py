@@ -40,13 +40,13 @@ from ..registry import query
 from .similarity import (
     _IVF_VERDICT_ORACLE,
     _recall_verdict,
+    _train_subspace_codebooks,
     _vectors,
     cosine,
     IVFPQ_N_PROBE,
     kmeans_centroids,
+    label_centroids,
     N_QUERIES,
-    PQ_ITERS,
-    PQ_KSUB,
     PQ_M,
     PQ_SHORTLIST,
     PQ_TRAIN_CAP,
@@ -64,30 +64,12 @@ IVFPQ_KMEANS_CELLS = 16
 IVFPQ_KMEANS_PROBE = 5
 
 
-def _train_residual_codebooks(R, n_m: int = PQ_M, n_k: int = PQ_KSUB):
-    """Per-subspace numpy Lloyd's over a RESIDUAL sample matrix — the same
-    deterministic training loop as similarity._pq_codebooks but without
-    its input normalization (residuals are small off-center offsets, not
-    unit vectors; normalizing them would destroy exactly the magnitude
-    information the quantizer must keep)."""
-    import numpy as np
-
-    dim = R.shape[1]
-    dsub = dim // n_m
-    books = []
-    for m in range(n_m):
-        S = R[:, m * dsub : (m + 1) * dsub]
-        init_idx = np.linspace(0, len(S) - 1, n_k).astype(int)
-        C = S[init_idx].copy()
-        for _ in range(PQ_ITERS):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for k in range(n_k):
-                mask = assign == k
-                if mask.any():  # empty cell keeps its old codeword
-                    C[k] = S[mask].mean(axis=0)
-        books.append(C)
-    return np.stack(books)
+# Residual codebooks use the SAME deterministic Lloyd's loop as the
+# in-query PQ tier (similarity._train_subspace_codebooks — one shared
+# implementation), just WITHOUT input normalization: residuals are small
+# off-center offsets, not unit vectors, and normalizing them would destroy
+# exactly the magnitude information the quantizer must keep.
+_train_residual_codebooks = _train_subspace_codebooks
 
 
 # Coarse-quantizer training subsample: ~128 points per centroid —
@@ -115,23 +97,10 @@ def _coarse_centroids(
             step = max(2, n // cap)
             train = vecs.filter(F.col("vec_id") % step == 0)
         crows = kmeans_centroids(train, k=n_cells, iters=3, dim=dim).collect()
-        cell_ids = np.array([int(r.cell_id) for r in crows])
-        C = np.array([r.centroid for r in crows], dtype=np.float64)
     else:
-        crows = (
-            vecs.select("label", F.posexplode("v").alias("dim", "val"))
-            .groupBy("label", "dim")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("label")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select(
-                F.col("label").alias("cell"),
-                F.transform("dm", lambda s: s.getField("m")).alias("centroid"),
-            )
-            .collect()
-        )
-        cell_ids = np.array([int(r.cell) for r in crows])
-        C = np.array([r.centroid for r in crows], dtype=np.float64)
+        crows = label_centroids(vecs).collect()  # (cell_id, centroid) rows
+    cell_ids = np.array([int(r.cell_id) for r in crows])
+    C = np.array([r.centroid for r in crows], dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     return cell_ids, C, Cn
 
@@ -237,11 +206,14 @@ def build_ivfpq_index(
             norm = np.linalg.norm(X, axis=1, keepdims=True)
             ok = norm[:, 0] > 0  # zero-norm rows are unindexable (NULL cosine)
             X, ids = X[ok] / norm[ok], ids[ok]
+            if len(X) == 0:
+                continue  # all-zero-norm batch: empty index arrays below
             if use_kmeans:
                 rows = np.argmax(X @ Cn.T, axis=1)
             else:
                 rows = np.array(
-                    [row_of[int(l)] for l in pdf["label"].to_numpy()[ok]]
+                    [row_of[int(l)] for l in pdf["label"].to_numpy()[ok]],
+                    dtype=np.int64,
                 )
             cells = cell_ids[rows]
             R = X - Cn[rows]
@@ -397,7 +369,7 @@ def ivfpq_pruned_topk_listing(
     w_short = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("pq_score", 6)), F.asc("cand_id")
     )
-    shortlist = (
+    shortlisted = (
         scored.withColumn("srk", F.row_number().over(w_short))
         .filter(F.col("srk") <= shortlist)
         .select("query_id", "cand_id")
@@ -411,7 +383,7 @@ def ivfpq_pruned_topk_listing(
     sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
-        cands.join(F.broadcast(shortlist), "cand_id")
+        cands.join(F.broadcast(shortlisted), "cand_id")
         .join(F.broadcast(queries), "query_id")
         .select("query_id", "cand_id", sim.alias("cos_sim"))
         .filter(F.col("cos_sim").isNotNull())

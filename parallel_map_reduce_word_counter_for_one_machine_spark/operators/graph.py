@@ -155,8 +155,10 @@ _TRIANGLE_ORACLE = (
     "wed AS (SELECT sum(d * (d - 1) / 2) AS w FROM deg) "
     "SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges, "
     "CAST(tri.t AS BIGINT) AS n_triangles, "
-    "round(3.0 * tri.t / wed.w, 6) AS clustering "
-    "FROM tri, wed"
+    # W=0 guard (perfect-matching graph: every degree 1): NULL on both
+    # engines instead of Spark-NULL-vs-DuckDB-NaN divergence
+    "CASE WHEN wed.w > 0 THEN round(3.0 * tri.t / wed.w, 6) END "
+    "AS clustering FROM tri, wed"
 )
 
 
@@ -220,7 +222,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_edges",
             F.col("t").alias("n_triangles"),
-            F.round(3.0 * F.col("t") / F.col("w"), 6).alias("clustering"),
+            F.when(
+                F.col("w") > 0, F.round(3.0 * F.col("t") / F.col("w"), 6)
+            ).alias("clustering"),
         )
     )
 

@@ -506,36 +506,46 @@ PQ_ITERS = 10
 PQ_SHORTLIST = 50
 
 
+def _train_subspace_codebooks(X, n_m: int = PQ_M, n_k: int = PQ_KSUB):
+    """Per-subspace numpy Lloyd's over a sample matrix — THE one PQ
+    training loop (the in-query tier trains on normalized vectors, the
+    persisted index's residual books on raw residuals; both call here).
+    Deterministic: evenly-spaced init, PQ_ITERS iterations, empty cells
+    keep their old codeword, argmin ties to the lowest index."""
+    import numpy as np
+
+    dim = X.shape[1]
+    dsub = dim // n_m
+    books = []
+    for m in range(n_m):
+        S = X[:, m * dsub : (m + 1) * dsub]
+        init_idx = np.linspace(0, len(S) - 1, n_k).astype(int)
+        C = S[init_idx].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(n_k):
+                mask = assign == k
+                if mask.any():  # empty cell keeps its old codeword
+                    C[k] = S[mask].mean(axis=0)
+        books.append(C)
+    return np.stack(books)  # (n_m, n_k, dsub)
+
+
 def _pq_codebooks(vecs: DataFrame):
     """Train per-subspace codebooks on a BOUNDED deterministic sample
-    (lowest vec_ids; at scale: a hash-sample with the same cap) with plain
-    numpy Lloyd's — driver work is O(cap · dim · iters), independent of
-    corpus size, like ``kmeans_centroids``' k×dim state. Vectors are
-    L2-normalized before training so the quantizer approximates the unit
-    sphere the cosine scan operates on. Deterministic: fixed sample,
-    evenly-spaced init, argmin ties to the lowest index."""
+    (lowest vec_ids; at scale: a hash-sample with the same cap) —
+    driver work is O(cap · dim · iters), independent of corpus size, like
+    ``kmeans_centroids``' k×dim state. Vectors are L2-normalized before
+    training so the quantizer approximates the unit sphere the cosine
+    scan operates on."""
     import numpy as np
 
     rows = vecs.orderBy("vec_id").limit(PQ_TRAIN_CAP).select("v").collect()
     X = np.array([r.v for r in rows], dtype=np.float64)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     X = X[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
-    dim = X.shape[1]
-    dsub = dim // PQ_M
-    books = []
-    for m in range(PQ_M):
-        S = X[:, m * dsub : (m + 1) * dsub]
-        init_idx = np.linspace(0, len(S) - 1, PQ_KSUB).astype(int)
-        C = S[init_idx].copy()
-        for _ in range(PQ_ITERS):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for k in range(PQ_KSUB):
-                mask = assign == k
-                if mask.any():  # empty cell keeps its old codeword
-                    C[k] = S[mask].mean(axis=0)
-        books.append(C)
-    return np.stack(books)  # (M, KSUB, dsub)
+    return _train_subspace_codebooks(X)
 
 
 def pq_topk_listing(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,7 +1,7 @@
 """Bulk-scale exercise of the persisted IVFPQ index with a √N-sized
 k-means coarse quantizer — the configuration the sf tables are too small
 to show (2 000 vectors cap n_cells at ~16): 50 k clustered vectors,
-n_cells = 224 ≈ √N, n_probe = 10, so a probe LISTS ≈ 4.5% of the cell
+n_cells = 224 ≈ √N, n_probe = 16, so a probe LISTS ≈ 7% of the cell
 directories — the two-orders-of-magnitude scan reduction that is the
 whole point of the IVF layer — while clearing the package recall bound
 against the exact brute-force top-k.

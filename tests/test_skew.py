@@ -186,9 +186,13 @@ def test_runtime_bloom_filter_injected_on_shuffle_join(spark):
             else:
                 spark.conf.set(k, v)
     # semantics unchanged: same result without the runtime filter
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    spark.conf.set(key, "false")
     try:
         without = {tuple(r) for r in run().collect()}
     finally:
-        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        if saved[key] is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved[key])
     assert with_filter == without and with_filter
