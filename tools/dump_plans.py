@@ -63,9 +63,25 @@ HEADLINE = [
     "chunk_cdc",
     "quality_deciles",
     "oov_rate",
+    "events_locf",
+    "sql_exists_correlated",
+    "sql_pipe_syntax",
+    "robust_length_stats",
 ]
 
 NOTES = {
+    "events_locf": "LOCF gap-fill: one user_id-keyed exchange, "
+    "last(ignorenulls) over an unbounded-preceding frame — O(1) state per "
+    "row during the frame scan, no join",
+    "sql_exists_correlated": "EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti "
+    "(RewritePredicateSubquery): correlated subqueries become two "
+    "key-partitioned joins, never per-row subquery execution",
+    "sql_pipe_syntax": "the |> dialect plans IDENTICALLY to the nested "
+    "standard form: one partial+final aggregate pair, the post-AGGREGATE "
+    "WHERE is an ordinary Filter above it",
+    "robust_length_stats": "grouped-map applyInPandas: one exchange on "
+    "source, FlatMapGroupsInPandas per group — memory bound is the "
+    "largest group (docstring states the sketch fallback for skewed keys)",
     "chunk_cdc": "content-defined chunking: posexplode -> ONE doc_id-keyed "
     "exchange shared by the running-cut-count window and the grouped chunk "
     "reassembly (Exchange reuse); boundaries are token-content functions, "
