@@ -75,9 +75,12 @@ _train_residual_codebooks = _train_subspace_codebooks
 # Coarse-quantizer training subsample: ~128 points per centroid —
 # measured on the 50 k bulk corpus, 36/cell under-trains (recall 0.52 →
 # 0.32) while ~128/cell matches full-corpus training; FAISS guidance is
-# the same 39–256/centroid band. Deterministic modulo-id sample (not
-# .sample(): reproducible across runs/partitionings). Assignment of the
-# FULL corpus to cells still happens in the encode pass.
+# the same 39–256/centroid band. Deterministic HASH-of-id sample (not
+# .sample(): reproducible across runs/partitionings; not raw
+# ``vec_id % step``: a sparse or strided id domain — e.g. the re-keyed
+# doc_id + copy·1e6 pattern used elsewhere in this repo — would make a
+# modulo sample far off the cap or empty, degenerating the k-means
+# (r05 advice)).
 KMEANS_TRAIN_PER_CELL = 128
 
 

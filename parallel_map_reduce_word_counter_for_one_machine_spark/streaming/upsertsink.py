@@ -24,10 +24,23 @@ Two correctness properties the naive shape misses (both held here):
   identically whether they share a micro-batch or arrive in different
   ones, matching the batch ``_latest_per_key`` twin exactly.
 * **Idempotent replay.** Each version commit is keyed on the
-  micro-batch's ``batch_id`` (an ``_applied_b{N}`` marker written after
-  the version directory); a replayed batch after a failure finds its
-  marker and is skipped — the standard foreachBatch exactly-once
-  pattern (Spark docs: "use batchId to deduplicate").
+  micro-batch's ``batch_id`` scoped by the QUERY LINEAGE (an
+  ``_applied_{lineage}_b{N}`` marker written after the version
+  directory); a replayed batch after a failure finds its marker and is
+  skipped — the standard foreachBatch exactly-once pattern (Spark
+  docs: "use batchId to deduplicate"). Scoping by lineage matters
+  because Spark batch_ids are unique only within one checkpoint
+  lineage: a NEW query (fresh checkpoint) writing the same state_root
+  restarts at batch 0, and an unscoped marker would silently skip its
+  batches as "replays" (r05 advice).
+* **Crash-consistent merge base.** The merge base is resolved from the
+  COMMIT-MARKER LEDGER (each marker records the version it committed),
+  never from directory presence: a crash between the parquet write and
+  the marker write leaves an orphaned, possibly partial ``v{N+1}``
+  directory, and the replayed batch must merge against the last
+  COMMITTED ``v{N}`` and overwrite the orphan — trusting
+  ``list_versions()`` would treat the torn directory as state and
+  silently drop keys (r05 advice).
 
 Scale: each batch shuffles batch-keys + state-keys once on the key
 column. For 100 TB state the full-outer rewrite becomes the bottleneck
@@ -109,6 +122,9 @@ def _merge_state(cur: DataFrame, batch: DataFrame) -> DataFrame:
 
 
 def list_versions(state_root: str) -> list[int]:
+    """Version DIRECTORIES present on disk — includes any orphaned
+    uncommitted directory a crash left behind. Use ``committed_versions``
+    (the marker ledger) for anything that must only see committed state."""
     if not os.path.isdir(state_root):
         return []
     return sorted(
@@ -118,31 +134,68 @@ def list_versions(state_root: str) -> list[int]:
     )
 
 
-def apply_batch(batch_df: DataFrame, batch_id: int, state_root: str) -> None:
+def _marker_name(lineage: str, batch_id: int) -> str:
+    """Commit-marker filename, scoped by query lineage so two queries
+    (distinct checkpoints, both restarting at batch 0) sharing one
+    state_root never mistake each other's batches for replays."""
+    return (
+        f"_applied_{lineage}_b{batch_id}" if lineage else f"_applied_b{batch_id}"
+    )
+
+
+def committed_versions(state_root: str) -> list[int]:
+    """The COMMIT LEDGER: version numbers recorded inside ``_applied_*``
+    markers (written only after a complete version write), sorted. This —
+    not directory listing — is the truth about what state exists: an
+    orphaned ``v{N+1}`` from a crash between write and marker is absent
+    here and gets overwritten by the replay."""
+    if not os.path.isdir(state_root):
+        return []
+    out = set()
+    for name in os.listdir(state_root):
+        if not name.startswith("_applied_"):
+            continue
+        try:
+            with open(os.path.join(state_root, name)) as fh:
+                txt = fh.read().strip()
+        except OSError:
+            continue
+        if txt.startswith("v") and txt[1:].isdigit():
+            out.add(int(txt[1:]))
+    return sorted(out)
+
+
+def apply_batch(
+    batch_df: DataFrame, batch_id: int, state_root: str, lineage: str = ""
+) -> None:
     """One sink commit: reduce the micro-batch, merge into the latest
-    version, write version N+1, then the ``_applied_b{batch_id}`` marker.
+    COMMITTED version (marker ledger, not directory listing), write the
+    next version, then the ``_applied_{lineage}_b{batch_id}`` marker.
     Named (not a closure) so the stream, replay tests, and any manual
     backfill drive the IDENTICAL commit path."""
-    marker = os.path.join(state_root, f"_applied_b{batch_id}")
+    marker = os.path.join(state_root, _marker_name(lineage, batch_id))
     if os.path.exists(marker):
         return  # replayed micro-batch: version already committed
     batch = _latest_per_key(batch_df)
-    versions = list_versions(state_root)
-    if versions:
+    committed = committed_versions(state_root)
+    if committed:
         cur = batch_df.sparkSession.read.parquet(
-            os.path.join(state_root, f"v{versions[-1]}")
+            os.path.join(state_root, f"v{committed[-1]}")
         )
         merged = _merge_state(cur, batch)
-        out_version = versions[-1] + 1
+        out_version = committed[-1] + 1
     else:
         merged = batch
         out_version = 0
+    # mode("overwrite") also clobbers an orphaned v{out_version} left by
+    # a crash between the previous attempt's write and its marker — the
+    # replayed batch OVERWRITES the orphan rather than merging against it
     merged.write.mode("overwrite").parquet(
         os.path.join(state_root, f"v{out_version}")
     )
-    # commit marker LAST: a crash before this line leaves the version
-    # directory orphaned and the replayed batch rewrites it (same
-    # content — the merge is a pure function of state + batch)
+    # commit marker LAST, recording the version it commits: a crash
+    # before this line leaves the version directory orphaned (invisible
+    # to the ledger) and the replay rewrites that same version number
     with open(marker, "w") as fh:
         fh.write(f"v{out_version}\n")
 
@@ -154,7 +207,7 @@ def run_stream_upsert(
     state (latest version directory) as a DataFrame."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        apply_batch(batch_df, batch_id, state_root)
+        apply_batch(batch_df, batch_id, state_root, lineage=query_name)
 
     q = (
         read_events_stream(spark, sf_dir)
@@ -165,7 +218,7 @@ def run_stream_upsert(
         .start()
     )
     drain(q)
-    versions = list_versions(state_root)
+    versions = committed_versions(state_root)
     return spark.read.parquet(os.path.join(state_root, f"v{versions[-1]}"))
 
 
@@ -192,7 +245,11 @@ def vacuum_versions(state_root: str, keep_last: int = 2) -> list[int]:
 
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
-    doomed = list_versions(state_root)[:-keep_last]
+    # retention is over COMMITTED versions (the ledger): an orphaned
+    # uncommitted directory is garbage and never counts toward keep_last
+    # (single-writer assumption: no commit is in flight during vacuum)
+    keep = set(committed_versions(state_root)[-keep_last:])
+    doomed = [v for v in list_versions(state_root) if v not in keep]
     for v in doomed:
         shutil.rmtree(os.path.join(state_root, f"v{v}"))
     return doomed
@@ -202,10 +259,15 @@ def read_version(spark: SparkSession, state_root: str, version: int) -> DataFram
     """Time travel: read state AS OF a retained version. The horizon is
     whatever ``vacuum_versions``'s keep_last preserved — exactly the
     Delta/Iceberg ``VERSION AS OF`` / retention interaction: travel works
-    until vacuum reclaims the version, then raises."""
-    if version not in list_versions(state_root):
+    until vacuum reclaims the version, then raises. Only COMMITTED
+    versions are travel targets — an orphaned directory from a torn
+    commit is not readable history."""
+    retained = set(committed_versions(state_root)) & set(
+        list_versions(state_root)
+    )
+    if version not in retained:
         raise ValueError(
             f"version {version} not retained in {state_root} "
-            f"(have {list_versions(state_root)}); vacuumed or never written"
+            f"(have {sorted(retained)}); vacuumed or never committed"
         )
     return spark.read.parquet(os.path.join(state_root, f"v{version}"))

@@ -101,9 +101,9 @@ def test_upsert_merge_cross_batch_tiebreak(spark):
 
 
 def test_upsert_replay_is_idempotent(spark, sf_correct, tmp_path):
-    """A replayed foreachBatch invocation (same batch_id after a failure)
-    must be skipped via the _applied_b{id} commit marker: no new version
-    directory appears and state is unchanged."""
+    """A replayed foreachBatch invocation (same lineage + batch_id after
+    a failure) must be skipped via the _applied_{lineage}_b{id} commit
+    marker: no new version directory appears and state is unchanged."""
     import os
 
     from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.upsertsink import (
@@ -113,18 +113,92 @@ def test_upsert_replay_is_idempotent(spark, sf_correct, tmp_path):
     state = str(tmp_path / "upsert_state2")
     final = run_stream_upsert(spark, sf_correct, state, "t_upsert_replay")
     versions = sorted(d for d in os.listdir(state) if d.startswith("v"))
-    markers = sorted(d for d in os.listdir(state) if d.startswith("_applied_b"))
+    markers = sorted(d for d in os.listdir(state) if d.startswith("_applied_"))
     assert len(versions) == len(markers) >= 1
+    assert all(m.startswith("_applied_t_upsert_replay_b") for m in markers)
     before = sorted(map(tuple, final.collect()))
-    # drive the SAME stream again over a fresh checkpoint so every batch
-    # replays with already-committed batch_ids -> all skipped
+    # drive the SAME query again over a fresh checkpoint (the lost-
+    # checkpoint restart): every batch replays with already-committed
+    # (lineage, batch_id) pairs -> all skipped
     import shutil
 
     shutil.rmtree(os.path.join(state, "_chk"))
-    final2 = run_stream_upsert(spark, sf_correct, state, "t_upsert_replay2")
+    final2 = run_stream_upsert(spark, sf_correct, state, "t_upsert_replay")
     versions2 = sorted(d for d in os.listdir(state) if d.startswith("v"))
     assert versions2 == versions, "replayed batches wrote new versions"
     assert sorted(map(tuple, final2.collect())) == before
+
+
+def test_upsert_markers_scoped_by_lineage(spark, tmp_path):
+    """Batch ids are unique only within one checkpoint lineage: a NEW
+    query writing the same state_root restarts at batch 0, and its
+    batches must APPLY, not be skipped as cross-query 'replays' (the r05
+    advice defect). Same (lineage, batch_id) is still skipped."""
+    import datetime
+    import os
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.upsertsink import (
+        apply_batch,
+        committed_versions,
+    )
+
+    cols = "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE"
+
+    def ev(eid, val):
+        return (eid, 1, "view", datetime.datetime(2024, 1, 1, 0, 0, eid), val)
+
+    state = str(tmp_path / "lineage_state")
+    os.makedirs(state)
+    apply_batch(spark.createDataFrame([ev(1, 1.0)], cols), 0, state, "qA")
+    assert committed_versions(state) == [0]
+    # second lineage, batch 0 again: must apply (new version), not skip
+    apply_batch(spark.createDataFrame([ev(2, 2.0)], cols), 0, state, "qB")
+    assert committed_versions(state) == [0, 1]
+    final = spark.read.parquet(os.path.join(state, "v1")).collect()
+    assert len(final) == 1 and final[0]["value"] == 2.0
+    # genuine replay (same lineage + batch_id): skipped, no new version
+    apply_batch(spark.createDataFrame([ev(3, 9.0)], cols), 0, state, "qB")
+    assert committed_versions(state) == [0, 1]
+
+
+def test_upsert_replay_overwrites_torn_commit(spark, tmp_path):
+    """Crash window between the version write and the marker write: the
+    orphaned v{N+1} directory (possibly partial — here truncated to
+    EMPTY) must be invisible to the ledger; the replayed batch merges
+    against committed v{N} and OVERWRITES the orphan, so no prior keys
+    are dropped (the r05 advice medium)."""
+    import datetime
+    import os
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.upsertsink import (
+        apply_batch,
+        committed_versions,
+        list_versions,
+    )
+
+    cols = "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE"
+
+    def ev(eid, uid, val):
+        return (eid, uid, "view", datetime.datetime(2024, 1, 1, 0, 0, eid), val)
+
+    state = str(tmp_path / "torn_state")
+    os.makedirs(state)
+    apply_batch(spark.createDataFrame([ev(1, 1, 1.0)], cols), 0, state, "q")
+    # simulate the torn commit: v1 written (EMPTY state — worst case of
+    # a partial write) but the crash hit before the marker
+    empty = spark.read.parquet(os.path.join(state, "v0")).limit(0)
+    empty.write.mode("overwrite").parquet(os.path.join(state, "v1"))
+    assert list_versions(state) == [0, 1]
+    assert committed_versions(state) == [0], "orphan leaked into ledger"
+    # the replayed batch 1: must merge against v0 (keeping user 1) and
+    # rewrite v1, not merge against the empty orphan
+    apply_batch(spark.createDataFrame([ev(2, 2, 2.0)], cols), 1, state, "q")
+    assert committed_versions(state) == [0, 1]
+    users = sorted(
+        r["user_id"]
+        for r in spark.read.parquet(os.path.join(state, "v1")).collect()
+    )
+    assert users == [1, 2], "torn commit dropped prior keys"
 
 
 def test_statestore_reader_exposes_aggregation_state(spark, sf_dir, tmp_path):
