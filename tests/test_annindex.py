@@ -120,3 +120,96 @@ def test_kmeans_pruned_verdict_matches_oracle(spark, sf_correct):
         registry.QUERIES["similarity_topk_ivfpq_kmeans_pruned"],
         registry.ORACLES["similarity_topk_ivfpq_kmeans_pruned"],
     )
+
+
+def test_append_freezes_quantizers_and_lands_in_cells(spark, sf_dir, tmp_path):
+    """Incremental maintenance: an append encodes against the FROZEN
+    codebooks/centroids (bit-identical tables before/after), lands its
+    codes inside the existing cell partitions, and a same-distribution
+    batch does NOT trip the drift gate (ratio ≈ 1)."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.annindex import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.similarity import (
+        _vectors,
+    )
+
+    root = str(tmp_path / "app_idx")
+    vecs = _vectors(spark, sf_dir)
+    in_base = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)) == 0
+    # small train_cap: the drift baseline needs HELD-OUT indexed rows
+    # (a corpus entirely inside the training sample is memorized by the
+    # KSUB codewords and its in-index error is ~0)
+    build_ivfpq_index(
+        spark, sf_dir, root, vecs=vecs.filter(in_base), train_cap=12
+    )
+    books_before = sorted(
+        map(tuple, spark.read.parquet(os.path.join(root, "codebooks")).collect())
+    )
+    cents_before = sorted(
+        map(tuple, spark.read.parquet(os.path.join(root, "centroids")).collect())
+    )
+    n_before = spark.read.parquet(os.path.join(root, "codes")).count()
+
+    gate = append_to_ivfpq_index(spark, vecs.filter(~in_base), root)
+    assert gate["retrain"] is False, gate
+    assert 0.5 < gate["drift_ratio"] < 1.5, gate
+
+    books_after = sorted(
+        map(tuple, spark.read.parquet(os.path.join(root, "codebooks")).collect())
+    )
+    cents_after = sorted(
+        map(tuple, spark.read.parquet(os.path.join(root, "centroids")).collect())
+    )
+    assert books_after == books_before and cents_after == cents_before
+    codes = spark.read.parquet(os.path.join(root, "codes"))
+    assert codes.count() > n_before
+    # full corpus indexed exactly once (minus zero-norm rows)
+    assert codes.select("vec_id").distinct().count() == codes.count()
+
+
+def test_drift_gate_trips_on_distribution_shift(spark, sf_correct, tmp_path):
+    """The re-train trigger: a batch whose energy concentrates in one
+    subspace (e.g. an embedding-model swap changing the coordinate
+    distribution) puts residual slices far outside the trained per-
+    subspace codeword cloud and must trip DRIFT_RETRAIN_RATIO. (A plain
+    constant offset does NOT trip it on this isotropic corpus — vectors
+    are re-normalized and residual magnitudes barely move, measured ratio
+    ≈ 1.08 — which is correct behavior: recall there is unharmed.)"""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.annindex import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        DRIFT_RETRAIN_RATIO,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.similarity import (
+        _vectors,
+    )
+
+    root = str(tmp_path / "drift_idx")
+    vecs = _vectors(spark, sf_correct)
+    # train_cap below the corpus so the baseline is held-out-calibrated
+    # (measured here: same-distribution append ratio 0.74, the one-slice
+    # concentration below 1.92 — the gate separates them cleanly)
+    build_ivfpq_index(spark, sf_correct, root, vecs=vecs, train_cap=256)
+    shifted = vecs.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        "label",
+        F.transform(
+            F.col("v"),
+            lambda x, i: F.when(i < 4, x + F.lit(10.0)).otherwise(x * 0.05),
+        ).alias("v"),
+    )
+    gate = append_to_ivfpq_index(spark, shifted, root)
+    assert gate["retrain"] is True, gate
+    assert gate["drift_ratio"] > DRIFT_RETRAIN_RATIO
+
+
+def test_appended_verdict_matches_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "similarity_topk_ivfpq_appended",
+        registry.QUERIES["similarity_topk_ivfpq_appended"],
+        registry.ORACLES["similarity_topk_ivfpq_appended"],
+    )
