@@ -57,7 +57,13 @@ _CC_ORACLE = (
 
 
 def _sym_edges(pairs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) pair list → symmetric (src, dst) edge list."""
+    """(doc_a, doc_b) pair list → symmetric (src, dst) edge list.
+
+    Materializes the pair list first: the union consumes it TWICE, and
+    without the barrier the entire upstream pair pipeline (LSH candidate
+    generation + verify) executes once per branch — measured at sf0.1 as
+    ~2 s of pure recompute inside dedup_clusters."""
+    pairs = pairs.localCheckpoint()
     return pairs.select("doc_a", "doc_b").union(
         pairs.select(F.col("doc_b"), F.col("doc_a"))
     ).toDF("src", "dst")
@@ -100,6 +106,26 @@ def label_propagation(
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
             )
+            # pointer jump: label ← label(label). Every label is itself a
+            # node id (labels start as node ids and only ever copy other
+            # labels), so the LABEL TABLE is a parent forest and one
+            # self-join compresses two hops into one — the propagation
+            # distance SQUARES per step instead of growing by one (the
+            # path-doubling idea behind large-star/small-star), at the
+            # cost of one |V|-row join per step vs another |E|-row
+            # propagation round. Labels still only decrease (a jump copies
+            # an existing, ≤, reachable label), so the sum-convergence
+            # check and the fixpoint argument are unchanged. Measured at
+            # sf0.1 on the LSH dup graph: fixpoint in 3 steps vs 5, loop
+            # exits after 6 steps/3 barriers vs 8/4 at steps_per_check=2
+            # (~−0.5 s warm); the win grows with component diameter since
+            # reach doubles per step instead of +1.
+            jump = labels.select(
+                F.col("node").alias("jn"), F.col("label").alias("jl")
+            )
+            labels = labels.join(
+                jump, labels["label"] == jump["jn"], "left"
+            ).select("node", F.coalesce("jl", "label").alias("label"))
             steps += 1
         labels = labels.localCheckpoint()
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]

@@ -1,0 +1,98 @@
+"""Plan-shape drift gate (VERDICT r05 item 8): the committed PLANS.md is
+not documentation, it is a CONTRACT — this test re-derives the physical
+plan of the load-bearing headline queries at the same sf PLANS.md is
+generated from and diffs the SHUFFLE-EXCHANGE and join-strategy counts
+against the committed blocks. A Spark-conf or code change that adds an
+exchange (or demotes a broadcast join) fails here, in CI, instead of
+surfacing as an unexplained bench regression two rounds later.
+
+Only operator COUNTS are compared, not plan text: plan ids, partition
+counts (tests run shuffle_partitions=8, dump_plans uses 4) and column
+numbering churn freely without changing what the plan costs at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+from parallel_map_reduce_word_counter_for_one_machine_spark.plans.inspect import (
+    plan_string,
+)
+
+registry.load_all()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PLANS_SF = "/root/testdata/sf0.01"  # must match tools/dump_plans.py
+
+# The pinned queries: cheap to plan (no iterative checkpointing at plan
+# time) and each one's exchange budget is a named property in PLANS.md.
+PINNED = [
+    "word_count",
+    "star_join_agg",
+    "sessionize",
+    "sort_limit_topk",
+    "agg_group",
+    "window_rank",
+    "chunk_documents",
+    "event_funnel",
+    "inverted_index",
+    "dedup_chunks",
+]
+
+# Node classes whose count IS the scale property. "Exchange hash/range/
+# SinglePartition" are data shuffles; BroadcastExchange is deliberately
+# separate (a broadcast replacing a shuffle should flip TWO counters,
+# not hide); join strategies catch broadcast->SMJ demotions.
+_COUNTERS = {
+    "shuffle_exchanges": re.compile(
+        r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)"
+    ),
+    "broadcast_exchanges": re.compile(r"BroadcastExchange"),
+    "broadcast_hash_joins": re.compile(r"BroadcastHashJoin"),
+    "sort_merge_joins": re.compile(r"SortMergeJoin"),
+    "take_ordered": re.compile(r"TakeOrderedAndProject"),
+}
+
+
+def _counts(plan_text: str) -> dict[str, int]:
+    return {k: len(rx.findall(plan_text)) for k, rx in _COUNTERS.items()}
+
+
+def _committed_blocks() -> dict[str, str]:
+    with open(os.path.join(REPO, "PLANS.md")) as fh:
+        md = fh.read()
+    blocks: dict[str, str] = {}
+    for m in re.finditer(r"^## (\S+)\n.*?```\n(.*?)```", md, re.S | re.M):
+        blocks[m.group(1)] = m.group(2)
+    return blocks
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_headline_plan_shape_matches_committed(spark, name):
+    blocks = _committed_blocks()
+    assert name in blocks, f"{name} missing from PLANS.md — rerun dump_plans"
+    want = _counts(blocks[name])
+    live = plan_string(registry.QUERIES[name](spark, PLANS_SF), mode="simple")
+    got = _counts(live)
+    assert got == want, (
+        f"{name}: plan shape drifted from committed PLANS.md "
+        f"(committed {want}, live {got}). If the change is intentional, "
+        f"regenerate with `python tools/dump_plans.py` and re-justify the "
+        f"note; if not, an exchange/join strategy regressed.\n{live}"
+    )
+
+
+def test_drift_gate_would_catch_an_added_exchange():
+    """The gate itself is load-bearing — prove the counter distinguishes a
+    repartition-polluted plan from the committed one (a gate that cannot
+    go red is documentation, not a gate)."""
+    committed = _counts(_committed_blocks()["word_count"])
+    polluted = (
+        _committed_blocks()["word_count"]
+        + "\n+- Exchange hashpartitioning(word#6, 8)"
+    )
+    assert _counts(polluted) != committed
