@@ -130,6 +130,7 @@ def minhash_signatures(
     n_hashes: int = N_HASHES,
     k: int = SHINGLE_K,
     carry: tuple = (),
+    with_size: bool = False,
 ) -> DataFrame:
     """(doc_id, sig: array<long>[n_hashes]) — MinHash over the doc's
     distinct k-token shingle set, entirely in HASH SPACE and entirely in
@@ -169,6 +170,11 @@ def minhash_signatures(
         )
     sh = F.array_distinct(F.filter(chain, lambda x: x.isNotNull()))
     hs = hw.select("doc_id", *carry, sh.alias("hs")).filter(F.size("hs") > 0)
+    if with_size:
+        # shingle-set cardinality rides along for the PPJoin size bound
+        # in lsh_candidate_pairs (size_ratio)
+        hs = hs.withColumn("n", F.size("hs"))
+        carry = carry + ("n",)
     return _sig_from_hash_sets(hs, n_hashes, carry=carry)
 
 
@@ -532,12 +538,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force is also asserted in tests/test_dedup.py (recall on
     high-similarity pairs)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    sigs = minhash_signatures(docs, with_size=True)
     # NO broadcast hint on the candidate list: it grows O(N · bands) with
     # the corpus, so a hard-coded F.broadcast is a driver-OOM at 100×
     # (VERDICT r03). AQE promotes the join to broadcast at runtime when the
     # list actually fits (same pattern as lsh_verified_pairs below).
-    cands = lsh_candidate_pairs(sigs)
+    # size_ratio: the exact PPJoin length bound at the verify threshold —
+    # J ≥ 0.5 is impossible across a >2× shingle-count gap, so those
+    # candidates are dropped inside the enumeration, recall-free.
+    cands = lsh_candidate_pairs(sigs, size_ratio=JACCARD_THRESHOLD)
     # Materialized shingle table: both verify sides consume it; without
     # the checkpoint each side re-scans the corpus and recomputes the
     # shingling (2 extra scans). Production equivalent: the shingle table
