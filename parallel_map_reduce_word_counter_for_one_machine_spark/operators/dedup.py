@@ -171,8 +171,10 @@ def minhash_signatures(
     sh = F.array_distinct(F.filter(chain, lambda x: x.isNotNull()))
     hs = hw.select("doc_id", *carry, sh.alias("hs")).filter(F.size("hs") > 0)
     if with_size:
-        # shingle-set cardinality rides along for the PPJoin size bound
-        # in lsh_candidate_pairs (size_ratio)
+        # shingle-set cardinality rides along for the PPJoin size bound in
+        # lsh_candidate_pairs (size_ratio). Opt-in: pay for it only where
+        # the size distribution actually varies relative to the verify
+        # threshold (see minhash_lsh_pairs for the measured negative).
         hs = hs.withColumn("n", F.size("hs"))
         carry = carry + ("n",)
     return _sig_from_hash_sets(hs, n_hashes, carry=carry)
@@ -538,15 +540,18 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force is also asserted in tests/test_dedup.py (recall on
     high-similarity pairs)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, with_size=True)
+    sigs = minhash_signatures(docs)
     # NO broadcast hint on the candidate list: it grows O(N · bands) with
     # the corpus, so a hard-coded F.broadcast is a driver-OOM at 100×
     # (VERDICT r03). AQE promotes the join to broadcast at runtime when the
     # list actually fits (same pattern as lsh_verified_pairs below).
-    # size_ratio: the exact PPJoin length bound at the verify threshold —
-    # J ≥ 0.5 is impossible across a >2× shingle-count gap, so those
-    # candidates are dropped inside the enumeration, recall-free.
-    cands = lsh_candidate_pairs(sigs, size_ratio=JACCARD_THRESHOLD)
+    # NO size_ratio here (A/B'd NEGATIVE at sf0.1: 2.7 → 4.1 s warm, same
+    # 256 pairs): shingle counts are near-uniform on this corpus, so the
+    # J ≥ 0.5 bound (>2× size gap) cuts almost nothing while the struct-
+    # member bucket machinery costs real time. The bound pays exactly
+    # where sizes vary relative to the threshold — the t=0.8 cluster path
+    # (lsh_verified_pairs), where it halves candidates.
+    cands = lsh_candidate_pairs(sigs)
     # Materialized shingle table: both verify sides consume it; without
     # the checkpoint each side re-scans the corpus and recomputes the
     # shingling (2 extra scans). Production equivalent: the shingle table
@@ -684,11 +689,13 @@ def lsh_verified_pairs(
     n_hashes: int = CLUSTER_N_HASHES,
     n_bands: int = CLUSTER_N_BANDS,
     max_bucket: int = CLUSTER_MAX_BUCKET,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """PRODUCTION near-dup edge source for the clustering operators: the
     same pair semantics as the exact O(n²) truth (token-set Jaccard ≥
     ``threshold``, the ``dedup_ngram_jaccard`` definition) computed without
-    any all-pairs join:
+    any all-pairs join (``docs`` overrides the corpus — the incremental
+    cluster maintenance path closes over a SPLIT of the table):
 
     1. Exact-collapse: group docs by an md5 fingerprint of their sorted
        distinct token set; same-fingerprint docs have J = 1.0 by definition,
@@ -705,7 +712,9 @@ def lsh_verified_pairs(
     Empty-token docs are excluded (their truth Jaccard is NULL — never a
     pair), so md5('') cannot weld unrelated empty docs together.
     """
-    docs = _fan_out_small_input(load_table(spark, sf_dir, "documents"))
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = _fan_out_small_input(docs)
     toks = docs.select(
         "doc_id", F.array_sort(F.array_distinct(_tokens())).alias("toks")
     ).filter(F.size("toks") > 0)
@@ -738,12 +747,10 @@ def lsh_verified_pairs(
     # EXACT set semantics with no 64-bit-collision caveat at all, and
     # ~3× cheaper than per-element array intersection. Natural-language
     # corpora blow past 63 distinct tokens and take the general path
-    # below (the bitmask form generalizes to k longs for V ≤ 64k, but the
+    # (the bitmask form generalizes to k longs for V ≤ 64k, but the
     # fallback already scales, so one word is all we keep).
-    vocab_probe = (
-        reps.select(F.explode("toks").alias("tok")).distinct().limit(64).collect()
-    )
-    bitmask_verify = len(vocab_probe) <= 63
+    small_vocab = _small_vocab(reps)
+    bitmask_verify = small_vocab is not None
     # size_ratio=threshold: the exact PPJoin length bound (J ≤ min/max)
     # drops cross-size candidates inside the bucket enumeration — measured
     # −50% candidates at sf0.1 with provably zero recall loss at t=0.8.
@@ -760,12 +767,131 @@ def lsh_verified_pairs(
         size_ratio=threshold,
         dedupe=not bitmask_verify,
     )
-    if bitmask_verify:
+    verified = _jaccard_verify(reps, cands, threshold, small_vocab)
+    return star.union(verified).distinct()
+
+
+def incremental_cluster_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    n_hashes: int = CLUSTER_N_HASHES,
+    n_bands: int = CLUSTER_N_BANDS,
+    max_bucket: int = CLUSTER_MAX_BUCKET,
+) -> DataFrame:
+    """BATCH-INCIDENT near-dup edges for incremental cluster maintenance
+    (graphdedup.dedup_clusters_incremental): every verified pair with at
+    least one endpoint in the incoming batch (doc_id % INCREMENTAL_MOD ==
+    0), at the same token-set-Jaccard ≥ ``threshold`` semantics as
+    ``lsh_verified_pairs`` — the shared ``_jaccard_verify`` makes drift
+    impossible.
+
+    Shape (the fuzzy_gate_flags production pattern, lifted from gate flags
+    to edge emission): the STANDING corpus keeps a banded index of its
+    collapsed representatives' signatures (band key → capped member list —
+    persisted and bucketed by band key at 100 TB, so per-batch probes join
+    shuffle-free on the big side); the batch computes signatures (pure
+    map), probes the index for batch↔standing candidates, runs
+    ``lsh_candidate_pairs`` over itself for batch↔batch candidates, and
+    exact-verifies both streams. Per-batch work is O(batch × bands +
+    candidates) — the standing corpus is scanned only to BUILD the index,
+    never per batch. Standing-member edges inside a fingerprint group are
+    NOT re-emitted here: they live in the standing cluster map the caller
+    merges with (its closure already contains the collapse stars)."""
+    d = _fan_out_small_input(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.array_sort(F.array_distinct(_tokens())).alias("toks")
+    ).filter(F.size("toks") > 0)
+    standing = toks.filter(F.col("doc_id") % INCREMENTAL_MOD != 0)
+    batch = toks.filter(F.col("doc_id") % INCREMENTAL_MOD == 0)
+
+    groups = (
+        standing.groupBy(F.md5(F.array_join("toks", "\x01")).alias("fp"))
+        .agg(F.min("doc_id").alias("rep"), F.first("toks").alias("toks"))
+        .localCheckpoint()
+    )
+    sreps = groups.select(
+        F.col("rep").alias("doc_id"), "toks", F.size("toks").alias("n")
+    )
+    ssigs = _signatures_of_sets(
+        sreps.withColumnRenamed("toks", "elems"), n_hashes, carry=("n",)
+    )
+    index = (
+        banded_keys(ssigs, n_bands, n_hashes, carry=("n",))
+        .groupBy("band_id", "band_hash")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("doc_id", "n"))),
+                1,
+                max_bucket,
+            ).alias("docs")
+        )
+    )
+    brel = batch.withColumn("n", F.size("toks"))
+    bsigs = _signatures_of_sets(
+        brel.withColumnRenamed("toks", "elems"), n_hashes, carry=("n",)
+    ).localCheckpoint()  # two consumers: the probe stream + batch↔batch
+    probes = banded_keys(bsigs, n_bands, n_hashes, carry=("n",)).select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"),
+        "band_id", "band_hash",
+    )
+    cross = (
+        probes.join(index, ["band_id", "band_hash"])
+        .select("doc_a", "na", F.explode("docs").alias("m"))
+        # the PPJoin size bound, post-explode (exact; the −1e-9 absorbs
+        # float rounding at exact-ratio boundaries, erring toward keep)
+        .filter(
+            F.least("na", F.col("m.n")).cast("double")
+            >= F.lit(threshold) * F.greatest("na", F.col("m.n")) - F.lit(1e-9)
+        )
+        .select("doc_a", F.col("m.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    within = lsh_candidate_pairs(
+        bsigs,
+        n_bands=n_bands,
+        n_hashes=n_hashes,
+        max_bucket=max_bucket,
+        size_ratio=threshold,
+        dedupe=False,
+    )
+    relation = sreps.unionByName(brel.select("doc_id", "toks", "n"))
+    verified = _jaccard_verify(
+        relation, cross.unionByName(within), threshold, _small_vocab(relation)
+    )
+    return verified.distinct()
+
+
+def _small_vocab(relation: DataFrame) -> list | None:
+    """The ≤63-token vocabulary of a (doc_id, toks, n) relation, or None
+    when it doesn't fit one long — ONE bounded limit(64) driver probe."""
+    probe = (
+        relation.select(F.explode("toks").alias("tok"))
+        .distinct()
+        .limit(64)
+        .collect()
+    )
+    return sorted(r.tok for r in probe) if len(probe) <= 63 else None
+
+
+def _jaccard_verify(
+    relation: DataFrame,
+    cands: DataFrame,
+    threshold: float,
+    small_vocab: list | None,
+) -> DataFrame:
+    """Exact token-set Jaccard ≥ threshold filter of a candidate pair list
+    against a (doc_id, toks array_distinct'd, n) relation. Representation
+    per ``small_vocab`` (see lsh_verified_pairs): one-BIGINT dictionary
+    bitmask when the vocabulary fits 63 bits, hashed-long arrays otherwise.
+    Shared by the full edge source and the incremental maintenance path so
+    their pair semantics cannot drift."""
+    if small_vocab is not None:
         tok_bit = F.create_map(
             *[
                 c
-                for i, r in enumerate(sorted(v.tok for v in vocab_probe))
-                for c in (F.lit(r), F.lit(1 << i))  # token → its bit, as a long
+                for i, t in enumerate(small_vocab)
+                for c in (F.lit(t), F.lit(1 << i))  # token → its bit, as a long
             ]
         )
         mask = F.aggregate(
@@ -773,7 +899,7 @@ def lsh_verified_pairs(
             F.lit(0).cast("long"),
             lambda acc, x: acc.bitwiseOR(x),
         )
-        repv = reps.select("doc_id", mask.alias("mk"))
+        repv = relation.select("doc_id", mask.alias("mk"))
         a, b = repv.alias("a"), repv.alias("b")
         inter = F.bit_count(F.col("a.mk").bitwiseAND(F.col("b.mk")))
         union = F.bit_count(F.col("a.mk").bitwiseOR(F.col("b.mk")))
@@ -786,7 +912,7 @@ def lsh_verified_pairs(
         # vocabulary tokens collide in 64 bits — P ≈ |vocab|²/2⁶⁵, and a
         # collision only shifts one pair's Jaccard by ~1/|A∪B|.
         # |A∪B| = |A|+|B|−|A∩B| — EXACT because toks is array_distinct'd.
-        reph = reps.select(
+        reph = relation.select(
             "doc_id",
             F.transform("toks", lambda t: F.xxhash64(t)).alias("th"),
             "n",
@@ -795,13 +921,12 @@ def lsh_verified_pairs(
         inter = F.size(F.array_intersect(F.col("a.th"), F.col("b.th")))
         union = F.col("a.n") + F.col("b.n") - inter
     jac = F.when(union > 0, inter.cast("double") / union)
-    verified = (
+    return (
         cands.join(a, cands.doc_a == F.col("a.doc_id"))
         .join(b, cands.doc_b == F.col("b.doc_id"))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b")
     )
-    return star.union(verified).distinct()
 
 
 def simhash_column(hashes: Column, n_bits: int = 64) -> Column:

@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import ORACLES, query
-from .dedup import dedup_ngram_jaccard, lsh_verified_pairs
+from ..sources.tables import load_table
+from .dedup import INCREMENTAL_MOD, dedup_ngram_jaccard, lsh_verified_pairs
 
 MAX_ROUNDS = 15
 
@@ -161,6 +162,46 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_clusters`` ≡ this at sf0.001/sf0.01."""
     edges = _sym_edges(dedup_ngram_jaccard(spark, sf_dir))
     return label_propagation(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+@query("dedup_clusters_incremental", oracle=_CC_ORACLE)
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL cluster maintenance — the weekly-ingest path of fuzzy
+    dedup, symmetric to the ANN index's ``append_to_ivfpq_index``: a new
+    batch (doc_id % INCREMENTAL_MOD == 0) is merged into a STANDING
+    cluster map without recomputing any standing↔standing pair.
+
+    Composition: (1) the standing map M0 = closure over the standing
+    split's verified pairs (at 100 TB this is the PERSISTED map from the
+    last run, not recomputed — here it is materialized from the split
+    because the driver tables have no ingest-time column); (2) the batch's
+    incident edges from ``dedup.incremental_cluster_pairs`` (standing
+    banded index probed per batch — O(batch × bands), never O(corpus));
+    (3) closure over M0's star edges ∪ the new edges. Correctness is the
+    union-find merge theorem: M0's stars are a spanning structure of the
+    standing-only edge set, and every remaining truth edge is
+    batch-incident and included, so components — and their min labels —
+    equal the full recomputation's. The oracle is EXACTLY
+    ``dedup_clusters``' full-corpus recursive-CTE closure, so the driver
+    re-proves the equivalence, not just internal consistency. Per-batch
+    closure work is proportional to the NEW edges plus touched components
+    (label propagation over an edge set of |stars| + |batch edges|), not
+    the corpus pair graph."""
+    from .dedup import incremental_cluster_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    standing_docs = docs.filter(F.col("doc_id") % INCREMENTAL_MOD != 0)
+    m0 = label_propagation(
+        _sym_edges(lsh_verified_pairs(spark, sf_dir, docs=standing_docs))
+    )
+    star0 = m0.select(
+        F.col("label").alias("doc_a"), F.col("node").alias("doc_b")
+    ).filter(F.col("doc_a") != F.col("doc_b"))
+    new_edges = incremental_cluster_pairs(spark, sf_dir)
+    merged = label_propagation(_sym_edges(star0.union(new_edges)))
+    return merged.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 

@@ -592,3 +592,44 @@ def test_degree_oriented_triangles_equal_id_oriented(spark):
         .count()
     )
     assert got == id_count == 5
+
+
+def test_incremental_clusters_equal_full_recomputation(spark, sf_correct, sf_dir):
+    """The union-find merge theorem, executed: merging a batch into the
+    standing cluster map (standing stars ∪ batch-incident verified edges)
+    must equal the full-corpus closure — node set, components, and min
+    labels — at both test scales. This is the dedup twin of the ANN
+    append contract."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.graphdedup import (
+        dedup_clusters_incremental,
+    )
+
+    for d in (sf_dir, sf_correct):
+        full = {
+            (r["doc_id"], r["cluster_id"])
+            for r in dedup_clusters(spark, d).collect()
+        }
+        inc = {
+            (r["doc_id"], r["cluster_id"])
+            for r in dedup_clusters_incremental(spark, d).collect()
+        }
+        assert inc == full and full
+
+
+def test_incremental_pairs_are_batch_incident_truth_edges(spark, sf_correct):
+    """Every incremental edge touches the batch and is a true >=0.8 pair
+    (precision by construction); conversely every truth edge with a batch
+    endpoint is recoverable from the incremental edges TRANSITIVELY
+    within the merged closure (covered by the equality test above) — here
+    we pin the direct properties of the edge stream itself."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.dedup import (
+        INCREMENTAL_MOD,
+        incremental_cluster_pairs,
+    )
+
+    pairs = incremental_cluster_pairs(spark, sf_correct).collect()
+    assert pairs
+    for r in pairs:
+        assert (
+            r["doc_a"] % INCREMENTAL_MOD == 0 or r["doc_b"] % INCREMENTAL_MOD == 0
+        ), (r["doc_a"], r["doc_b"])
