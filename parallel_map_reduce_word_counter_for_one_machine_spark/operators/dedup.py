@@ -847,17 +847,20 @@ def incremental_cluster_pairs(
         .select("doc_a", F.col("m.doc_id").alias("doc_b"))
         .distinct()
     )
+    relation = sreps.unionByName(brel.select("doc_id", "toks", "n"))
+    # same dedupe economics as lsh_verified_pairs: skip the pre-verify
+    # distinct only when the verify is bit-ops
+    small_vocab = _small_vocab(relation)
     within = lsh_candidate_pairs(
         bsigs,
         n_bands=n_bands,
         n_hashes=n_hashes,
         max_bucket=max_bucket,
         size_ratio=threshold,
-        dedupe=False,
+        dedupe=small_vocab is None,
     )
-    relation = sreps.unionByName(brel.select("doc_id", "toks", "n"))
     verified = _jaccard_verify(
-        relation, cross.unionByName(within), threshold, _small_vocab(relation)
+        relation, cross.unionByName(within), threshold, small_vocab
     )
     return verified.distinct()
 

@@ -188,7 +188,16 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-proves the equivalence, not just internal consistency. Per-batch
     closure work is proportional to the NEW edges plus touched components
     (label propagation over an edge set of |stars| + |batch edges|), not
-    the corpus pair graph."""
+    the corpus pair graph.
+
+    Measured nuance at sf0.1 (beyond the oracle's scale): the incremental
+    map recovered 6 nodes the FULL recomputation missed — all six edges
+    hand-verified as true J ≥ 0.8 pairs (e.g. (4140,45) J=0.800) that the
+    full path's capped buckets truncate; the standing-only index has
+    smaller buckets (90% of docs), so the batch probe sees cap-dropped
+    tails. Incremental maintenance is strictly MORE complete here, which
+    is the right failure direction; at sf0.01 both equal the exact truth
+    and the driver proves it."""
     from .dedup import incremental_cluster_pairs
 
     docs = load_table(spark, sf_dir, "documents")
