@@ -362,6 +362,59 @@ def append_to_ivfpq_index(
     return {"drift_ratio": ratio, "retrain": bool(ratio > DRIFT_RETRAIN_RATIO)}
 
 
+def delete_from_ivfpq_index(
+    spark: SparkSession, vec_ids: list[int], index_root: str
+) -> dict:
+    """The third lifecycle verb (build → append → DELETE): remove vectors
+    from the persisted index by rewriting ONLY the cell partitions that
+    contain them — the deleted ids' cells are found with one partition-
+    pruned scan, those `cell=<id>/` directories are rewritten without the
+    doomed rows, and every other partition is untouched bytes (the
+    Delta/Iceberg delete-file granularity, expressed as hive partitions).
+    Codebooks/centroids/stats stay frozen: removal never changes the
+    quantizers, so outstanding probes remain valid and recall on the
+    survivors is unaffected.
+
+    Returns {"deleted": n, "cells_rewritten": [...]}. At 10 B vectors a
+    delete touches |affected cells|/n_cells of the files; a tombstone
+    column would defer even that rewrite, but then every probe pays the
+    anti-join forever — rewrite-on-delete is the right trade for
+    ANN-index churn rates (deletes are rare vs probes)."""
+    import shutil
+
+    codes_root = os.path.join(index_root, "codes")
+    doomed = spark.createDataFrame(
+        [(int(v),) for v in vec_ids], "vec_id LONG"
+    )
+    cells = [
+        int(r.cell)
+        for r in spark.read.parquet(codes_root)
+        .join(F.broadcast(doomed), "vec_id")
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    if not cells:
+        return {"deleted": 0, "cells_rewritten": []}
+    affected = spark.read.parquet(codes_root).filter(
+        F.col("cell").isin(cells)  # partition-pruned file listing
+    )
+    survivors = affected.join(F.broadcast(doomed), "vec_id", "left_anti")
+    n_deleted = affected.count() - survivors.count()
+    # stage the rewritten partitions, then swap directories atomically-ish
+    # (per-cell: the unit readers list); survivors keep their frozen codes
+    staged = os.path.join(index_root, "_codes_staged")
+    survivors.write.mode("overwrite").partitionBy("cell").parquet(staged)
+    for c in cells:
+        dst = os.path.join(codes_root, f"cell={c}")
+        src = os.path.join(staged, f"cell={c}")
+        shutil.rmtree(dst)
+        if os.path.isdir(src):  # a cell can empty out entirely
+            shutil.move(src, dst)
+    shutil.rmtree(staged, ignore_errors=True)
+    return {"deleted": int(n_deleted), "cells_rewritten": sorted(cells)}
+
+
 # One built index per (session, sf_dir, quantizer) — build is the one-off
 # ingest step, same lifecycle pattern as sources/partitioned.py / bucketed.py.
 _BUILT: dict[tuple[str, str, object], str] = {}

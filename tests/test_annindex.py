@@ -213,3 +213,62 @@ def test_appended_verdict_matches_oracle(spark, sf_correct):
         registry.QUERIES["similarity_topk_ivfpq_appended"],
         registry.ORACLES["similarity_topk_ivfpq_appended"],
     )
+
+
+def test_delete_rewrites_only_affected_cells(spark, sf_dir, tmp_path):
+    """Lifecycle verb 3: deleting vectors rewrites ONLY the cell
+    partitions containing them (other partition directories byte-
+    identical on disk), removes exactly the doomed ids, keeps quantizer
+    tables frozen, and the probe never returns a deleted candidate."""
+    import shutil
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.annindex import (
+        build_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_pruned_topk_listing,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.similarity import (
+        _vectors,
+    )
+
+    root = str(tmp_path / "del_idx")
+    build_ivfpq_index(spark, sf_dir, root, vecs=_vectors(spark, sf_dir))
+    codes_root = os.path.join(root, "codes")
+    before = {
+        r.vec_id: r.cell
+        for r in spark.read.parquet(codes_root).select("vec_id", "cell").collect()
+    }
+    # pick two indexed non-query ids from different cells when possible
+    by_cell = {}
+    for vid, cell in sorted(before.items()):
+        if vid >= 5:  # keep the query vectors
+            by_cell.setdefault(cell, vid)
+    doomed = list(by_cell.values())[:2]
+    doomed_cells = {before[v] for v in doomed}
+    untouched_cell = next(c for c in set(before.values()) if c not in doomed_cells)
+    untouched_files = sorted(
+        os.listdir(os.path.join(codes_root, f"cell={untouched_cell}"))
+    )
+    untouched_mtime = os.path.getmtime(
+        os.path.join(codes_root, f"cell={untouched_cell}")
+    )
+
+    res = delete_from_ivfpq_index(spark, doomed, root)
+    assert res["deleted"] == len(doomed)
+    assert set(res["cells_rewritten"]) == doomed_cells
+
+    after = {
+        r.vec_id for r in spark.read.parquet(codes_root).select("vec_id").collect()
+    }
+    assert after == set(before) - set(doomed)
+    # untouched partition: same files, same mtime (never rewritten)
+    assert sorted(
+        os.listdir(os.path.join(codes_root, f"cell={untouched_cell}"))
+    ) == untouched_files
+    assert os.path.getmtime(
+        os.path.join(codes_root, f"cell={untouched_cell}")
+    ) == untouched_mtime
+    # probe over the shrunken index: no deleted candidate ever surfaces
+    got = ivfpq_pruned_topk_listing(spark, sf_dir, index_root=root).collect()
+    assert got and not ({r.cand_id for r in got} & set(doomed))
+    shutil.rmtree(root, ignore_errors=True)

@@ -467,3 +467,85 @@ def test_ivfpq_only_probed_cells(spark, sf_correct):
         order = np.argsort(-(Cn @ qn))
         probed = {labels[j] for j in order[: S.IVFPQ_N_PROBE]}
         assert by_id[r.cand_id].label in probed, r
+
+
+def test_size_bound_keeps_exact_threshold_ratio_pairs(spark):
+    """The PPJoin size filter's float boundary: |A|=20 ⊂ |B|=25 has
+    J = 20/25 = 0.8 EXACTLY — a naive `least >= 0.8*greatest` drops it
+    (0.8*25 > 20 in binary floating point); the -1e-9 guard must keep it.
+    Also pins that a genuinely incompatible pair (ratio < t) never
+    surfaces from the enumeration."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.dedup import (
+        _signatures_of_sets,
+        lsh_candidate_pairs,
+    )
+
+    base = [f"tok{i}" for i in range(25)]
+    rows = [
+        (1, base[:20]),      # A ⊂ B, ratio exactly 0.8
+        (2, base),           # B
+        (3, base[:10]),      # ratio 0.4 vs B — must be filtered
+    ]
+    sets = spark.createDataFrame(rows, "doc_id LONG, elems ARRAY<STRING>")
+    sigs = _signatures_of_sets(
+        sets, 32, carry=()
+    ).join(
+        sets.selectExpr("doc_id", "size(elems) AS n"), "doc_id"
+    )
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(
+            sigs, n_bands=16, n_hashes=32, size_ratio=0.8
+        ).collect()
+    }
+    assert (1, 2) in cands, "exact-ratio-0.8 pair dropped by float rounding"
+    assert (1, 3) not in cands and (2, 3) not in cands
+
+
+def test_bitmask_verify_equals_array_verify(spark, sf_correct):
+    """The two verify representations are the SAME function: forcing the
+    hash-array path over the identical candidate set must produce the
+    identical verified pair set the bitmask path produces (the adaptive
+    switch is an optimization, never a semantics change)."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.dedup import (
+        CLUSTER_MAX_BUCKET,
+        CLUSTER_N_BANDS,
+        CLUSTER_N_HASHES,
+        _jaccard_verify,
+        _signatures_of_sets,
+        _small_vocab,
+        _tokens,
+        lsh_candidate_pairs,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_correct, "documents")
+    toks = docs.select(
+        "doc_id", F.array_sort(F.array_distinct(_tokens())).alias("toks")
+    ).filter(F.size("toks") > 0)
+    rel = toks.withColumn("n", F.size("toks")).localCheckpoint()
+    sigs = _signatures_of_sets(
+        rel.withColumnRenamed("toks", "elems"), CLUSTER_N_HASHES, carry=("n",)
+    )
+    cands = lsh_candidate_pairs(
+        sigs,
+        n_bands=CLUSTER_N_BANDS,
+        n_hashes=CLUSTER_N_HASHES,
+        max_bucket=CLUSTER_MAX_BUCKET,
+        size_ratio=0.8,
+    ).localCheckpoint()
+    vocab = _small_vocab(rel)
+    assert vocab is not None, "corpus vocabulary outgrew the bitmask tier"
+    via_mask = {
+        (r.doc_a, r.doc_b)
+        for r in _jaccard_verify(rel, cands, 0.8, vocab).collect()
+    }
+    via_array = {
+        (r.doc_a, r.doc_b)
+        for r in _jaccard_verify(rel, cands, 0.8, None).collect()
+    }
+    assert via_mask == via_array and via_mask
