@@ -119,3 +119,53 @@ def test_sqrt_n_cells_prune_to_single_digit_percent(spark, bulk_dir, tmp_path):
     codes = spark.read.parquet(os.path.join(index_root, "codes"))
     assert codes.count() == N_VECS
     assert codes.select(F.length("code").alias("n")).distinct().collect()[0].n == 32
+
+
+def test_bulk_append_keeps_recall_and_gate_quiet(spark, bulk_dir, tmp_path):
+    """The lifecycle at bulk scale: build on a 40k hash-split of the 50k
+    clustered corpus, append the other 10k against the FROZEN quantizers,
+    and require (a) the drift gate stays quiet (same distribution),
+    (b) every vector indexed exactly once, (c) probe recall over the
+    GROWN corpus still clears the bound — i.e. appended vectors are both
+    findable and cannot poison ranking for the rest."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.annindex import (
+        append_to_ivfpq_index,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.similarity import (
+        _vectors,
+    )
+
+    index_root = str(tmp_path / "app_idx")
+    vecs = _vectors(spark, bulk_dir)
+    in_base = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(5)) != 0  # ~80%
+    build_ivfpq_index(
+        spark,
+        bulk_dir,
+        index_root,
+        n_cells=BULK_CELLS,
+        pq_m=32,
+        vecs=vecs.filter(in_base),
+    )
+    gate = append_to_ivfpq_index(spark, vecs.filter(~in_base), index_root)
+    assert gate["retrain"] is False, gate
+    assert 0.5 < gate["drift_ratio"] < 1.5, gate
+
+    codes = spark.read.parquet(os.path.join(index_root, "codes"))
+    assert codes.count() == N_VECS
+    assert codes.select("vec_id").distinct().count() == N_VECS
+
+    approx = ivfpq_pruned_topk_listing(
+        spark,
+        bulk_dir,
+        n_cells=BULK_CELLS,
+        n_probe=BULK_PROBE,
+        shortlist=300,
+        index_root=index_root,
+    )
+    got = {(r.query_id, r.cand_id) for r in approx.collect()}
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in similarity_topk(spark, bulk_dir).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= ANN_RECALL_BOUND, recall

@@ -58,6 +58,7 @@ HEADLINE = [
     "join_dpp",
     "stream_chained_windows",
     "bitmap_distinct_users",
+    "dedup_clusters_incremental",
     "source_typo_pairs",
     "schema_evolution_read",
     "chunk_cdc",
@@ -70,6 +71,12 @@ HEADLINE = [
 ]
 
 NOTES = {
+    "dedup_clusters_incremental": "batch merge into the standing cluster "
+    "map: the dumped plan is the final label table — the standing map M0, "
+    "the batch's index-probe edges (O(batch × bands), the standing corpus "
+    "is never rescanned per batch at scale), and the merged closure all "
+    "ran behind localCheckpoints; oracle = the SAME full-corpus recursive-"
+    "CTE closure as dedup_clusters, proving the union-find merge theorem",
     "events_locf": "LOCF gap-fill: one user_id-keyed exchange, "
     "last(ignorenulls) over an unbounded-preceding frame — O(1) state per "
     "row during the frame scan, no join",
