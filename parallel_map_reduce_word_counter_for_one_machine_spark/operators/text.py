@@ -599,6 +599,84 @@ def lm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR target slice: the "domain" whose distribution selection should
+# match (the driver tables have no domain column; lang plays the role).
+DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "dsir_weights",
+    oracle=(
+        "WITH tok AS (SELECT d.doc_id, d.lang, "
+        "unnest(list_filter(string_split(d.text, ' '), w -> w <> '')) AS word "
+        "FROM documents d), "
+        "model AS (SELECT word, count(*) AS raw_c, "
+        f"sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS tgt_c "
+        "FROM tok GROUP BY word), "
+        "tot AS (SELECT sum(raw_c) AS n_raw, sum(tgt_c) AS n_tgt, "
+        "count(*) AS v FROM model), "
+        "scored AS (SELECT t.doc_id, "
+        "ln(((m.tgt_c + 1.0) / (tot.n_tgt + tot.v)) / "
+        "((m.raw_c + 1.0) / (tot.n_raw + tot.v))) AS llr "
+        "FROM tok t JOIN model m ON t.word = m.word CROSS JOIN tot) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "round(avg(llr), 4) + 0.0 AS avg_llr, "  # +0.0 folds -0.0 -> 0.0
+        "round(avg(llr), 4) > 0 AS selected FROM scored GROUP BY doc_id"
+    ),
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al., NeurIPS 2023 — public; PAPERS.md family): score
+    every document by the mean log-likelihood ratio of its tokens under a
+    TARGET-domain unigram model vs the RAW-corpus model (add-1 smoothing
+    on both), and flag the positive-ratio docs — the ones more probable
+    under the target distribution — as selected. This is the
+    domain-matching data-selection step of a pretraining pipeline (raw
+    web corpus resampled toward a quality/domain target).
+
+    Scale shape: ONE token-stream pass builds BOTH models (conditional
+    count inside a single groupBy — raw_c and tgt_c per word), totals are
+    one model-sized aggregate, and scoring broadcasts the model back over
+    a second token pass — the lm_unigram_logprob economics with two
+    numerators. The paper's hashed-n-gram trick (features =
+    hash(ngram) % 10k) is what bounds the model when the vocabulary
+    doesn't fit a broadcast: identical plan with a pmod(xxhash64(...))
+    projection before the groupBy — word-level here because the oracle
+    must reproduce the feature map cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(_words(), lambda w: w != "")).alias("word"),
+    ).localCheckpoint()  # two consumers: model build + scoring scan
+    model = tok.groupBy("word").agg(
+        F.count("*").alias("raw_c"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("tgt_c"),
+    )
+    tot = model.agg(
+        F.sum("raw_c").alias("n_raw"),
+        F.sum("tgt_c").alias("n_tgt"),
+        F.count("*").alias("v"),
+    )
+    llr = F.log(
+        ((F.col("tgt_c") + 1.0) / (F.col("n_tgt") + F.col("v")))
+        / ((F.col("raw_c") + 1.0) / (F.col("n_raw") + F.col("v")))
+    )
+    avg_llr = F.round(F.avg(llr), 4) + F.lit(0.0)  # +0.0 folds -0.0 -> 0.0
+    return (
+        tok.join(F.broadcast(model), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            avg_llr.alias("avg_llr"),
+            (avg_llr > 0).alias("selected"),
+        )
+    )
+
+
 # Gopher-rule bounds (Rae et al. 2021, §A1.1 — public paper; PAPERS.md).
 # The word-count floor is scaled to the synthetic corpus (real Gopher uses
 # 50..100k words; our docs are single-line token streams).

@@ -19,6 +19,7 @@ TEXT_KEYS = [
     "lm_unigram_logprob",
     "oov_rate",
     "quality_deciles",
+    "dsir_weights",
 ]
 
 
@@ -130,3 +131,36 @@ def test_corpus_stats_totals_consistent(spark, sf_correct):
         F.count("*").alias("d"), F.sum(F.length("text")).alias("c")
     ).collect()[0]
     assert (got["d"], got["c"]) == (want["d"], want["c"])
+
+
+def test_dsir_weights_favor_target_signature_tokens(spark, sf_correct):
+    """The importance-weight sign is meaningful: a token's per-token llr
+    is positive iff it is RELATIVELY more frequent in the target slice
+    than in the raw corpus, so docs whose tokens skew target-ward must
+    outscore docs that skew away. Pin the aggregate form: mean avg_llr of
+    target-lang docs > mean of the rest (the model was fit to make
+    exactly this separation), and `selected` is the >0 threshold."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.text import (
+        DSIR_TARGET_LANG,
+        dsir_weights,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    w = dsir_weights(spark, sf_correct)
+    langs = load_table(spark, sf_correct, "documents").select("doc_id", "lang")
+    j = w.join(langs, "doc_id")
+    means = {
+        r.is_t: r.m
+        for r in j.groupBy(
+            (F.col("lang") == DSIR_TARGET_LANG).alias("is_t")
+        )
+        .agg(F.avg("avg_llr").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False], means
+    rows = w.collect()
+    assert all((r.avg_llr > 0) == r.selected for r in rows)
