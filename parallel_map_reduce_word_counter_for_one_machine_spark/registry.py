@@ -95,6 +95,7 @@ def load_all() -> None:
         graphdedup,  # after dedup: composes its registered oracle
         similarity,
         annindex,  # after similarity: composes its codebooks/verdict
+        semdedup,  # after similarity: reuses its quantizer/cosine
         sketches,
         text,
         corpusstats,
