@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources.tables import load_table
@@ -133,6 +134,130 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(totals.n_words), n_tokens, len(heavy), bool(ok))],
         "n_words BIGINT, n_tokens BIGINT, n_heavy BIGINT, bounds_ok BOOLEAN",
+    )
+
+
+# Histogram-quantile bin width (tokens). State per source is bounded by
+# max_len/HIST_W counters regardless of corpus size; estimate error is
+# bounded by one bin width by construction.
+HIST_W = 8
+
+
+@query(
+    "hist_quantile_lengths",
+    oracle=(
+        "WITH lens AS (SELECT source, "
+        "len(list_filter(string_split(text, ' '), w -> w <> '')) AS l "
+        "FROM documents), "
+        f"hist AS (SELECT source, l // {HIST_W} AS bin, count(*) AS cnt "
+        "FROM lens GROUP BY source, bin), "
+        "n AS (SELECT source, sum(cnt) AS n_docs FROM hist GROUP BY source), "
+        "cum AS (SELECT source, bin, "
+        "sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS c FROM hist), "
+        "est AS (SELECT cum.source, "
+        f"{HIST_W} * min(CASE WHEN c >= ceil(0.5 * n_docs) THEN bin END) AS p50_est, "
+        f"{HIST_W} * min(CASE WHEN c >= ceil(0.9 * n_docs) THEN bin END) AS p90_est, "
+        f"{HIST_W} * min(CASE WHEN c >= ceil(0.99 * n_docs) THEN bin END) AS p99_est "
+        "FROM cum JOIN n USING (source) GROUP BY cum.source), "
+        "ordered AS (SELECT source, l, "
+        "row_number() OVER (PARTITION BY source ORDER BY l) AS rk FROM lens), "
+        "ex AS (SELECT ordered.source, "
+        "min(CASE WHEN rk = ceil(0.5 * n_docs) THEN l END) AS e50, "
+        "min(CASE WHEN rk = ceil(0.9 * n_docs) THEN l END) AS e90, "
+        "min(CASE WHEN rk = ceil(0.99 * n_docs) THEN l END) AS e99 "
+        "FROM ordered JOIN n USING (source) GROUP BY ordered.source) "
+        "SELECT n.source, CAST(n.n_docs AS BIGINT) AS n_docs, "
+        "CAST(p50_est AS BIGINT) AS p50_est, CAST(p90_est AS BIGINT) AS p90_est, "
+        "CAST(p99_est AS BIGINT) AS p99_est, "
+        f"(e50 >= p50_est AND e50 < p50_est + {HIST_W} "
+        f"AND e90 >= p90_est AND e90 < p90_est + {HIST_W} "
+        f"AND e99 >= p99_est AND e99 < p99_est + {HIST_W}) AS bounds_ok "
+        "FROM n JOIN est USING (source) JOIN ex USING (source)"
+    ),
+)
+def hist_quantile_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram quantiles — the bounded-state slot a
+    KLL/t-digest fills in a 100 TB pipeline (per-source token-length
+    p50/p90/p99 for curriculum and packing decisions). Per (source, bin)
+    counts are an ordinary partial+final aggregate: fixed ≤ max_len/W
+    counters per source, associatively mergeable across partitions, days,
+    or incremental loads — the same rollup algebra as the HLL key, but
+    DETERMINISTIC and with a hard error bound (the true quantile provably
+    lies inside the reported bin, so est ≤ q < est + W). The discrete
+    order statistic is recovered from the cumulative histogram as the
+    smallest bin covering rank ceil(p·n).
+
+    Where a real KLL fits: when value domains are unbounded or bins can't
+    be pre-sized, KLL's compactor ladder gives rank-ε guarantees at
+    O(1/ε·log n) space — but its compaction is randomized, so this
+    engine's deterministic-verdict protocol pins the fixed-bin form and
+    leaves KLL as the documented swap-in.
+
+    Both engines genuinely compute the bound check (exact per-source
+    order statistics vs the bin interval): the verification arm is a
+    per-source sort — fine at verdict time, NOT part of the production
+    estimate, which touches only the histogram."""
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("l"),
+    )
+    hist = lens.groupBy(
+        "source", F.floor(F.col("l") / HIST_W).alias("bin")
+    ).agg(F.count("*").alias("cnt"))
+    n = hist.groupBy("source").agg(F.sum("cnt").alias("n_docs"))
+    wb = Window.partitionBy("source").orderBy("bin")
+    cum = hist.withColumn("c", F.sum("cnt").over(wb))
+
+    def _est(p: float, name: str):
+        return (
+            F.lit(HIST_W)
+            * F.min(
+                F.when(
+                    F.col("c") >= F.ceil(F.lit(p) * F.col("n_docs")), F.col("bin")
+                )
+            )
+        ).alias(name)
+
+    est = (
+        cum.join(n, "source")
+        .groupBy("source")
+        .agg(_est(0.5, "p50_est"), _est(0.9, "p90_est"), _est(0.99, "p99_est"))
+    )
+    wr = Window.partitionBy("source").orderBy("l")
+    ordered = lens.withColumn("rk", F.row_number().over(wr))
+
+    def _ex(p: float, name: str):
+        return F.min(
+            F.when(
+                F.col("rk") == F.ceil(F.lit(p) * F.col("n_docs")), F.col("l")
+            )
+        ).alias(name)
+
+    ex = (
+        ordered.join(n, "source")
+        .groupBy("source")
+        .agg(_ex(0.5, "e50"), _ex(0.9, "e90"), _ex(0.99, "e99"))
+    )
+    ok = (
+        (F.col("e50") >= F.col("p50_est"))
+        & (F.col("e50") < F.col("p50_est") + HIST_W)
+        & (F.col("e90") >= F.col("p90_est"))
+        & (F.col("e90") < F.col("p90_est") + HIST_W)
+        & (F.col("e99") >= F.col("p99_est"))
+        & (F.col("e99") < F.col("p99_est") + HIST_W)
+    )
+    return (
+        n.join(est, "source")
+        .join(ex, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("p50_est").cast("long").alias("p50_est"),
+            F.col("p90_est").cast("long").alias("p90_est"),
+            F.col("p99_est").cast("long").alias("p99_est"),
+            ok.alias("bounds_ok"),
+        )
     )
 
 

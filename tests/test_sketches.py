@@ -18,7 +18,12 @@ registry.load_all()
 
 @pytest.mark.parametrize(
     "name",
-    ["hll_partition_merge", "cms_heavy_hitters", "bitmap_distinct_users"],
+    [
+        "hll_partition_merge",
+        "cms_heavy_hitters",
+        "bitmap_distinct_users",
+        "hist_quantile_lengths",
+    ],
 )
 def test_sketch_verdict_oracle(spark, sf_correct, name):
     assert_matches_oracle(
@@ -140,3 +145,37 @@ def test_bitmap_distinct_handles_negative_and_large_ids(spark):
         .n
     )
     assert n == d.distinct().count() == 8
+
+
+def test_hist_quantile_bounds_hold_at_smoke_scale(spark, sf_dir):
+    """Every per-source bound flag must hold at the smoke sf too."""
+    rows = registry.QUERIES["hist_quantile_lengths"](spark, sf_dir).collect()
+    assert rows and all(r.bounds_ok for r in rows), rows
+
+
+def test_hist_quantile_merge_algebra(spark, sf_correct):
+    """The mergeability claim itself: per-lang partial histograms summed
+    into global (source, bin) counts must reproduce the single-pass
+    histogram exactly — the rollup a 100 TB pipeline runs daily."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.sketches import (
+        HIST_W,
+    )
+
+    d = load_table(spark, sf_correct, "documents")
+    lens = d.select(
+        "source",
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("l"),
+    ).withColumn("bin", F.floor(F.col("l") / HIST_W))
+    direct = {
+        (r.source, r.bin): r.cnt
+        for r in lens.groupBy("source", "bin").agg(F.count("*").alias("cnt")).collect()
+    }
+    partial = lens.groupBy("source", "lang", "bin").agg(F.count("*").alias("cnt"))
+    merged = {
+        (r.source, r.bin): r.cnt
+        for r in partial.groupBy("source", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == direct
