@@ -410,3 +410,53 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("shuffle_pos").cast("long").alias("shuffle_pos"))
     )
+
+
+@query(
+    "export_training_shards",
+    oracle=(
+        "SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) "
+        "AS BIGINT) AS n_tokens, "
+        "bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2, 7)) "
+        "AS BIGINT)) AS ids_xor "
+        "FROM documents GROUP BY shard"
+    ),
+)
+def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus export manifest — the last mile of the pipeline:
+    the curated corpus ships as 16 deterministic shards (shard = first
+    md5 hex digit of doc_id, the module's engine-portable hash idiom), and
+    the manifest the trainer checks against records per shard the doc
+    count, token count, and an ORDER-INSENSITIVE membership checksum:
+    bit_xor over a 56-bit md5-derived id hash. XOR is commutative and
+    associative, so the checksum is a plain partial+final aggregate —
+    bounded state, mergeable across partitions or incremental export runs
+    — unlike a sorted-concat digest, which would need a per-shard global
+    sort and unbounded agg state at 100 TB. A dropped, duplicated, or
+    swapped-in document flips the shard's checksum (two simultaneous
+    errors can cancel in XOR alone, which is why n_docs and n_tokens ride
+    alongside — the trio is the manifest contract, not XOR by itself).
+
+    The physical write (``df.write.partitionBy("shard")``) plus a
+    read-back re-derivation of this same manifest is pinned by
+    tests/test_export_shards.py: files on disk must reproduce the manifest
+    exactly, which is the property a resumable exporter actually needs."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    idh = F.conv(F.substring(h, 2, 7), 16, 10).cast("long")
+    ntok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    return (
+        d.select(
+            F.substring(h, 1, 1).alias("shard"),
+            idh.alias("idh"),
+            ntok.alias("ntok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.expr("bit_xor(idh)").alias("ids_xor"),
+        )
+    )
