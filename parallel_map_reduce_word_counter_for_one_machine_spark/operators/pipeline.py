@@ -460,3 +460,95 @@ def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(idh)").alias("ids_xor"),
         )
     )
+
+
+# Temperature for mixture resampling (the mBERT/XLM-R operating point:
+# p_g ∝ q_g^α flattens the group distribution toward uniform as α → 0).
+MIX_ALPHA = 0.7
+
+
+@query(
+    "mixture_temperature_resample",
+    oracle=(
+        "WITH lens AS (SELECT doc_id, lang, "
+        "len(list_filter(string_split(text, ' '), w -> w <> '')) AS l "
+        "FROM documents), "
+        "g AS (SELECT lang, count(*) AS n_docs, sum(l) AS toks "
+        "FROM lens GROUP BY lang), "
+        f"t AS (SELECT sum(toks) AS total, sum(pow(toks, {MIX_ALPHA})) AS z "
+        "FROM g), "
+        "r AS (SELECT lang, n_docs, toks, "
+        f"least(1.0, pow(toks, {MIX_ALPHA}) / z * total / toks) AS rate "
+        "FROM g, t), "
+        "th AS (SELECT lang, n_docs, toks, "
+        "CAST(round(rate * 1e6) AS BIGINT) AS rate_e6, "
+        "CAST(floor(round(rate, 6) * 256) AS BIGINT) AS thresh FROM r) "
+        "SELECT th.lang, CAST(th.n_docs AS BIGINT) AS n_docs, "
+        "CAST(th.toks AS BIGINT) AS n_tokens, th.rate_e6, th.thresh, "
+        "CAST(count(CASE WHEN CAST(('0x' || "
+        "substr(md5(CAST(lens.doc_id AS VARCHAR)), 1, 2)) AS BIGINT) "
+        "< th.thresh THEN 1 END) AS BIGINT) AS n_kept "
+        "FROM th JOIN lens ON th.lang = lens.lang "
+        "GROUP BY th.lang, th.n_docs, th.toks, th.rate_e6, th.thresh"
+    ),
+)
+def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture resampling — the multilingual/domain
+    rebalancing step (mBERT, XLM-R, Gopher §A3): group token shares are
+    flattened to p_g ∝ q_g^MIX_ALPHA and the corpus is resampled toward
+    that target at constant total size. Groups whose target share exceeds
+    their natural share rate-cap at 1.0 (upsampling is the loader's
+    repeat factor, not a filter — the emitted rate_e6 > 1e6 would carry
+    it; here rates are capped so the relation stays a sample).
+
+    The doc-level keep decision is the module's deterministic-hash idiom:
+    first two md5 hex digits of doc_id as a uniform 0..255 draw, kept iff
+    below floor(rate·256) — reproducible across partitionings, retries,
+    and engines, and quantized to 1/256 so the cross-engine float
+    boundary sits on a 6-dp-rounded rate, per the module float policy.
+
+    Scale shape: one token-count scan into a G-row group table, one
+    2-scalar total, a broadcast of G rows back onto the corpus for the
+    filter — no shuffle of the corpus itself. The output is the per-group
+    accounting relation (rates, thresholds, kept counts); the kept DOC
+    set at 100 TB is written by the same filter without the aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("l"),
+    )
+    g = lens.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("l").alias("toks")
+    )
+    t = g.agg(
+        F.sum("toks").alias("total"),
+        F.sum(F.pow("toks", F.lit(MIX_ALPHA))).alias("z"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.pow("toks", F.lit(MIX_ALPHA)) / F.col("z") * F.col("total") / F.col("toks"),
+    )
+    th = g.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        "toks",
+        F.round(rate * 1e6).cast("long").alias("rate_e6"),
+        F.floor(F.round(rate, 6) * 256).cast("long").alias("thresh"),
+    )
+    draw = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "long"
+    )
+    kept = (
+        lens.join(F.broadcast(th), "lang")
+        .groupBy("lang")
+        .agg(F.count(F.when(draw < F.col("thresh"), 1)).alias("n_kept"))
+    )
+    return th.join(kept, "lang").select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("toks").cast("long").alias("n_tokens"),
+        "rate_e6",
+        "thresh",
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )
