@@ -645,3 +645,100 @@ def similarity_topk_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFram
         spark, sf_dir, index_root=_appended_index_dir(spark, sf_dir)
     ).select("query_id", "cand_id")
     return _recall_verdict(exact, approx)
+
+
+def stream_append_to_index(
+    spark: SparkSession, sf_dir: str, index_root: str, n_batches: int = 3
+) -> list[dict]:
+    """STREAMING ingest into the persisted index — the online leg of the
+    lifecycle (build → append → delete): the non-base vectors arrive as a
+    Structured Streaming file source processed one file per micro-batch
+    (``maxFilesPerTrigger=1`` + AvailableNow), and ``foreachBatch`` routes
+    every micro-batch through the SAME ``append_to_ivfpq_index`` pass the
+    batch leg uses — frozen quantizers, codes appended into the existing
+    cell partitions, per-batch drift verdicts collected. The final index
+    is the union of appends, so probe results are independent of how the
+    stream happened to batch the files.
+
+    Exactly-once caveat, stated not hidden: ``foreachBatch`` replays a
+    batch after a crash, and a replayed append would double-insert its
+    codes. Production hardening is the commit-marker ledger pattern of
+    ``streaming/upsertsink.py`` (skip batch_ids already marked applied in
+    this checkpoint lineage); the drift/recall contract here is about the
+    encode-append path itself.
+
+    Returns the per-batch drift verdicts in processing order."""
+    import shutil
+
+    stage = tempfile.mkdtemp(prefix="pmrwc_vecstream_")
+    ckpt = os.path.join(stage, "_ckpt")
+    data = os.path.join(stage, "data")
+    vecs = _vectors(spark, sf_dir)
+    in_base = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)) == 0
+    vecs.filter(~in_base).repartition(n_batches).write.parquet(data)
+
+    verdicts: list[dict] = []
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        verdicts.append(
+            append_to_ivfpq_index(batch_df.sparkSession, batch_df, index_root)
+        )
+
+    stream = (
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)
+    return verdicts
+
+
+def _stream_appended_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Index built on the hash-half base, then grown to full size by the
+    STREAMING append path (one micro-batch per staged file). Cached per
+    session like the other build-once indexes; the drift verdicts of the
+    build are kept alongside for the tests."""
+    key = (spark.sparkContext.applicationId, sf_dir, "stream_appended")
+    if key not in _BUILT:
+        base = tempfile.mkdtemp(
+            prefix="pmrwc_ivfpq_strm_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        )
+        vecs = _vectors(spark, sf_dir)
+        in_base = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)) == 0
+        build_ivfpq_index(spark, sf_dir, base, vecs=vecs.filter(in_base))
+        STREAM_APPEND_VERDICTS[(spark.sparkContext.applicationId, sf_dir)] = (
+            stream_append_to_index(spark, sf_dir, base)
+        )
+        _BUILT[key] = base
+    return _BUILT[key]
+
+
+# (appId, sf_dir) → per-micro-batch drift verdicts from the last stream
+# ingest; inspected by tests, not part of the registered relation.
+STREAM_APPEND_VERDICTS: dict[tuple[str, str], list[dict]] = {}
+
+
+@query("stream_index_append", oracle=_IVF_VERDICT_ORACLE)
+def stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall verdict for an index grown 2× through the STREAMING append
+    path: base half built once, the rest ingested micro-batch by
+    micro-batch via foreachBatch → ``append_to_ivfpq_index``, probe must
+    clear ANN_RECALL_BOUND against the exact top-k over the full corpus.
+    Same contract as ``similarity_topk_ivfpq_appended`` with the online
+    ingest in the loop — batching boundaries must not change the index
+    (union semantics), which is exactly what this verdict re-proves."""
+    exact = similarity_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = ivfpq_pruned_topk_listing(
+        spark, sf_dir, index_root=_stream_appended_index_dir(spark, sf_dir)
+    ).select("query_id", "cand_id")
+    return _recall_verdict(exact, approx)
