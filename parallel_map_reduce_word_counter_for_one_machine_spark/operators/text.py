@@ -922,3 +922,91 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("quality").alias("q_max"),
         )
     )
+
+
+# Stupid Backoff discount (Brants et al., EMNLP'07 — "Large Language
+# Models in Machine Translation"): score, not probability; the fixed 0.4
+# backoff is the web-scale replacement for tuned Kneser-Ney discounts.
+SB_ALPHA = 0.4
+
+
+@query(
+    "lm_bigram_backoff",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents), "
+        "tok AS (SELECT doc_id, unnest(t) AS word FROM t), "
+        "bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 "
+        "FROM t, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i) "
+        "WHERE len(t) >= 2), "
+        "uni AS (SELECT word, count(*) AS c1 FROM tok GROUP BY word), "
+        "big AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2), "
+        "tot AS (SELECT count(*) AS n FROM tok), "
+        "scored AS (SELECT bg.doc_id, "
+        "CASE WHEN big.c2 IS NOT NULL THEN ln(big.c2 * 1.0 / u1.c1) "
+        f"ELSE ln({SB_ALPHA} * u2.c1 / tot.n) END AS lp "
+        "FROM bg JOIN uni u1 ON bg.w1 = u1.word "
+        "JOIN uni u2 ON bg.w2 = u2.word "
+        "LEFT JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2 CROSS JOIN tot) "
+        "SELECT doc_id, count(*) AS n_bigrams, "
+        "round(avg(lp), 4) AS avg_logscore FROM scored GROUP BY doc_id"
+    ),
+)
+def lm_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-score under Stupid Backoff — the next
+    rung above ``lm_unigram_logprob`` on the LM-quality ladder and the
+    shape of a KenLM-style fluency filter: S(w₂|w₁) = c(w₁w₂)/c(w₁) when
+    the bigram was seen, else SB_ALPHA·c(w₂)/N (back off to the unigram,
+    Brants et al. EMNLP'07). Repetitive/templated docs score high,
+    shuffled or disfluent text scores low even when every unigram is
+    common — the signal the unigram model cannot see.
+
+    Scale shape, and the one big difference from the unigram key: a
+    bigram model over a web corpus does NOT fit a broadcast, so the score
+    join is a plain hash join of the bigram stream against the bigram
+    count table on (w₁,w₂) — the stream is already shuffled by that key
+    from the counting groupBy, so AQE reuses the exchange; only the
+    unigram side rides a broadcast. Bigram pairs come from one
+    element_at pass over the token array (no self-join on positions).
+    Trained and scored on the same corpus here, so every unigram exists
+    (no zero-prob floor needed); 4-dp rounding per the module float
+    policy."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.filter(_words(), lambda w: w != "").alias("t"))
+    toks = toks.localCheckpoint()
+    tok = toks.select("doc_id", F.explode("t").alias("word"))
+    bg = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("w1"),
+                    F.element_at(F.col("t"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    uni = tok.groupBy("word").agg(F.count("*").alias("c1"))
+    big = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    tot = tok.agg(F.count("*").alias("n"))
+    lp = F.when(
+        F.col("c2").isNotNull(), F.log(F.col("c2") * 1.0 / F.col("u1c"))
+    ).otherwise(F.log(F.lit(SB_ALPHA) * F.col("u2c") / F.col("n")))
+    return (
+        bg.join(
+            F.broadcast(uni.select(F.col("word").alias("w1"), F.col("c1").alias("u1c"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("word").alias("w2"), F.col("c1").alias("u2c"))),
+            "w2",
+        )
+        .join(big, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(lp), 4).alias("avg_logscore"),
+        )
+    )

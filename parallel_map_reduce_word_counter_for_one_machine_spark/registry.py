@@ -98,6 +98,7 @@ def load_all() -> None:
         semdedup,  # after similarity: reuses its quantizer/cosine
         sketches,
         text,
+        retrieval,
         corpusstats,
         dataquality,
         multimodal,
