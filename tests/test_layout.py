@@ -253,3 +253,93 @@ def test_zvalue_n_matches_python_reference(spark):
         }
         for vals in rows:
             assert got[vals] == morton_py(list(vals)), (n, vals)
+
+
+def _xy2d_reference(n_bits: int, hb_max: int, x: int, y: int) -> int:
+    """Independent Python port of the canonical xy2d (Wikipedia form):
+    the test's ground truth for the SQL/Column rotation chains."""
+    d = 0
+    s = 1 << (n_bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = hb_max - x
+                y = hb_max - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "layout_hilbert",
+        registry.QUERIES["layout_hilbert"],
+        registry.ORACLES["layout_hilbert"],
+    )
+
+
+def test_hilbert_matches_python_reference(spark):
+    """The chained-projection key equals the canonical xy2d on a grid
+    sample covering every rotation branch."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.layout import (
+        HB_BITS,
+        HB_MAX,
+        with_hilbert_key,
+    )
+
+    pts = [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 23)]
+    pts += [(0, 0), (255, 255), (0, 255), (255, 0), (1, 254)]
+    df = spark.createDataFrame(pts, "x LONG, y LONG")
+    keyed = with_hilbert_key(df, F.col("x"), F.col("y")).collect()
+    for r in keyed:
+        assert r.hkey == _xy2d_reference(HB_BITS, HB_MAX, r.x, r.y), (r.x, r.y)
+
+
+def test_hilbert_adjacency(spark):
+    """Hilbert's defining property (and what Morton lacks): consecutive
+    curve positions are grid-adjacent — |Δx| + |Δy| = 1 for EVERY step
+    along the full 256×256 curve's first 4096 positions."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.layout import (
+        HB_BITS,
+        HB_MAX,
+        with_hilbert_key,
+    )
+
+    pts = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(pts, "x LONG, y LONG")
+    rows = with_hilbert_key(df, F.col("x"), F.col("y")).collect()
+    by_key = {r.hkey: (r.x, r.y) for r in rows}
+    inside = sorted(k for k in by_key)
+    prev = None
+    checked = 0
+    for k in inside:
+        if prev is not None and k == prev + 1:
+            (x0, y0), (x1, y1) = by_key[prev], by_key[k]
+            assert abs(x0 - x1) + abs(y0 - y1) == 1, (prev, k)
+            checked += 1
+        prev = k
+    assert checked >= 4000  # the 64x64 corner is one contiguous curve run
+
+
+def test_hilbert_beats_single_column_sort(spark, sf_correct):
+    """Same locality protocol as the z keys: the Hilbert layout must beat
+    both single-column sorts on combined range cost, and stay within a
+    few percent of (typically below) the z-order cost on the same data."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.layout import (
+        layout_hilbert,
+    )
+
+    hdf = layout_hilbert(spark, sf_correct)
+    h_cost = _file_range_cost(hdf, "hkey")
+    part_cost = _file_range_cost(hdf, "l_partkey")
+    supp_cost = _file_range_cost(hdf, "l_suppkey")
+    assert h_cost < part_cost, (h_cost, part_cost)
+    assert h_cost < supp_cost, (h_cost, supp_cost)
+    zdf = layout_zorder(spark, sf_correct)
+    z_cost = _file_range_cost(zdf, "zkey")
+    assert h_cost < z_cost * 1.05, (h_cost, z_cost)
