@@ -234,3 +234,125 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.log("c"), F.log("rk")), 4).alias("slope"),
         F.round(F.regr_intercept(F.log("c"), F.log("rk")), 4).alias("intercept"),
     )
+
+
+@query(
+    "token_entropy_per_source",
+    oracle=(
+        "WITH toks AS (SELECT source, unnest(list_filter(string_split(text, ' '), "
+        "w -> w <> '')) AS w FROM documents), "
+        "cnt AS (SELECT source, w, count(*) AS c FROM toks GROUP BY source, w), "
+        "n AS (SELECT source, sum(c) AS n, count(*) AS v FROM cnt GROUP BY source) "
+        "SELECT cnt.source, CAST(n.n AS BIGINT) AS n_tokens, "
+        "CAST(n.v AS BIGINT) AS n_distinct, "
+        "round(-sum((c * 1.0 / n.n) * ln(c * 1.0 / n.n)), 6) AS entropy, "
+        "CASE WHEN n.v > 1 THEN "
+        "round(-sum((c * 1.0 / n.n) * ln(c * 1.0 / n.n)) / ln(n.v), 6) "
+        "ELSE 0.0 END AS entropy_norm "
+        "FROM cnt JOIN n ON cnt.source = n.source "
+        "GROUP BY cnt.source, n.n, n.v"
+    ),
+)
+def token_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution, plus the
+    entropy normalized by ln(vocabulary) — the lexical-diversity health
+    metric of corpus curation (template floods and boilerplate collapse
+    entropy toward 0; natural text sits near the top of the band). Shape:
+    one (source, word) count groupBy — shuffle bounded by per-source
+    vocabulary — one G-row totals aggregate joined back, entropy as a
+    partial-aggregable sum of p·ln p terms. 6-dp rounding (ln-bearing,
+    module float policy)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w"),
+    )
+    cnt = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    n = cnt.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )
+    p = F.col("c") * 1.0 / F.col("n")
+    return (
+        cnt.join(n, "source")
+        .groupBy("source", "n", "v")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            # v = 1 ⇒ ln(v) = 0: a single-symbol source has zero entropy
+            # and an undefined norm — pinned to 0.0 on both engines
+            # (ANSI mode makes the unguarded divide a hard error).
+            F.when(
+                F.col("v") > 1,
+                F.round(-F.sum(p * F.log(p)) / F.log(F.col("v")), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("entropy_norm"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("v").cast("long").alias("n_distinct"),
+            "entropy",
+            "entropy_norm",
+        )
+    )
+
+
+# PSI bins over token length (same fixed-width grid as the histogram
+# sketch) and the standard monitoring thresholds: < 0.1 stable, > 0.25
+# investigate. Laplace-smoothed shares so empty bins never divide by 0.
+PSI_BIN_W = 8
+
+
+@query(
+    "drift_psi",
+    oracle=(
+        "WITH lens AS (SELECT doc_id % 2 AS slice, "
+        f"len(list_filter(string_split(text, ' '), w -> w <> '')) // {PSI_BIN_W} "
+        "AS bin FROM documents), "
+        "cnt AS (SELECT bin, "
+        "sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS ca, "
+        "sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS cb FROM lens GROUP BY bin), "
+        "tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS b FROM cnt), "
+        "sh AS (SELECT bin, (ca + 0.5) / (na + 0.5 * b) AS pa, "
+        "(cb + 0.5) / (nb + 0.5 * b) AS pb FROM cnt, tot) "
+        "SELECT CAST((SELECT b FROM tot) AS BIGINT) AS n_bins, "
+        "round(sum((pa - pb) * ln(pa / pb)), 6) AS psi, "
+        "sum((pa - pb) * ln(pa / pb)) < 0.1 AS stable FROM sh"
+    ),
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus slices over the
+    token-length distribution — the production drift monitor run on every
+    refresh (χ² above flags WHICH tokens moved; PSI is the single-number
+    gate with industry thresholds: < 0.1 stable, 0.1–0.25 watch, > 0.25
+    block the batch). Doc-id parity plays baseline-vs-refresh as in
+    ``corpus_drift_chi2``; bins are the fixed-width length grid of the
+    histogram sketch (mergeable bounded state), shares are Laplace-
+    smoothed (+0.5 per bin) so a bin present in only one slice
+    contributes a finite term instead of dividing by zero."""
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(
+        (F.col("doc_id") % 2).alias("slice"),
+        F.floor(
+            F.size(F.filter(F.split("text", " "), lambda w: w != "")) / PSI_BIN_W
+        ).alias("bin"),
+    )
+    cnt = lens.groupBy("bin").agg(
+        F.sum(F.when(F.col("slice") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("slice") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    tot = cnt.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"), F.count("*").alias("b")
+    )
+    pa = (F.col("ca") + 0.5) / (F.col("na") + 0.5 * F.col("b"))
+    pb = (F.col("cb") + 0.5) / (F.col("nb") + 0.5 * F.col("b"))
+    term = (pa - pb) * F.log(pa / pb)
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("b").alias("n_bins"),
+            F.round(F.sum(term), 6).alias("psi"),
+            (F.sum(term) < 0.1).alias("stable"),
+        )
+        .select(F.col("n_bins").cast("long").alias("n_bins"), "psi", "stable")
+    )
