@@ -356,3 +356,59 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("n_bins").cast("long").alias("n_bins"), "psi", "stable")
     )
+
+
+@query(
+    "drift_ks",
+    oracle=(
+        "WITH lens AS (SELECT doc_id % 2 AS slice, "
+        "len(list_filter(string_split(text, ' '), w -> w <> '')) AS l "
+        "FROM documents), "
+        "cnt AS (SELECT l, "
+        "sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS ca, "
+        "sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS cb FROM lens GROUP BY l), "
+        "tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cnt), "
+        "cum AS (SELECT l, sum(ca) OVER (ORDER BY l) * 1.0 / na AS fa, "
+        "sum(cb) OVER (ORDER BY l) * 1.0 / nb AS fb FROM cnt, tot) "
+        "SELECT CAST((SELECT count(*) FROM cnt) AS BIGINT) AS n_points, "
+        "round(max(abs(fa - fb)), 6) AS ks_stat, "
+        "max(abs(fa - fb)) < 0.15 AS stable FROM cum"
+    ),
+)
+def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the corpus slices'
+    token-length distributions — the nonparametric companion to
+    ``drift_psi`` (PSI needs binning and smoothing; KS is the exact sup
+    of the empirical-CDF gap, computed on the raw length values). Shape:
+    one (length) groupBy with two conditional counts (support-bounded,
+    not corpus-bounded), a 2-scalar total, one window cumsum over the
+    support, one max — every step partial-aggregable except the support-
+    sized window, which at 100 TB holds |distinct lengths| rows, not
+    |docs|. The 0.15 gate plays the role an α-derived critical value
+    would in production (fixed here so the verdict is deterministic)."""
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(
+        (F.col("doc_id") % 2).alias("slice"),
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("l"),
+    )
+    cnt = lens.groupBy("l").agg(
+        F.sum(F.when(F.col("slice") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("slice") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    tot = cnt.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    from pyspark.sql.window import Window as _W
+
+    w = _W.orderBy("l").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    cum = cnt.crossJoin(F.broadcast(tot)).select(
+        (F.sum("ca").over(w) * 1.0 / F.col("na")).alias("fa"),
+        (F.sum("cb").over(w) * 1.0 / F.col("nb")).alias("fb"),
+    )
+    n_points = cnt.agg(F.count("*").alias("n"))
+    gap = F.max(F.abs(F.col("fa") - F.col("fb")))
+    return (
+        cum.agg(
+            F.round(gap, 6).alias("ks_stat"), (gap < 0.15).alias("stable")
+        )
+        .crossJoin(F.broadcast(n_points))
+        .select(F.col("n").cast("long").alias("n_points"), "ks_stat", "stable")
+    )

@@ -236,3 +236,95 @@ def run_stream_chained(
     )
     drain(q)
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+# Histogram-sketch-in-stream: per-window value histograms with fixed-width
+# bins (the mergeable bounded-state quantile form of operators/sketches.py,
+# composed with event-time windows). Bin width sized to the events value
+# range (0–~500).
+VQ_BIN_W = 25
+
+
+def _value_hist_plan(events: DataFrame) -> DataFrame:
+    """The STREAMING stage: per (1-hour window, value-bin) counts — one
+    stateful aggregation whose state is O(windows × bins), the sketch
+    property that makes per-window quantiles safe on an unbounded
+    stream."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.floor(F.col("value") / VQ_BIN_W).alias("bin"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_millis(F.col("w.start")).alias("bucket_ms"), "bin", "cnt")
+    )
+
+
+def finalize_value_quantiles(hist: DataFrame) -> DataFrame:
+    """Per-bucket quantile estimates from the (bucket, bin, cnt) histogram
+    — plain batch algebra over the drained sink (or over the batch-mode
+    plan), exactly the sketches.py cumulative-bin recovery."""
+    from pyspark.sql.window import Window as _W
+
+    # Join-free on purpose: the hist relation may be a memory-sink table
+    # (stream test), where a groupBy-then-self-join trips conflicting-
+    # reference analysis. The per-bucket total is the max of the ordered
+    # cumsum — one more window over the same tiny partition.
+    wb = _W.partitionBy("bucket_ms").orderBy("bin")
+    cum = hist.withColumn("c", F.sum("cnt").over(wb)).withColumn(
+        "n_events", F.max("c").over(_W.partitionBy("bucket_ms"))
+    )
+
+    def _est(p: float):
+        return F.lit(VQ_BIN_W) * F.min(
+            F.when(
+                F.col("c") >= F.ceil(F.lit(p) * F.col("n_events")),
+                F.col("bin"),
+            )
+        )
+
+    return cum.groupBy("bucket_ms").agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        _est(0.5).cast("long").alias("p50_est"),
+        _est(0.9).cast("long").alias("p90_est"),
+    )
+
+
+@query(
+    "stream_value_quantiles",
+    oracle=(
+        "WITH h AS (SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, "
+        f"CAST(floor(value / {VQ_BIN_W}) AS BIGINT) AS bin, count(*) AS cnt "
+        "FROM events GROUP BY 1, 2), "
+        "n AS (SELECT bucket_ms, sum(cnt) AS n_events FROM h GROUP BY bucket_ms), "
+        "cum AS (SELECT bucket_ms, bin, "
+        "sum(cnt) OVER (PARTITION BY bucket_ms ORDER BY bin) AS c FROM h) "
+        "SELECT n.bucket_ms, CAST(n.n_events AS BIGINT) AS n_events, "
+        f"CAST({VQ_BIN_W} * min(CASE WHEN c >= ceil(0.5 * n_events) "
+        "THEN bin END) AS BIGINT) AS p50_est, "
+        f"CAST({VQ_BIN_W} * min(CASE WHEN c >= ceil(0.9 * n_events) "
+        "THEN bin END) AS BIGINT) AS p90_est "
+        "FROM cum JOIN n USING (bucket_ms) GROUP BY n.bucket_ms, n.n_events"
+    ),
+)
+def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour value-distribution quantiles via the mergeable fixed-bin
+    histogram — the sketch-in-stream composition: the STREAMING stage is
+    one windowed (window, bin) count whose state is bounded by
+    windows × bins regardless of stream length (and watermark-evictable),
+    and the quantile recovery is batch algebra over the tiny histogram —
+    run per trigger in ``foreachBatch`` or downstream of the sink, never
+    as a second stateful operator. Batch face here (identical logical
+    plan); stream ≡ batch is asserted in tests via the same memory-sink
+    protocol as the other windowed keys."""
+    return finalize_value_quantiles(
+        _value_hist_plan(load_table(spark, sf_dir, "events"))
+    )
+
+
+def run_stream_value_hist(
+    spark: SparkSession, sf_dir: str, query_name: str
+) -> DataFrame:
+    """The histogram stage as a real stream (memory sink, complete mode);
+    finalize over the drained sink to compare with the batch face."""
+    return _run_windowed_stream(spark, sf_dir, query_name, _value_hist_plan)

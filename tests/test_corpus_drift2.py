@@ -66,3 +66,34 @@ def test_psi_trips_on_shifted_lengths(spark, tmp_path):
     out = _write_docs(spark, tmp_path, rows)
     row = registry.QUERIES["drift_psi"](spark, out).collect()[0]
     assert row.psi > 0.25 and row.stable is False
+
+
+def test_drift_ks_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "drift_ks",
+        registry.QUERIES["drift_ks"],
+        registry.ORACLES["drift_ks"],
+    )
+
+
+def test_ks_zero_on_identical_slices(spark, tmp_path):
+    rows = []
+    for i in range(10):
+        text = ("w " * (5 + 3 * i)).strip()
+        rows.append((2 * i, text, "en", "s"))
+        rows.append((2 * i + 1, text, "en", "s"))
+    out = _write_docs(spark, tmp_path, rows)
+    row = registry.QUERIES["drift_ks"](spark, out).collect()[0]
+    assert row.ks_stat == 0.0 and row.stable is True
+
+
+def test_ks_one_on_disjoint_supports(spark, tmp_path):
+    rows = []
+    for i in range(10):
+        rows.append((2 * i, ("a " * 5).strip(), "en", "s"))
+        rows.append((2 * i + 1, ("a " * 80).strip(), "en", "s"))
+    out = _write_docs(spark, tmp_path, rows)
+    row = registry.QUERIES["drift_ks"](spark, out).collect()[0]
+    assert row.ks_stat == 1.0 and row.stable is False

@@ -231,3 +231,34 @@ def test_chained_stream_runs_two_state_operators(spark, sf_correct):
     names = {o.get("operatorName") for o in ops}
     assert names == {"stateStoreSave"}, names
     assert all(o["numRowsTotal"] > 0 for o in ops), ops
+
+
+def test_value_quantiles_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "stream_value_quantiles",
+        registry.QUERIES["stream_value_quantiles"],
+        registry.ORACLES["stream_value_quantiles"],
+    )
+
+
+def test_value_quantiles_stream_equals_batch(spark, sf_correct):
+    """Sketch-in-stream equivalence: the streamed (window, bin) histogram
+    finalized over the drained sink must equal the batch face — the
+    histogram stage is the only stateful op, quantile recovery is batch
+    algebra on the sink."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.tumbling import (
+        finalize_value_quantiles,
+        run_stream_value_hist,
+    )
+
+    hist = run_stream_value_hist(spark, sf_correct, "t_stream_vq")
+    s = sorted(map(tuple, finalize_value_quantiles(hist).collect()))
+    b = sorted(
+        map(
+            tuple,
+            registry.QUERIES["stream_value_quantiles"](spark, sf_correct).collect(),
+        )
+    )
+    assert s == b
