@@ -68,9 +68,54 @@ HEADLINE = [
     "sql_exists_correlated",
     "sql_pipe_syntax",
     "robust_length_stats",
+    "dedup_semdedup",
+    "hist_quantile_lengths",
+    "export_training_shards",
+    "mixture_temperature_resample",
+    "lm_bigram_backoff",
+    "bm25_topk",
+    "layout_hilbert",
+    "token_entropy_per_source",
+    "drift_psi",
+    "drift_ks",
+    "stream_value_quantiles",
 ]
 
 NOTES = {
+    "dedup_semdedup": "SemDeDup: broadcast centroid assignment, ONE "
+    "cell_id-keyed self-join (Σ|cell|² cosines, never corpus²), dominated "
+    "set distinct, left-anti back onto the corpus — no iteration",
+    "hist_quantile_lengths": "mergeable fixed-bin histogram: (source, bin) "
+    "partial+final agg is the production estimate; the per-source sort "
+    "visible in the plan is the VERDICT arm only (exact order statistic "
+    "for the bound check)",
+    "export_training_shards": "manifest = one groupBy(shard) with "
+    "count/sum/bit_xor — all partial-aggregable, bounded state; no sort, "
+    "no collect_list",
+    "mixture_temperature_resample": "G-row group table + 2-scalar total "
+    "broadcast back over the corpus for the keep filter — the corpus "
+    "itself never shuffles",
+    "lm_bigram_backoff": "bigram model joins as a plain hash join on "
+    "(w1,w2) — deliberately NOT broadcast (web-scale bigram tables don't "
+    "fit); unigram side broadcasts; pairs from element_at, no position "
+    "self-join",
+    "bm25_topk": "probe-term semi-join lands BEFORE the scoring math and "
+    "window: only probed posting lists are ranked; df/dl/stats are "
+    "bounded aggregates",
+    "layout_hilbert": "8 chained projections (the rotation chain), all "
+    "inside one whole-stage codegen span over the scan + broadcast "
+    "min/max — map-only like the z keys",
+    "token_entropy_per_source": "one (source, word) count groupBy "
+    "(vocabulary-bounded shuffle) + G-row totals join; entropy is a "
+    "partial-aggregable sum of p·ln p",
+    "drift_psi": "per-bin conditional counts -> single-row verdict; "
+    "state bounded by bins, Laplace smoothing keeps one-sided bins finite",
+    "drift_ks": "support-bounded cumsum window (|distinct lengths| rows, "
+    "not |docs|) -> one max — the single-partition window the plan shows "
+    "is over the support table only",
+    "stream_value_quantiles": "streaming stage = one windowed (window, "
+    "bin) count (watermark-evictable state); quantile recovery is "
+    "join-free window algebra over the tiny histogram",
     "dedup_clusters_incremental": "batch merge into the standing cluster "
     "map: the dumped plan is the final label table — the standing map M0, "
     "the batch's index-probe edges (O(batch × bands), the standing corpus "
