@@ -85,7 +85,11 @@ def semdedup_kept(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     neighbor at cosine ≥ SEMDEDUP_TAU has strictly lower centroid
     similarity (tie → lower vec_id wins), per the paper's
     triangular-order rule."""
-    assigned = assign_cells_with_sim(vecs, cents)
+    # Three consumers (both self-join sides + the anti-join base), and the
+    # assignment lineage contains the kmeans crossJoin + window — without
+    # materialization every consumer re-runs it (measured 16.7 s → 6.5 s
+    # warm at sf0.1). Same move as the token-stream checkpoints in text.py.
+    assigned = assign_cells_with_sim(vecs, cents).localCheckpoint()
     a = assigned.alias("a")
     b = assigned.alias("b")
     pairs = a.join(
