@@ -1,0 +1,153 @@
+"""Distributed BPE tokenizer training (Sennrich et al., ACL 2016 — public;
+the reference's tokenizer, src/main.cpp:55-75, is a fixed whitespace
+splitter — this learns the subword vocabulary a real LLM pipeline trains
+BEFORE tokenizing 100 TB).
+
+Algorithm (classic word-level BPE): collapse the corpus to (word, count)
+once, split words into character symbols, then repeat: count adjacent
+symbol pairs weighted by word frequency, merge the most frequent pair
+(ties → lexicographically smallest) inside every word, emit the merge.
+
+Scale shape — the whole point of training BPE on an engine like this:
+- ONE corpus-scale pass (the word count — literally the flagship plan).
+  Everything after runs on the VOCABULARY (|V| rows), not the corpus:
+  each merge iteration is a |V|-row pair explode + one hash aggregate +
+  a 1-row argmax (TakeOrdered), exactly the word-count economics at 1/10⁶
+  the volume. 50k merges over a 10M-word vocab never rescans the corpus.
+- The argmax pair is a 1-row driver scalar per iteration (the pagerank
+  convergence-scalar pattern); the rewrite is a broadcast-literal
+  ``replace`` projection.
+
+Cross-engine exactness: pure string/integer ops — no floats anywhere.
+The merge rewrite is engine-portable because both Spark's and DuckDB's
+``replace`` scan left-to-right non-overlapping, which equals BPE's greedy
+leftmost merge IF symbol boundaries survive the match. Single delimiters
+fail: merging (a,b) in ``a b a b`` = ``|a|b|a|b|`` consumes the shared
+``|`` and misses the second pair. DOUBLE boundaries fix it: in
+``||a||b||a||b||`` the pattern ``|a||b|`` takes one pipe from each side,
+leaving ``||ab||ab||`` — every adjacent occurrence matched, and a pattern
+can never start inside a multi-char symbol (its chars are never preceded
+by ``|``). Verified against a greedy Python reference in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+
+BPE_MERGES = 6  # unrolled in the oracle; 50k in production — same plan/iter
+
+
+def _pairs_expr() -> F.Column:
+    """Adjacent symbol pairs from the double-delimited seq column.
+    slice-zip instead of sequence(): ``sequence(0, -1)`` on a 1-symbol
+    word would generate a DESCENDING range, not an empty one."""
+    syms = F.filter(F.split("seq", r"\|"), lambda s: s != "")
+    return F.zip_with(
+        F.slice(syms, 1, F.size(syms) - 1),
+        F.slice(syms, 2, F.size(syms) - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
+def train_bpe(words: DataFrame, merges: int = BPE_MERGES) -> list[tuple]:
+    """Learn ``merges`` BPE merges from a (word, c) vocabulary relation.
+    Returns [(iteration, left_sym, right_sym, pair_count), ...]."""
+    seqed = words.select(
+        F.concat(
+            F.regexp_replace(F.col("word"), "(.)", r"||$1"), F.lit("||")
+        ).alias("seq"),
+        "c",
+    ).localCheckpoint()  # vocabulary-sized; base of every iteration
+    out: list[tuple] = []
+    cur = seqed
+    for t in range(1, merges + 1):
+        top = (
+            cur.select(F.explode(_pairs_expr()).alias("p"), "c")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("c").alias("pc"))
+            .orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # every word fully merged
+            break
+        a, b, pc = top[0]["a"], top[0]["b"], int(top[0]["pc"])
+        out.append((t, a, b, pc))
+        cur = cur.select(
+            F.replace(
+                F.col("seq"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+            ).alias("seq"),
+            "c",
+        )
+    return out
+
+
+def _bpe_oracle() -> str:
+    """Unrolled per-merge CTE chain (the pagerank oracle pattern): each
+    iteration re-derives pairs from the previous rewrite and takes the
+    same (count DESC, pair ASC) argmax."""
+    # AS MATERIALIZED throughout: seq{t} and m{t} each have two consumers,
+    # and DuckDB inlines plain CTEs per reference — the chain would expand
+    # exponentially in BPE_MERGES (same blowup as the GD oracle; see
+    # selection._gd_oracle).
+    parts = [
+        "WITH words AS (SELECT word, count(*) AS c FROM ("
+        "SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) "
+        "AS word FROM documents) GROUP BY word)",
+        "seq0 AS MATERIALIZED (SELECT "
+        "regexp_replace(word, '(.)', '||\\1', 'g') || '||' "
+        "AS seq, c FROM words)",
+    ]
+    for t in range(1, BPE_MERGES + 1):
+        parts.append(
+            f"p{t} AS MATERIALIZED (SELECT s[i] AS a, s[i + 1] AS b, "
+            "CAST(sum(c) AS BIGINT) AS pc FROM ("
+            "SELECT list_filter(string_split(seq, '|'), x -> x <> '') AS s, c "
+            f"FROM seq{t - 1}), "
+            "LATERAL unnest(generate_series(1, len(s) - 1)) AS g(i) "
+            "GROUP BY a, b)"
+        )
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT a, b, pc FROM p{t} "
+            "ORDER BY pc DESC, a, b LIMIT 1)"
+        )
+        if t < BPE_MERGES:
+            parts.append(
+                f"seq{t} AS MATERIALIZED (SELECT replace(seq, "
+                "'|' || m.a || '||' || m.b || '|', "
+                f"'|' || m.a || m.b || '|') AS seq, c FROM seq{t - 1}, m{t} m)"
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT {t} AS iteration, a AS left_sym, b AS right_sym, "
+        f"pc AS pair_count FROM m{t}"
+        for t in range(1, BPE_MERGES + 1)
+    )
+    return ", ".join(parts) + " " + sel
+
+
+@query("tokenizer_bpe_train", oracle=_bpe_oracle())
+def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first BPE_MERGES BPE merges on the documents corpus and
+    emit the merge table (iteration, left_sym, right_sym, pair_count) —
+    the artifact a tokenizer ships. The DuckDB oracle re-runs the full
+    training loop (unrolled CTEs) and must produce the identical merges,
+    certifying argmax ties, the greedy-leftmost rewrite, and the weighted
+    pair counts cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    merges = train_bpe(words)
+    return spark.createDataFrame(
+        merges, "iteration INT, left_sym STRING, right_sym STRING, pair_count BIGINT"
+    )

@@ -136,3 +136,56 @@ def global_cumsum(
         .withColumn(out_col, F.col("_lc") + F.col("_off"))
         .drop("_pid", "_lc", "_off")
     )
+
+
+def grouped_global_rank(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    order_keys: Sequence[ColumnOrName],
+    rank_col: str = "rk",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Per-group 1-based ``row_number`` without ``Window.partitionBy(group)``
+    funneling each group through one task.
+
+    With a handful of huge groups (per-language corpora at 100 TB), a plain
+    grouped window is the same skew trap as the global single-partition
+    window :func:`global_rank` exists to avoid. Same two-level scheme, with
+    the group keys prepended to the range exchange (each group's rows stay
+    order-key-sorted across partitions) and one offset row per
+    (partition, group) — O(P × groups alive per partition), tiny, exactly
+    the ``reset_keys`` layout of :func:`global_cumsum`.
+
+    ``group_keys + order_keys`` must induce a total order per group.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    gk = list(group_keys)
+    parts = df.repartitionByRange(n, *gk, *order_keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+
+    local = parts.withColumn(
+        "_lrk",
+        F.row_number().over(Window.partitionBy("_pid", *gk).orderBy(*order_keys)),
+    )
+
+    off_w = (
+        Window.partitionBy(*gk)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        parts.groupBy("_pid", *gk)
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "_pid",
+            *gk,
+            F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"),
+        )
+    )
+
+    return (
+        local.join(F.broadcast(offsets), ["_pid", *gk])
+        .withColumn(rank_col, (F.col("_lrk") + F.col("_off")).cast("int"))
+        .drop("_pid", "_lrk", "_off")
+    )

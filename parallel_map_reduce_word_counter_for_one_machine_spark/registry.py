@@ -108,6 +108,8 @@ def load_all() -> None:
         chunking,
         layout,
         graph,
+        selection,
+        bpetrain,
     )
     from .functions import udfs  # noqa: F401
     from .streaming import dedupstream, joins, tumbling  # noqa: F401

@@ -1,0 +1,94 @@
+"""BPE training: the engine's merges must equal a greedy-leftmost Python
+reference — including the adversarial shapes that break naive delimiting
+(adjacent repeats sharing a boundary, overlapping runs, merged symbols
+participating in later merges)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+from parallel_map_reduce_word_counter_for_one_machine_spark.operators.bpetrain import (
+    train_bpe,
+)
+
+from .oracle import assert_matches_oracle
+
+registry.load_all()
+
+
+def _py_bpe(word_counts, merges):
+    """Trusted twin: textbook greedy-leftmost BPE on (word, count)."""
+    seqs = [([ch for ch in w], c) for w, c in word_counts]
+    out = []
+    for t in range(1, merges + 1):
+        pc = Counter()
+        for syms, c in seqs:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((t, a, b, cnt))
+        nxt = []
+        for syms, c in seqs:
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            nxt.append((ns, c))
+        seqs = nxt
+    return out
+
+
+def test_oracle_match(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "tokenizer_bpe_train",
+        registry.QUERIES["tokenizer_bpe_train"],
+        registry.ORACLES["tokenizer_bpe_train"],
+    )
+
+
+def test_matches_python_reference_on_corpus(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    wc = Counter()
+    for d in docs:
+        for w in d.text.split(" "):
+            if w:
+                wc[w] += 1
+    words = spark.createDataFrame(
+        [(w, c) for w, c in wc.items()], "word STRING, c BIGINT"
+    )
+    assert train_bpe(words, 8) == _py_bpe(wc.items(), 8)
+
+
+def test_adversarial_adjacent_and_overlap_shapes(spark):
+    """The cases where single-delimiter replace diverges from greedy BPE:
+    back-to-back pair occurrences ('abab' — the shared boundary), odd runs
+    ('aaa' — leftmost-first), and merges whose output symbol feeds the
+    next merge ('merged symbol + next char')."""
+    wc = {
+        "abab": 10,        # adjacent occurrences share a delimiter
+        "ababab": 5,       # three in a row
+        "aaaa": 7,         # overlapping run, even
+        "aaa": 6,          # overlapping run, odd
+        "xabay": 4,        # pair inside other context
+        "ka": 3,           # 'a' preceded by non-delimiter must not match
+        "ab": 2,
+    }
+    words = spark.createDataFrame(list(wc.items()), "word STRING, c BIGINT")
+    assert train_bpe(words, 6) == _py_bpe(wc.items(), 6)
+
+
+def test_exhausts_gracefully(spark):
+    """Fewer possible merges than requested: stop when fully merged."""
+    wc = {"ab": 5}
+    words = spark.createDataFrame(list(wc.items()), "word STRING, c BIGINT")
+    got = train_bpe(words, 4)
+    assert got == [(1, "a", "b", 5)]
