@@ -79,6 +79,10 @@ HEADLINE = [
     "drift_psi",
     "drift_ks",
     "stream_value_quantiles",
+    "sample_weighted",
+    "perplexity_buckets",
+    "quality_classifier_gd",
+    "tokenizer_bpe_train",
 ]
 
 NOTES = {
@@ -116,6 +120,19 @@ NOTES = {
     "stream_value_quantiles": "streaming stage = one windowed (window, "
     "bin) count (watermark-evictable state); quantile recovery is "
     "join-free window algebra over the tiny histogram",
+    "sample_weighted": "narrow projection + per-source top-k window that "
+    "compiles to WindowGroupLimit (map-side partial top-k before the "
+    "group exchange) — per-source skew never sorts a full group",
+    "perplexity_buckets": "unigram model broadcast back over the token "
+    "scan; per-language rank via grouped_global_rank (range exchange + "
+    "per-(partition,lang) offset broadcast), NOT a per-language window "
+    "funnel",
+    "quality_classifier_gd": "dumped plan is the scoring projection: "
+    "broadcast-literal weights over the checkpointed feature relation; "
+    "each training pass is one partial+final 4-BIGINT aggregate",
+    "tokenizer_bpe_train": "dumped plan is the merge-table localtable; "
+    "the corpus is scanned ONCE into (word,c); every iteration is a "
+    "|V|-row pair explode + hash agg + 1-row TakeOrdered",
     "dedup_clusters_incremental": "batch merge into the standing cluster "
     "map: the dumped plan is the final label table — the standing map M0, "
     "the batch's index-probe edges (O(batch × bands), the standing corpus "
