@@ -86,10 +86,8 @@ def train_bpe(words: DataFrame, merges: int = BPE_MERGES) -> list[tuple]:
     return out
 
 
-def _bpe_oracle() -> str:
-    """Unrolled per-merge CTE chain (the pagerank oracle pattern): each
-    iteration re-derives pairs from the previous rewrite and takes the
-    same (count DESC, pair ASC) argmax."""
+def _bpe_ctes() -> str:
+    """The shared unrolled training CTE chain (no final SELECT)."""
     # AS MATERIALIZED throughout: seq{t} and m{t} each have two consumers,
     # and DuckDB inlines plain CTEs per reference — the chain would expand
     # exponentially in BPE_MERGES (same blowup as the GD oracle; see
@@ -98,7 +96,10 @@ def _bpe_oracle() -> str:
         "WITH words AS (SELECT word, count(*) AS c FROM ("
         "SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) "
         "AS word FROM documents) GROUP BY word)",
-        "seq0 AS MATERIALIZED (SELECT "
+        # word is carried through the chain (inert for training — p{t}
+        # projects only (s, c)) so the encode oracle can join lengths
+        # back onto the per-doc word stream by the ORIGINAL word.
+        "seq0 AS MATERIALIZED (SELECT word, "
         "regexp_replace(word, '(.)', '||\\1', 'g') || '||' "
         "AS seq, c FROM words)",
     ]
@@ -117,16 +118,109 @@ def _bpe_oracle() -> str:
         )
         if t < BPE_MERGES:
             parts.append(
-                f"seq{t} AS MATERIALIZED (SELECT replace(seq, "
+                f"seq{t} AS MATERIALIZED (SELECT word, replace(seq, "
                 "'|' || m.a || '||' || m.b || '|', "
                 f"'|' || m.a || m.b || '|') AS seq, c FROM seq{t - 1}, m{t} m)"
             )
+    return ", ".join(parts)
+
+
+def _bpe_oracle() -> str:
+    """Unrolled per-merge CTE chain (the pagerank oracle pattern): each
+    iteration re-derives pairs from the previous rewrite and takes the
+    same (count DESC, pair ASC) argmax."""
     sel = " UNION ALL ".join(
         f"SELECT {t} AS iteration, a AS left_sym, b AS right_sym, "
         f"pc AS pair_count FROM m{t}"
         for t in range(1, BPE_MERGES + 1)
     )
-    return ", ".join(parts) + " " + sel
+    return _bpe_ctes() + " " + sel
+
+
+def _encode_oracle() -> str:
+    """Training chain (same CTEs) + the encode step: apply all BPE_MERGES
+    rewrites to the distinct-word relation, count surviving symbols, join
+    the per-word subword length back onto the per-doc word multiset."""
+    parts = [
+        _bpe_ctes(),
+        # the final rewrite (seq{BPE_MERGES}) is never built by the
+        # training chain (it stops at m{N}); build it here
+        (
+            f", seq{BPE_MERGES} AS MATERIALIZED (SELECT word, replace(seq, "
+            "'|' || m.a || '||' || m.b || '|', "
+            f"'|' || m.a || m.b || '|') AS seq, c "
+            f"FROM seq{BPE_MERGES - 1}, m{BPE_MERGES} m)"
+        ),
+        (
+            ", wlen AS (SELECT word, "
+            "len(list_filter(string_split(seq, '|'), x -> x <> '')) AS n_sub "
+            f"FROM seq{BPE_MERGES})"
+        ),
+        # per-doc word stream joined by the ORIGINAL word (the merged seq
+        # is NOT a join key — dw's words are unmerged)
+        (
+            ", dw AS (SELECT doc_id, "
+            "unnest(list_filter(string_split(text, ' '), "
+            "w -> w <> '')) AS word FROM documents)"
+        ),
+        (
+            " SELECT dw.doc_id, count(*) AS n_words, "
+            "CAST(sum(w.n_sub) AS BIGINT) AS n_bpe_tokens "
+            "FROM dw JOIN wlen w ON dw.word = w.word "
+            "GROUP BY dw.doc_id"
+        ),
+    ]
+    return "".join(parts)
+
+
+@query("tokenizer_bpe_encode", oracle=_encode_oracle())
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the merges learned by ``train_bpe`` and emit
+    the per-doc subword budget (doc_id, n_words, n_bpe_tokens) — the
+    sequence-length accounting a packing/curriculum step consumes.
+
+    Scale shape: the merges apply to the DISTINCT-WORD relation (|V|
+    rows × T chained ``replace`` projections, one codegen span), and the
+    per-word subword length joins back onto the corpus word stream — the
+    corpus itself is scanned once and never rewritten per merge. The
+    word→length join broadcasts (|V| ≪ corpus; at a 10 M-word vocab it is
+    a few hundred MB of strings — still broadcastable, else it degrades
+    to one hash join). The oracle re-runs training AND encoding."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    merges = train_bpe(words)
+    # re-derive the fully-merged seq per distinct word (vocabulary-sized)
+    seq = F.concat(
+        F.regexp_replace(F.col("word"), "(.)", r"||$1"), F.lit("||")
+    )
+    for _, a, b, _pc in merges:
+        seq = F.replace(seq, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    wlen = words.select(
+        "word",
+        F.size(F.filter(F.split(seq, r"\|"), lambda s: s != "")).alias("n_sub"),
+    )
+    dw = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+            "word"
+        ),
+    )
+    return (
+        dw.join(F.broadcast(wlen), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+        )
+    )
 
 
 @query("tokenizer_bpe_train", oracle=_bpe_oracle())

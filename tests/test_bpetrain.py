@@ -68,6 +68,53 @@ def test_matches_python_reference_on_corpus(spark, sf_dir):
     assert train_bpe(words, 8) == _py_bpe(wc.items(), 8)
 
 
+def test_encode_oracle_match(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "tokenizer_bpe_encode",
+        registry.QUERIES["tokenizer_bpe_encode"],
+        registry.ORACLES["tokenizer_bpe_encode"],
+    )
+
+
+def test_encode_matches_python_reference(spark, sf_dir):
+    """Per-doc (n_words, n_bpe_tokens) must equal applying the Python
+    reference's learned merges word-by-word over every document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    wc = Counter()
+    for d in docs:
+        for w in d.text.split(" "):
+            if w:
+                wc[w] += 1
+    merges = _py_bpe(wc.items(), 6)
+
+    def encode_len(word):
+        syms = list(word)
+        for _, a, b, _c in merges:
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            syms = ns
+        return len(syms)
+
+    expected = {}
+    for d in docs:
+        ws = [w for w in d.text.split(" ") if w]
+        expected[d.doc_id] = (len(ws), sum(encode_len(w) for w in ws))
+
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in registry.QUERIES["tokenizer_bpe_encode"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
 def test_adversarial_adjacent_and_overlap_shapes(spark):
     """The cases where single-delimiter replace diverges from greedy BPE:
     back-to-back pair occurrences ('abab' — the shared boundary), odd runs

@@ -83,6 +83,7 @@ HEADLINE = [
     "perplexity_buckets",
     "quality_classifier_gd",
     "tokenizer_bpe_train",
+    "tokenizer_bpe_encode",
 ]
 
 NOTES = {
@@ -133,6 +134,10 @@ NOTES = {
     "tokenizer_bpe_train": "dumped plan is the merge-table localtable; "
     "the corpus is scanned ONCE into (word,c); every iteration is a "
     "|V|-row pair explode + hash agg + 1-row TakeOrdered",
+    "tokenizer_bpe_encode": "merges apply to the |V|-row vocab as T "
+    "chained replace projections in ONE codegen span; per-word subword "
+    "length broadcast-joins back onto the corpus word stream — the corpus "
+    "is scanned once and never rewritten per merge",
     "dedup_clusters_incremental": "batch merge into the standing cluster "
     "map: the dumped plan is the final label table — the standing map M0, "
     "the batch's index-probe edges (O(batch × bands), the standing corpus "
