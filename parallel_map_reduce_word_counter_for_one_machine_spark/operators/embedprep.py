@@ -1,0 +1,227 @@
+"""Embedding-side training-data preparation.
+
+Three pipeline steps an LLM/embedding training corpus needs beyond the
+dedup/ANN tiers already in :mod:`dedup` / :mod:`similarity` /
+:mod:`annindex` (extension surface beyond the reference word counter,
+reference src/main.cpp:78-281 — cited for parity audit only):
+
+- ``decontaminate_semantic`` — the embedding-level twin of the n-gram
+  ``decontaminate`` key: flag corpus vectors whose cosine to ANY held-out
+  benchmark vector reaches the contamination threshold. The n-gram tier
+  catches verbatim leaks; this tier catches paraphrased/near-semantic
+  leakage (the eval-contamination sweep run before every pretrain).
+- ``triplet_mining`` — contrastive training-pair construction: for each
+  anchor, the hardest positive (same label, highest cosine) and hardest
+  negative (different label, highest cosine) with a deterministic
+  tiebreak — the (anchor, positive, hard-negative) triplets an
+  embedding-model trainer consumes.
+- ``doc_embedding_hashed`` — feature-hashing ("hashing trick",
+  Weinberger et al. ICML'09) doc vectors from raw text: K signed
+  hash-bucket sums in sparse long form. The in-engine bridge from the
+  ``documents`` table to vector-space ops when no learned encoder is
+  available (or as the cheap first-pass representation).
+
+Scale shapes (100 TB):
+
+- decontamination joins the corpus against a BROADCAST benchmark side —
+  real eval benchmarks are tiny (1e3–1e6 rows) next to the corpus, so the
+  plan is one linear corpus scan with a broadcast nested-loop cosine
+  check and a map-side partial max/count; no corpus shuffle at all. If
+  the benchmark ever outgrows broadcast, the blocked-GEMM tiling of
+  ``dedup_embedding`` is the fallback shape.
+- triplet mining broadcasts the anchor set and reduces corpus × anchors
+  to one row per anchor with a HASH AGGREGATE (max over a (cos, -id)
+  struct — argmax with tiebreak as a partial-aggregable max), not a
+  window: the corpus-sized scored relation is combined map-side and only
+  |anchors| rows cross the wire.
+- feature hashing is explode → (doc_id, dim) hash agg: one exchange,
+  partials combine map-side, output is |docs| × ≤K rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+from .similarity import cosine
+
+# Contamination threshold: on the isotropic synthetic embeddings 0.3 sits
+# at the same operating point as dedup_embedding's COSINE_THRESHOLD (the
+# top ~1% of the pair-cosine distribution). Production thresholds are
+# calibrated per encoder; the plan is threshold-independent.
+CONTAM_TAU = 0.3
+BENCH_MOD = 10  # vec_id % 10 == 0 is the held-out "benchmark" split
+N_ANCHORS = 20  # triplet anchors: vec_id < 20
+HASH_DIMS = 16  # feature-hashing output dimensionality
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+@query(
+    "decontaminate_semantic",
+    oracle=(
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+        f"b AS (SELECT vec_id, e FROM v WHERE vec_id % {BENCH_MOD} = 0), "
+        f"c AS (SELECT vec_id, e FROM v WHERE vec_id % {BENCH_MOD} <> 0) "
+        "SELECT c.vec_id AS vec_id, count(*) AS n_bench_hits, "
+        "max(round(list_cosine_similarity(c.e, b.e), 6)) AS max_bench_cos "
+        "FROM c JOIN b ON round(list_cosine_similarity(c.e, b.e), 6) "
+        f">= {CONTAM_TAU} GROUP BY c.vec_id"
+    ),
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vectors semantically contaminated by the benchmark split:
+    (vec_id, n_bench_hits, max_bench_cos) for every corpus vector with at
+    least one benchmark neighbor at cosine ≥ CONTAM_TAU.
+
+    The benchmark side is broadcast (eval sets are small by nature); the
+    corpus is scanned once, the cosine check runs inside the broadcast
+    join condition, and the per-vector max/count aggregate combines
+    map-side — the whole query is one linear pass with no corpus shuffle.
+    Cosines are the same sequential-double ``zip_with`` accumulation as
+    ``similarity_topk`` (bit-for-bit with DuckDB's DOUBLE[] cosine before
+    the shared 6dp rounding)."""
+    v = _vectors(spark, sf_dir)
+    bench = v.filter(F.col("vec_id") % BENCH_MOD == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("v").alias("bv")
+    )
+    corpus = v.filter(F.col("vec_id") % BENCH_MOD != 0)
+    cos6 = F.round(cosine(F.col("v"), F.col("bv")), 6)
+    return (
+        corpus.join(F.broadcast(bench), cos6 >= CONTAM_TAU)
+        .select("vec_id", cos6.alias("cos6"))
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_bench_hits"),
+            F.max("cos6").alias("max_bench_cos"),
+        )
+    )
+
+
+@query(
+    "triplet_mining",
+    oracle=(
+        # Oracle spells argmax as a row_number window — result-equivalent
+        # to the engine's max-over-(cos, -id)-struct hash aggregate.
+        "WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e "
+        "FROM embeddings), "
+        f"a AS (SELECT * FROM v WHERE vec_id < {N_ANCHORS}), "
+        "scored AS (SELECT a.vec_id AS anchor_id, v.vec_id AS cand_id, "
+        "a.label = v.label AS is_pos, "
+        "round(list_cosine_similarity(a.e, v.e), 6) AS cos FROM a JOIN v "
+        "ON v.vec_id <> a.vec_id "
+        "WHERE list_cosine_similarity(a.e, v.e) IS NOT NULL), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY anchor_id, "
+        "is_pos ORDER BY cos DESC, cand_id ASC) AS rn FROM scored) "
+        "SELECT anchor_id, "
+        "max(CASE WHEN is_pos THEN cand_id END) AS pos_id, "
+        "max(CASE WHEN is_pos THEN cos END) AS pos_cos, "
+        "max(CASE WHEN NOT is_pos THEN cand_id END) AS neg_id, "
+        "max(CASE WHEN NOT is_pos THEN cos END) AS neg_cos, "
+        "round(max(CASE WHEN is_pos THEN cos END) "
+        "- max(CASE WHEN NOT is_pos THEN cos END), 6) AS margin "
+        "FROM ranked WHERE rn = 1 GROUP BY anchor_id"
+    ),
+)
+def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, hardest positive, hardest negative) triplets for
+    contrastive training: per anchor, the same-label candidate and the
+    different-label candidate with the highest cosine (tiebreak: lowest
+    cand_id), plus the margin between them.
+
+    Plan shape: anchors broadcast, ONE corpus scan; the argmax-with-
+    tiebreak is a ``max`` over a ``struct(cos, -cand_id)`` — an ordinary
+    partial-aggregable hash aggregate, so corpus × anchors rows combine
+    map-side and only |anchors| rows shuffle. The window formulation
+    (``row_number() ... rn = 1``) would shuffle the whole scored relation
+    on (anchor, is_pos); the oracle uses it only because it is the
+    clearest SQL spelling of the same result."""
+    v = _vectors(spark, sf_dir)
+    anchors = v.filter(F.col("vec_id") < N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("alabel"),
+        F.col("v").alias("av"),
+    )
+    cos6 = F.round(cosine(F.col("av"), F.col("v")), 6)
+    scored = (
+        v.join(F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("cand_id"),
+            (F.col("label") == F.col("alabel")).alias("is_pos"),
+            cos6.alias("cos"),
+        )
+        .filter(F.col("cos").isNotNull())
+    )
+    # argmax with (cos DESC, cand_id ASC) tiebreak as a max over a struct:
+    # struct comparison is field-ordered, so max picks highest cos, then
+    # highest -cand_id (= lowest cand_id).
+    best = F.struct(F.col("cos"), (-F.col("cand_id")).alias("nid"))
+    agg = scored.groupBy("anchor_id").agg(
+        F.max(F.when(F.col("is_pos"), best)).alias("p"),
+        F.max(F.when(~F.col("is_pos"), best)).alias("n"),
+    )
+    return agg.select(
+        "anchor_id",
+        (-F.col("p.nid")).alias("pos_id"),
+        F.col("p.cos").alias("pos_cos"),
+        (-F.col("n.nid")).alias("neg_id"),
+        F.col("n.cos").alias("neg_cos"),
+        F.round(F.col("p.cos") - F.col("n.cos"), 6).alias("margin"),
+    )
+
+
+@query(
+    "doc_embedding_hashed",
+    oracle=(
+        "WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, "
+        "' '), t -> t <> '')) AS word FROM documents) "
+        "SELECT doc_id, "
+        "CAST(CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) "
+        f"% {HASH_DIMS} AS INT) AS dim, "
+        "CAST(sum(CASE WHEN CAST(('0x' || substr(md5(word), 9, 1)) "
+        "AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS val "
+        "FROM w GROUP BY doc_id, dim"
+    ),
+)
+def doc_embedding_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed doc vectors (the hashing trick, Weinberger et al.
+    ICML'09): every token lands in bucket md5[0:8] % K with sign from the
+    parity of md5 hex digit 9; per-doc bucket sums are the K-dim sparse
+    representation, emitted long-form as (doc_id, dim, val) — dims a doc
+    never touches are implicit zeros.
+
+    One explode + one (doc_id, dim) hash aggregate: partials combine
+    map-side, a single exchange, output |docs| × ≤K rows. md5-derived
+    bucket/sign are engine-exact (the repo's hex→int idiom), so the
+    representation is reproducible across engines, partitioning, and
+    retries — the property that makes hashed features safe to recompute
+    anywhere in the pipeline rather than materialize."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "word"
+        ),
+    )
+    h = F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+    parity = F.conv(F.substring(F.md5("word"), 9, 1), 16, 10).cast("long")
+    sgn = F.when(parity % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        w.select(
+            "doc_id",
+            F.pmod(h, F.lit(HASH_DIMS)).cast("int").alias("dim"),
+            sgn.alias("s"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").cast("long").alias("val"))
+    )

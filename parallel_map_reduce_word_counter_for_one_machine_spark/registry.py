@@ -96,6 +96,7 @@ def load_all() -> None:
         similarity,
         annindex,  # after similarity: composes its codebooks/verdict
         semdedup,  # after similarity: reuses its quantizer/cosine
+        embedprep,  # after similarity: reuses its cosine
         sketches,
         text,
         retrieval,

@@ -1,0 +1,144 @@
+"""Embedding-side training-data prep: semantic decontamination, triplet
+mining, and feature-hashed doc vectors — each proven against the DuckDB
+oracle AND an independent numpy/Python reference."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+from parallel_map_reduce_word_counter_for_one_machine_spark.operators.embedprep import (
+    BENCH_MOD,
+    CONTAM_TAU,
+    HASH_DIMS,
+    N_ANCHORS,
+)
+
+from .oracle import assert_matches_oracle
+
+registry.load_all()
+
+
+def _load_np(spark, sf_dir):
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    labels = np.array([r.label for r in rows], dtype=np.int64)
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, labels, X
+
+
+def _cos_matrix(X, Y):
+    xn = np.linalg.norm(X, axis=1, keepdims=True)
+    yn = np.linalg.norm(Y, axis=1, keepdims=True)
+    return (X @ Y.T) / (xn * yn.T)
+
+
+def test_decontaminate_semantic_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "decontaminate_semantic",
+        registry.QUERIES["decontaminate_semantic"],
+        registry.ORACLES["decontaminate_semantic"],
+    )
+
+
+def test_decontaminate_semantic_vs_numpy(spark, sf_dir):
+    ids, _, X = _load_np(spark, sf_dir)
+    bench = ids % BENCH_MOD == 0
+    S = np.round(_cos_matrix(X[~bench], X[bench]), 6)
+    hit = S >= CONTAM_TAU
+    expected = {
+        int(v): (int(hit[i].sum()), float(S[i][hit[i]].max()))
+        for i, v in enumerate(ids[~bench])
+        if hit[i].any()
+    }
+    got = {
+        r.vec_id: (r.n_bench_hits, r.max_bench_cos)
+        for r in registry.QUERIES["decontaminate_semantic"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for v, (n, mx) in expected.items():
+        assert got[v][0] == n
+        assert abs(got[v][1] - mx) < 1e-9
+    # no benchmark vector may appear as a flagged corpus vector
+    assert all(v % BENCH_MOD != 0 for v in got)
+
+
+def test_triplet_mining_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "triplet_mining",
+        registry.QUERIES["triplet_mining"],
+        registry.ORACLES["triplet_mining"],
+    )
+
+
+def test_triplet_mining_vs_numpy(spark, sf_dir):
+    """pos = argmax cosine among same-label (excluding self), neg = argmax
+    among different-label, tiebreak lowest cand_id — checked per anchor."""
+    ids, labels, X = _load_np(spark, sf_dir)
+    S = np.round(_cos_matrix(X, X), 6)
+    got = {
+        r.anchor_id: r
+        for r in registry.QUERIES["triplet_mining"](spark, sf_dir).collect()
+    }
+    anchors = [i for i, v in enumerate(ids) if v < N_ANCHORS]
+    assert len(got) == len(anchors)
+    for i in anchors:
+        cands = [
+            (-S[i, j], ids[j], j) for j in range(len(ids)) if ids[j] != ids[i]
+        ]
+        pos = min(c for c in cands if labels[c[2]] == labels[i])
+        neg = min(c for c in cands if labels[c[2]] != labels[i])
+        r = got[ids[i]]
+        assert (r.pos_id, r.neg_id) == (pos[1], neg[1])
+        assert abs(r.pos_cos - -pos[0]) < 1e-9
+        assert abs(r.neg_cos - -neg[0]) < 1e-9
+        assert abs(r.margin - round(-pos[0] - -neg[0], 6)) < 1e-9
+
+
+def test_doc_embedding_hashed_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "doc_embedding_hashed",
+        registry.QUERIES["doc_embedding_hashed"],
+        registry.ORACLES["doc_embedding_hashed"],
+    )
+
+
+def _py_hash_embed(text):
+    out = {}
+    for w in text.split(" "):
+        if not w:
+            continue
+        h = hashlib.md5(w.encode()).hexdigest()
+        dim = int(h[:8], 16) % HASH_DIMS
+        sgn = 1 if int(h[8], 16) % 2 == 0 else -1
+        out[dim] = out.get(dim, 0) + sgn
+    return out
+
+
+def test_doc_embedding_hashed_vs_python(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    expected = {}
+    for d in docs:
+        for dim, val in _py_hash_embed(d.text).items():
+            expected[(d.doc_id, dim)] = val
+    got = {
+        (r.doc_id, r.dim): r.val
+        for r in registry.QUERIES["doc_embedding_hashed"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+    # signed sums are bounded by the doc's token count
+    for d in docs:
+        n = sum(1 for w in d.text.split(" ") if w)
+        assert sum(abs(v) for (i, _), v in got.items() if i == d.doc_id) <= n

@@ -84,6 +84,9 @@ HEADLINE = [
     "quality_classifier_gd",
     "tokenizer_bpe_train",
     "tokenizer_bpe_encode",
+    "decontaminate_semantic",
+    "triplet_mining",
+    "doc_embedding_hashed",
 ]
 
 NOTES = {
@@ -138,6 +141,17 @@ NOTES = {
     "chained replace projections in ONE codegen span; per-word subword "
     "length broadcast-joins back onto the corpus word stream — the corpus "
     "is scanned once and never rewritten per merge",
+    "decontaminate_semantic": "benchmark side broadcast (eval sets are "
+    "small), cosine check inside the BroadcastNestedLoopJoin condition, "
+    "per-vector max/count combines map-side — one linear corpus pass, no "
+    "corpus shuffle",
+    "triplet_mining": "anchors broadcast; argmax-with-tiebreak is max over "
+    "a (cos, -id) struct — a partial-aggregable HASH AGGREGATE, so corpus "
+    "× anchors rows combine map-side and only |anchors| rows shuffle (the "
+    "row_number window spelling would shuffle the whole scored relation)",
+    "doc_embedding_hashed": "explode → (doc_id, dim) hash agg: partials "
+    "map-side, a single exchange, |docs| × ≤K output rows; md5 bucket/sign "
+    "is engine-exact so the representation recomputes identically anywhere",
     "dedup_clusters_incremental": "batch merge into the standing cluster "
     "map: the dumped plan is the final label table — the standing map M0, "
     "the batch's index-probe edges (O(batch × bands), the standing corpus "
