@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load_table
+from .rank import global_rank
 
 BPE_MERGES = 6  # unrolled in the oracle; 50k in production — same plan/iter
 
@@ -137,20 +138,24 @@ def _bpe_oracle() -> str:
     return _bpe_ctes() + " " + sel
 
 
+def _seq_final_cte() -> str:
+    """The final rewrite (seq{BPE_MERGES}) — the training chain stops at
+    m{N} and never builds it; the encode/ids oracles both need it."""
+    return (
+        f", seq{BPE_MERGES} AS MATERIALIZED (SELECT word, replace(seq, "
+        "'|' || m.a || '||' || m.b || '|', "
+        f"'|' || m.a || m.b || '|') AS seq, c "
+        f"FROM seq{BPE_MERGES - 1}, m{BPE_MERGES} m)"
+    )
+
+
 def _encode_oracle() -> str:
     """Training chain (same CTEs) + the encode step: apply all BPE_MERGES
     rewrites to the distinct-word relation, count surviving symbols, join
     the per-word subword length back onto the per-doc word multiset."""
     parts = [
         _bpe_ctes(),
-        # the final rewrite (seq{BPE_MERGES}) is never built by the
-        # training chain (it stops at m{N}); build it here
-        (
-            f", seq{BPE_MERGES} AS MATERIALIZED (SELECT word, replace(seq, "
-            "'|' || m.a || '||' || m.b || '|', "
-            f"'|' || m.a || m.b || '|') AS seq, c "
-            f"FROM seq{BPE_MERGES - 1}, m{BPE_MERGES} m)"
-        ),
+        _seq_final_cte(),
         (
             ", wlen AS (SELECT word, "
             "len(list_filter(string_split(seq, '|'), x -> x <> '')) AS n_sub "
@@ -220,6 +225,111 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_words"),
             F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
         )
+    )
+
+
+def _ids_oracle() -> str:
+    """Training chain + the FULL tokenize step: per-word subword lists,
+    vocabulary ids by sorted rank, and the positioned per-doc subword
+    stream. Positions come from the ``unnest(range(...))`` idiom (the
+    chunking oracle's pattern) — DuckDB replicates the other columns per
+    element, and the list index recovers the value at each position."""
+    return (
+        _bpe_ctes()
+        + _seq_final_cte()
+        + (
+            ", wsubs AS (SELECT word, "
+            "list_filter(string_split(seq, '|'), x -> x <> '') AS subs "
+            f"FROM seq{BPE_MERGES})"
+        )
+        + (
+            ", vocab AS (SELECT subword, "
+            "CAST(row_number() OVER (ORDER BY subword) AS INT) AS token_id "
+            "FROM (SELECT DISTINCT unnest(subs) AS subword FROM wsubs))"
+        )
+        + (
+            ", d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "w -> w <> '') AS toks FROM documents)"
+        )
+        + (
+            ", dw AS (SELECT doc_id, "
+            "CAST(unnest(range(0, len(toks))) AS INT) AS word_pos, toks "
+            "FROM d)"
+        )
+        + (
+            ", dws AS (SELECT doc_id, word_pos, toks[word_pos + 1] AS word "
+            "FROM dw)"
+        )
+        + (
+            ", j AS (SELECT doc_id, word_pos, s.subs FROM dws "
+            "JOIN wsubs s USING (word))"
+        )
+        + (
+            ", js AS (SELECT doc_id, word_pos, subs, "
+            "CAST(unnest(range(0, len(subs))) AS INT) AS sub_pos FROM j)"
+        )
+        + (
+            " SELECT js.doc_id, js.word_pos, js.sub_pos, "
+            "js.subs[js.sub_pos + 1] AS subword, v.token_id FROM js "
+            "JOIN vocab v ON js.subs[js.sub_pos + 1] = v.subword"
+        )
+    )
+
+
+@query("tokenizer_bpe_ids", oracle=_ids_oracle())
+def tokenizer_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenize step: the corpus as a positioned subword-id
+    stream — (doc_id, word_pos, sub_pos, subword, token_id) — the relation
+    a sequence-packing/training-export step actually consumes (the
+    ``pack_sequences`` input, with ids instead of whole words).
+
+    Scale shape: merges apply to the |V|-row vocab (chained ``replace``
+    projections); the subword vocabulary gets ids from the DISTRIBUTED
+    global rank (rank.py — a plain ``row_number() over (ORDER BY ...)``
+    would funnel the vocab through one task; at 1 M+ subwords that
+    matters); the corpus word stream is scanned ONCE (posexplode) and
+    broadcast-joins the word→subwords map, then a second posexplode
+    unpacks subword positions. No corpus-sized shuffle anywhere — both
+    joins are broadcast, both generators are map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    merges = train_bpe(words)
+    seq = F.concat(
+        F.regexp_replace(F.col("word"), "(.)", r"||$1"), F.lit("||")
+    )
+    for _, a, b, _pc in merges:
+        seq = F.replace(seq, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    wsubs = words.select(
+        "word", F.filter(F.split(seq, r"\|"), lambda s: s != "").alias("subs")
+    )
+    vocab = global_rank(
+        wsubs.select(F.explode("subs").alias("subword")).distinct(),
+        ["subword"],
+        rank_col="token_id",
+    )
+    dw = d.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+            "word_pos", "word"
+        ),
+    )
+    return (
+        dw.join(F.broadcast(wsubs), "word")
+        .select(
+            "doc_id",
+            "word_pos",
+            F.posexplode("subs").alias("sub_pos", "subword"),
+        )
+        .join(F.broadcast(vocab), "subword")
+        .select("doc_id", "word_pos", "sub_pos", "subword", "token_id")
     )
 
 

@@ -552,3 +552,55 @@ def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "thresh",
         F.col("n_kept").cast("long").alias("n_kept"),
     )
+
+
+K_ANON = 5  # minimum equivalence-class size for release
+K_ANON_VDIV = 50  # value generalization: floor(value / 50) buckets
+
+
+@query(
+    "k_anonymity",
+    oracle=(
+        "SELECT event_type, CAST(ts AS DATE) AS day, "
+        f"CAST(floor(value / {K_ANON_VDIV}) AS BIGINT) AS vbucket, "
+        "count(*) AS n_rows, count(DISTINCT user_id) AS n_users, "
+        f"count(*) >= {K_ANON} AS released "
+        "FROM events GROUP BY event_type, CAST(ts AS DATE), "
+        f"CAST(floor(value / {K_ANON_VDIV}) AS BIGINT)"
+    ),
+)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression gate (Sweeney, IJUFKS 2002) over the events
+    release: rows are generalized to the quasi-identifier classes
+    (event_type, day, floor(value/50)); a class is releasable only when
+    it holds at least K_ANON rows — smaller classes are suppressed before
+    the table leaves the pipeline. Emits the full class audit
+    (n_rows, n_users, released); the release itself is a semi-join of
+    events against ``released`` classes, and gating on ``n_users``
+    instead of ``n_rows`` is the stricter per-individual variant (swap
+    the flag's operand).
+
+    Scale shape: ONE hash aggregate on the QI key (count + distinct-user
+    count, partials map-side); the class table is generalization-bounded
+    (|types| × |days| × |buckets|), never corpus-sized, so the audit and
+    the suppress-join's broadcast side stay small at any corpus scale."""
+    evs = load_table(spark, sf_dir, "events")
+    return (
+        evs.groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") / K_ANON_VDIV).alias("vbucket"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "vbucket",
+            "n_rows",
+            "n_users",
+            (F.col("n_rows") >= K_ANON).alias("released"),
+        )
+    )

@@ -139,3 +139,76 @@ def test_exhausts_gracefully(spark):
     words = spark.createDataFrame(list(wc.items()), "word STRING, c BIGINT")
     got = train_bpe(words, 4)
     assert got == [(1, "a", "b", 5)]
+
+
+def test_ids_oracle_match(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "tokenizer_bpe_ids",
+        registry.QUERIES["tokenizer_bpe_ids"],
+        registry.ORACLES["tokenizer_bpe_ids"],
+    )
+
+
+def test_ids_matches_python_reference(spark, sf_dir):
+    """The positioned subword stream must equal encoding every word of
+    every doc with the Python reference's merges, with vocabulary ids
+    assigned by sorted order over the corpus subword vocabulary."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    wc = Counter()
+    for d in docs:
+        for w in d.text.split(" "):
+            if w:
+                wc[w] += 1
+    merges = _py_bpe(wc.items(), 6)
+
+    def encode(word):
+        syms = list(word)
+        for _, a, b, _c in merges:
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            syms = ns
+        return syms
+
+    enc = {w: encode(w) for w in wc}
+    vocab = {s: i + 1 for i, s in enumerate(sorted({t for e in enc.values() for t in e}))}
+    expected = set()
+    for d in docs:
+        wp = 0
+        for w in d.text.split(" "):
+            if not w:
+                continue
+            for sp, sub in enumerate(enc[w]):
+                expected.add((d.doc_id, wp, sp, sub, vocab[sub]))
+            wp += 1
+    got = {
+        (r.doc_id, r.word_pos, r.sub_pos, r.subword, r.token_id)
+        for r in registry.QUERIES["tokenizer_bpe_ids"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_ids_reconstruct_budgets(spark, sf_dir):
+    """Summing the id stream per doc must reproduce tokenizer_bpe_encode's
+    (n_words, n_bpe_tokens) budgets exactly — the two keys are views of
+    the same encoding."""
+    ids = registry.QUERIES["tokenizer_bpe_ids"](spark, sf_dir).collect()
+    per_doc = {}
+    for r in ids:
+        nw, nt = per_doc.get(r.doc_id, (set(), 0))
+        nw.add(r.word_pos)
+        per_doc[r.doc_id] = (nw, nt + 1)
+    budgets = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in registry.QUERIES["tokenizer_bpe_encode"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert {d: (len(w), n) for d, (w, n) in per_doc.items()} == budgets

@@ -87,6 +87,8 @@ HEADLINE = [
     "decontaminate_semantic",
     "triplet_mining",
     "doc_embedding_hashed",
+    "tokenizer_bpe_ids",
+    "k_anonymity",
 ]
 
 NOTES = {
@@ -152,6 +154,13 @@ NOTES = {
     "doc_embedding_hashed": "explode → (doc_id, dim) hash agg: partials "
     "map-side, a single exchange, |docs| × ≤K output rows; md5 bucket/sign "
     "is engine-exact so the representation recomputes identically anywhere",
+    "tokenizer_bpe_ids": "corpus word stream scanned ONCE (posexplode); "
+    "word→subwords and subword→id joins are both broadcast (vocab-sized); "
+    "vocab ids from the DISTRIBUTED global rank, not a one-task window — "
+    "no corpus-sized shuffle anywhere",
+    "k_anonymity": "one hash aggregate on the quasi-identifier key "
+    "(count + distinct-user partials map-side); the class audit is "
+    "generalization-bounded, never corpus-sized",
     "dedup_clusters_incremental": "batch merge into the standing cluster "
     "map: the dumped plan is the final label table — the standing map M0, "
     "the batch's index-probe edges (O(batch × bands), the standing corpus "
