@@ -213,11 +213,18 @@ def doc_embedding_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word"
         ),
     )
+    return hashed_features(w)
+
+
+def hashed_features(tok: DataFrame) -> DataFrame:
+    """(doc_id, word) token stream → (doc_id, dim, val) hashed features
+    (the body of ``doc_embedding_hashed``, reusable by retrieval/rerank
+    stages that already hold the token stream)."""
     h = F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
     parity = F.conv(F.substring(F.md5("word"), 9, 1), 16, 10).cast("long")
     sgn = F.when(parity % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
     return (
-        w.select(
+        tok.select(
             "doc_id",
             F.pmod(h, F.lit(HASH_DIMS)).cast("int").alias("dim"),
             sgn.alias("s"),

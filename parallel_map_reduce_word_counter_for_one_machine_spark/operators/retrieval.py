@@ -100,3 +100,180 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_DOCS)
         .select("term", "doc_id", "score", "rank")
     )
+
+
+# Hybrid retrieval: query docs, sparse candidate depth, final depth.
+N_Q = 3
+N_CAND = 20
+FINAL_K = 5
+
+
+def _hybrid_oracle() -> str:
+    from .embedprep import HASH_DIMS
+
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, "
+        "' '), w -> w <> '')) AS word FROM documents), "
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM tok "
+        "GROUP BY doc_id, word), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
+        "df AS (SELECT word, count(*) AS df FROM tf GROUP BY word), "
+        f"q AS (SELECT doc_id AS query_id, word FROM tf WHERE doc_id < {N_Q}), "
+        "bs AS (SELECT q.query_id, tf.doc_id, "
+        "round(sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1) * "
+        f"tf.tf * ({BM25_K1} + 1) / "
+        f"(tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))"
+        "), 6) AS bm25 "
+        "FROM tf JOIN q ON tf.word = q.word "
+        "JOIN df ON tf.word = df.word "
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s "
+        "WHERE tf.doc_id <> q.query_id "
+        "GROUP BY q.query_id, tf.doc_id), "
+        "c20 AS (SELECT query_id, doc_id, bm25 FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY bm25 DESC, doc_id) AS crank FROM bs) "
+        f"WHERE crank <= {N_CAND}), "
+        "hemb AS (SELECT doc_id, "
+        "CAST(CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) "
+        f"% {HASH_DIMS} AS INT) AS dim, "
+        "CAST(sum(CASE WHEN CAST(('0x' || substr(md5(word), 9, 1)) "
+        "AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS val "
+        "FROM tok GROUP BY doc_id, dim), "
+        "nrm AS (SELECT doc_id, CAST(sum(val * val) AS BIGINT) AS n2 "
+        "FROM hemb GROUP BY doc_id), "
+        "pd AS (SELECT cd.query_id, cd.doc_id, "
+        "CAST(sum(dh.val * qh.val) AS BIGINT) AS dot "
+        "FROM c20 cd JOIN hemb dh ON dh.doc_id = cd.doc_id "
+        "JOIN hemb qh ON qh.doc_id = cd.query_id AND qh.dim = dh.dim "
+        "GROUP BY cd.query_id, cd.doc_id), "
+        "dots AS (SELECT c.query_id, c.doc_id, c.bm25, "
+        "coalesce(pd.dot, 0) AS dot FROM c20 c "
+        "LEFT JOIN pd USING (query_id, doc_id)), "
+        "cs AS (SELECT d.query_id, d.doc_id, d.bm25, "
+        "CASE WHEN nq.n2 > 0 AND nd.n2 > 0 THEN "
+        "round(CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.n2 * nd.n2 AS DOUBLE))"
+        ", 6) ELSE 0.0 END AS cos "
+        "FROM dots d JOIN nrm nq ON nq.doc_id = d.query_id "
+        "JOIN nrm nd ON nd.doc_id = d.doc_id) "
+        "SELECT query_id, rank, doc_id, bm25 AS bm25_score, "
+        "cos AS cos_score FROM ("
+        "SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, doc_id) AS INT) AS rank FROM cs) "
+        f"WHERE rank <= {FINAL_K}"
+    )
+
+
+@query("hybrid_retrieval", oracle=_hybrid_oracle())
+def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval — the standard retrieve-then-rerank
+    architecture: BM25 over the query docs' terms selects N_CAND sparse
+    candidates per query, then a dense rerank by hashed-feature cosine
+    (``embedprep.hashed_features`` — the in-engine stand-in for a learned
+    encoder) keeps the FINAL_K best. Query docs are doc_id < N_Q; the doc
+    itself is excluded from its own candidates.
+
+    Scale shape: stage 1 touches only the probed posting lists (the query
+    terms' rows of tf — broadcast query side), aggregates per (query,
+    doc) map-side, and bounds each query to N_CAND via WindowGroupLimit.
+    Stage 2 is candidate-scoped: the hashed-feature join runs over
+    N_Q × N_CAND docs' features (query features broadcast), never the
+    corpus — exactly the retrieve-then-rerank cost asymmetry that makes
+    the architecture work at index scale. Dense dot products are INTEGER
+    (hashed features), so the rerank score is float-exact cross-engine;
+    BM25 sums are rounded 6dp post-aggregation per module float policy."""
+    from .embedprep import hashed_features
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+            "word"
+        ),
+    )
+    tok = tok.localCheckpoint()  # tf, dl, hemb consumers
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint()  # scored + query-side + df consumers
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    q = tf.filter(F.col("doc_id") < N_Q).select(
+        F.col("doc_id").alias("query_id"), "word"
+    )
+    # df restricted to the probed terms before broadcast (vocab-sized
+    # otherwise): semi-join on the query word set.
+    dfq = dfreq.join(F.broadcast(q.select("word").distinct()), "word")
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    term_score = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    bs = (
+        tf.join(F.broadcast(q), "word")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(dfq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+    )
+    cw = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    c20 = (
+        bs.withColumn("crank", F.row_number().over(cw))
+        .filter(F.col("crank") <= N_CAND)
+        .drop("crank")
+    )
+    hemb = hashed_features(tok)
+    hemb = hemb.localCheckpoint()  # candidate-side, query-side, norms
+    nrm = hemb.groupBy("doc_id").agg(
+        F.sum(F.col("val") * F.col("val")).cast("long").alias("n2")
+    )
+    qh = hemb.filter(F.col("doc_id") < N_Q).select(
+        F.col("doc_id").alias("query_id"), "dim", F.col("val").alias("qval")
+    )
+    cd = c20.select("query_id", "doc_id").join(hemb, "doc_id")
+    pair_dots = (
+        cd.join(F.broadcast(qh), ["query_id", "dim"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("val") * F.col("qval")).cast("long").alias("dot"))
+    )
+    dots = c20.join(pair_dots, ["query_id", "doc_id"], "left").withColumn(
+        "dot", F.coalesce(F.col("dot"), F.lit(0))
+    )
+    nq = nrm.select(F.col("doc_id").alias("query_id"), F.col("n2").alias("qn2"))
+    cs = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nrm, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25",
+            F.when(
+                (F.col("qn2") > 0) & (F.col("n2") > 0),
+                F.round(
+                    F.col("dot").cast("double")
+                    / F.sqrt((F.col("qn2") * F.col("n2")).cast("double")),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cos"),
+        )
+    )
+    fw = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    return (
+        cs.withColumn("rank", F.row_number().over(fw))
+        .filter(F.col("rank") <= FINAL_K)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.col("bm25").alias("bm25_score"),
+            F.col("cos").alias("cos_score"),
+        )
+    )

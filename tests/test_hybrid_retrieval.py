@@ -1,0 +1,98 @@
+"""Hybrid retrieve-then-rerank: DuckDB oracle match plus a full Python
+twin of both stages (BM25 candidate generation, hashed-feature cosine
+rerank) at smoke scale."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+from parallel_map_reduce_word_counter_for_one_machine_spark.operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+    FINAL_K,
+    N_CAND,
+    N_Q,
+)
+from parallel_map_reduce_word_counter_for_one_machine_spark.operators.embedprep import (
+    HASH_DIMS,
+)
+
+from .oracle import assert_matches_oracle
+
+registry.load_all()
+
+
+def test_hybrid_retrieval_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "hybrid_retrieval",
+        registry.QUERIES["hybrid_retrieval"],
+        registry.ORACLES["hybrid_retrieval"],
+    )
+
+
+def _hash_vec(words):
+    v = [0] * HASH_DIMS
+    for w in words:
+        h = hashlib.md5(w.encode()).hexdigest()
+        v[int(h[:8], 16) % HASH_DIMS] += 1 if int(h[8], 16) % 2 == 0 else -1
+    return v
+
+
+def test_hybrid_retrieval_vs_python(spark, sf_dir):
+    docs = {
+        r.doc_id: [w for w in r.text.split(" ") if w]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    tf = {d: Counter(ws) for d, ws in docs.items()}
+    dl = {d: len(ws) for d, ws in docs.items()}
+    n_docs = len(docs)
+    avgdl = sum(dl.values()) / n_docs
+    df = Counter(w for t in tf.values() for w in t)
+
+    def bm25(query_id, doc_id):
+        s = 0.0
+        for w in tf[query_id]:
+            f = tf[doc_id].get(w, 0)
+            if not f:
+                continue
+            idf = math.log((n_docs - df[w] + 0.5) / (df[w] + 0.5) + 1)
+            s += idf * f * (BM25_K1 + 1) / (
+                f + BM25_K1 * (1 - BM25_B + BM25_B * dl[doc_id] / avgdl)
+            )
+        return round(s, 6)
+
+    vecs = {d: _hash_vec(ws) for d, ws in docs.items()}
+
+    expected = set()
+    for qid in [d for d in docs if d < N_Q]:
+        # engine candidates come from a join on shared terms — docs with
+        # no term overlap never enter stage 1
+        shared = [
+            d for d in docs if d != qid and any(w in tf[d] for w in tf[qid])
+        ]
+        cands = sorted(
+            ((bm25(qid, d), d) for d in shared), key=lambda t: (-t[0], t[1])
+        )[:N_CAND]
+        qv = vecs[qid]
+        qn = sum(x * x for x in qv)
+        rer = []
+        for b, d in cands:
+            dv = vecs[d]
+            dn = sum(x * x for x in dv)
+            dot = sum(a * c for a, c in zip(qv, dv))
+            cos = round(dot / math.sqrt(qn * dn), 6) if qn > 0 and dn > 0 else 0.0
+            rer.append((cos, d, b))
+        rer.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, d, b) in enumerate(rer[:FINAL_K], start=1):
+            expected.add((qid, rank, d, b, cos))
+
+    got = {
+        (r.query_id, r.rank, r.doc_id, r.bm25_score, r.cos_score)
+        for r in registry.QUERIES["hybrid_retrieval"](spark, sf_dir).collect()
+    }
+    assert got == expected

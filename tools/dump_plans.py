@@ -89,6 +89,7 @@ HEADLINE = [
     "doc_embedding_hashed",
     "tokenizer_bpe_ids",
     "k_anonymity",
+    "hybrid_retrieval",
 ]
 
 NOTES = {
@@ -161,6 +162,11 @@ NOTES = {
     "k_anonymity": "one hash aggregate on the quasi-identifier key "
     "(count + distinct-user partials map-side); the class audit is "
     "generalization-bounded, never corpus-sized",
+    "hybrid_retrieval": "stage 1 touches only the probed posting lists "
+    "(broadcast query terms) and bounds per-query candidates via "
+    "WindowGroupLimit; stage 2's dense rerank is candidate-scoped "
+    "(N_Q × N_CAND docs' hashed features, query features broadcast) — "
+    "the retrieve-then-rerank cost asymmetry",
     "dedup_clusters_incremental": "batch merge into the standing cluster "
     "map: the dumped plan is the final label table — the standing map M0, "
     "the batch's index-probe edges (O(batch × bands), the standing corpus "
