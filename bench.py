@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "ivfpq_kmeans_probe",
     "layout_zorder",
     "pagerank_parts",
+    # r06 continuation: one representative per new family — the two-stage
+    # retrieval composite and the full tokenize step (train + id stream).
+    "hybrid_retrieval",
+    "tokenizer_bpe_ids",
 ]
 
 

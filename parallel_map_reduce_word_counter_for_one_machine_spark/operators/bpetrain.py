@@ -200,7 +200,7 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("word")
         .agg(F.count("*").alias("c"))
-    )
+    ).localCheckpoint()  # consumed by train_bpe AND the wlen projection
     merges = train_bpe(words)
     # re-derive the fully-merged seq per distinct word (vocabulary-sized)
     seq = F.concat(
@@ -300,7 +300,7 @@ def tokenizer_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("word")
         .agg(F.count("*").alias("c"))
-    )
+    ).localCheckpoint()  # consumed by train_bpe AND the wsubs projection
     merges = train_bpe(words)
     seq = F.concat(
         F.regexp_replace(F.col("word"), "(.)", r"||$1"), F.lit("||")
@@ -309,7 +309,7 @@ def tokenizer_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq = F.replace(seq, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
     wsubs = words.select(
         "word", F.filter(F.split(seq, r"\|"), lambda s: s != "").alias("subs")
-    )
+    ).localCheckpoint()  # consumed by the vocab derivation AND the join
     vocab = global_rank(
         wsubs.select(F.explode("subs").alias("subword")).distinct(),
         ["subword"],
