@@ -54,14 +54,43 @@ def _pairs_expr() -> F.Column:
     )
 
 
+def _seq_expr() -> F.Column:
+    """``word`` → the double-delimited character sequence (``||a||b||``) —
+    the ONE definition of the delimiter scheme (train, encode, and ids
+    all build on it)."""
+    return F.concat(
+        F.regexp_replace(F.col("word"), "(.)", r"||$1"), F.lit("||")
+    )
+
+
+def _apply_merges(merges: list[tuple]) -> F.Column:
+    """``word`` → the fully-merged seq after replaying ``merges`` (the
+    chained greedy-leftmost ``replace`` fold — one codegen span)."""
+    seq = _seq_expr()
+    for _, a, b, _pc in merges:
+        seq = F.replace(seq, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    return seq
+
+
+def _corpus_words(d: DataFrame) -> DataFrame:
+    """documents → the (word, c) vocabulary relation (the one corpus-scale
+    pass every BPE key starts from)."""
+    return (
+        d.select(
+            F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+
+
 def train_bpe(words: DataFrame, merges: int = BPE_MERGES) -> list[tuple]:
     """Learn ``merges`` BPE merges from a (word, c) vocabulary relation.
     Returns [(iteration, left_sym, right_sym, pair_count), ...]."""
     seqed = words.select(
-        F.concat(
-            F.regexp_replace(F.col("word"), "(.)", r"||$1"), F.lit("||")
-        ).alias("seq"),
-        "c",
+        _seq_expr().alias("seq"), "c"
     ).localCheckpoint()  # vocabulary-sized; base of every iteration
     out: list[tuple] = []
     cur = seqed
@@ -118,12 +147,26 @@ def _bpe_ctes() -> str:
             "ORDER BY pc DESC, a, b LIMIT 1)"
         )
         if t < BPE_MERGES:
-            parts.append(
-                f"seq{t} AS MATERIALIZED (SELECT word, replace(seq, "
-                "'|' || m.a || '||' || m.b || '|', "
-                f"'|' || m.a || m.b || '|') AS seq, c FROM seq{t - 1}, m{t} m)"
-            )
+            parts.append(_seq_step_cte(t))
     return ", ".join(parts)
+
+
+def _seq_step_cte(t: int) -> str:
+    """seq{t}: apply merge t to seq{t-1}. LEFT JOIN ON true (not a cross
+    join): when merges EXHAUST before BPE_MERGES, m{t} is empty and a
+    cross join would empty seq{t} — and every later seq — making the
+    encode/ids oracles return ZERO rows for a corpus the engine handles
+    (train_bpe breaks early and applies only the learned merges). The
+    CASE keeps seq unchanged on the empty-merge arm, matching the engine's
+    early break exactly. The train oracle never needed this (an empty
+    m{t} just contributes no UNION rows)."""
+    return (
+        f"seq{t} AS MATERIALIZED (SELECT word, "
+        "CASE WHEN m.a IS NULL THEN seq ELSE replace(seq, "
+        "'|' || m.a || '||' || m.b || '|', "
+        f"'|' || m.a || m.b || '|') END AS seq, c "
+        f"FROM seq{t - 1} LEFT JOIN m{t} m ON true)"
+    )
 
 
 def _bpe_oracle() -> str:
@@ -140,13 +183,9 @@ def _bpe_oracle() -> str:
 
 def _seq_final_cte() -> str:
     """The final rewrite (seq{BPE_MERGES}) — the training chain stops at
-    m{N} and never builds it; the encode/ids oracles both need it."""
-    return (
-        f", seq{BPE_MERGES} AS MATERIALIZED (SELECT word, replace(seq, "
-        "'|' || m.a || '||' || m.b || '|', "
-        f"'|' || m.a || m.b || '|') AS seq, c "
-        f"FROM seq{BPE_MERGES - 1}, m{BPE_MERGES} m)"
-    )
+    m{N} and never builds it; the encode/ids oracles both need it.
+    Exhaustion-safe like every seq step (see ``_seq_step_cte``)."""
+    return ", " + _seq_step_cte(BPE_MERGES)
 
 
 def _encode_oracle() -> str:
@@ -192,22 +231,11 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     a few hundred MB of strings — still broadcastable, else it degrades
     to one hash join). The oracle re-runs training AND encoding."""
     d = load_table(spark, sf_dir, "documents")
-    words = (
-        d.select(
-            F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias(
-                "word"
-            )
-        )
-        .groupBy("word")
-        .agg(F.count("*").alias("c"))
-    ).localCheckpoint()  # consumed by train_bpe AND the wlen projection
+    # consumed by train_bpe AND the wlen projection
+    words = _corpus_words(d).localCheckpoint()
     merges = train_bpe(words)
     # re-derive the fully-merged seq per distinct word (vocabulary-sized)
-    seq = F.concat(
-        F.regexp_replace(F.col("word"), "(.)", r"||$1"), F.lit("||")
-    )
-    for _, a, b, _pc in merges:
-        seq = F.replace(seq, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    seq = _apply_merges(merges)
     wlen = words.select(
         "word",
         F.size(F.filter(F.split(seq, r"\|"), lambda s: s != "")).alias("n_sub"),
@@ -292,21 +320,10 @@ def tokenizer_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpacks subword positions. No corpus-sized shuffle anywhere — both
     joins are broadcast, both generators are map-side."""
     d = load_table(spark, sf_dir, "documents")
-    words = (
-        d.select(
-            F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias(
-                "word"
-            )
-        )
-        .groupBy("word")
-        .agg(F.count("*").alias("c"))
-    ).localCheckpoint()  # consumed by train_bpe AND the wsubs projection
+    # consumed by train_bpe AND the wsubs projection
+    words = _corpus_words(d).localCheckpoint()
     merges = train_bpe(words)
-    seq = F.concat(
-        F.regexp_replace(F.col("word"), "(.)", r"||$1"), F.lit("||")
-    )
-    for _, a, b, _pc in merges:
-        seq = F.replace(seq, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    seq = _apply_merges(merges)
     wsubs = words.select(
         "word", F.filter(F.split(seq, r"\|"), lambda s: s != "").alias("subs")
     ).localCheckpoint()  # consumed by the vocab derivation AND the join
@@ -342,16 +359,7 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifying argmax ties, the greedy-leftmost rewrite, and the weighted
     pair counts cross-engine."""
     d = load_table(spark, sf_dir, "documents")
-    words = (
-        d.select(
-            F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias(
-                "word"
-            )
-        )
-        .groupBy("word")
-        .agg(F.count("*").alias("c"))
-    )
-    merges = train_bpe(words)
+    merges = train_bpe(_corpus_words(d))
     return spark.createDataFrame(
         merges, "iteration INT, left_sym STRING, right_sym STRING, pair_count BIGINT"
     )

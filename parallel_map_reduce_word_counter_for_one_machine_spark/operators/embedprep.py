@@ -58,11 +58,28 @@ HASH_DIMS = 16  # feature-hashing output dimensionality
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Near-twin of similarity._vectors but keeps ``label`` (triplet mining
+    # partitions candidates by it); same double-cast policy.
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def hashed_cte_sql(src: str) -> str:
+    """The DuckDB spelling of ``hashed_features`` over a (doc_id, word)
+    relation named ``src`` — THE one definition of the md5 bucket/sign
+    idiom on the oracle side (doc_embedding_hashed and the hybrid-rerank
+    oracle both splice it in, so the hash scheme cannot drift apart)."""
+    return (
+        f"SELECT doc_id, "
+        "CAST(CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) "
+        f"% {HASH_DIMS} AS INT) AS dim, "
+        "CAST(sum(CASE WHEN CAST(('0x' || substr(md5(word), 9, 1)) "
+        "AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS val "
+        f"FROM {src} GROUP BY doc_id, dim"
     )
 
 
@@ -119,7 +136,12 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a.label = v.label AS is_pos, "
         "round(list_cosine_similarity(a.e, v.e), 6) AS cos FROM a JOIN v "
         "ON v.vec_id <> a.vec_id "
-        "WHERE list_cosine_similarity(a.e, v.e) IS NOT NULL), "
+        # zero-norm guard: DuckDB's list_cosine_similarity returns -1.0
+        # (NOT NULL) for a zero-norm operand, while the engine's cosine()
+        # is NULL there and the row is filtered — so the oracle must
+        # exclude zero-norm vectors explicitly, not via IS NOT NULL.
+        "WHERE list_inner_product(a.e, a.e) > 0 "
+        "AND list_inner_product(v.e, v.e) > 0), "
         "ranked AS (SELECT *, row_number() OVER (PARTITION BY anchor_id, "
         "is_pos ORDER BY cos DESC, cand_id ASC) AS rn FROM scored) "
         "SELECT anchor_id, "
@@ -185,12 +207,7 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, "
         "' '), t -> t <> '')) AS word FROM documents) "
-        "SELECT doc_id, "
-        "CAST(CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) "
-        f"% {HASH_DIMS} AS INT) AS dim, "
-        "CAST(sum(CASE WHEN CAST(('0x' || substr(md5(word), 9, 1)) "
-        "AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS val "
-        "FROM w GROUP BY doc_id, dim"
+        + hashed_cte_sql("w")
     ),
 )
 def doc_embedding_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:

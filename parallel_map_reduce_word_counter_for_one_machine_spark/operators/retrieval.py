@@ -109,7 +109,7 @@ FINAL_K = 5
 
 
 def _hybrid_oracle() -> str:
-    from .embedprep import HASH_DIMS
+    from .embedprep import hashed_cte_sql
 
     return (
         "WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, "
@@ -134,12 +134,8 @@ def _hybrid_oracle() -> str:
         "SELECT *, row_number() OVER (PARTITION BY query_id "
         "ORDER BY bm25 DESC, doc_id) AS crank FROM bs) "
         f"WHERE crank <= {N_CAND}), "
-        "hemb AS (SELECT doc_id, "
-        "CAST(CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) "
-        f"% {HASH_DIMS} AS INT) AS dim, "
-        "CAST(sum(CASE WHEN CAST(('0x' || substr(md5(word), 9, 1)) "
-        "AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS val "
-        "FROM tok GROUP BY doc_id, dim), "
+        # the one shared spelling of the hashed-feature SQL (embedprep)
+        "hemb AS (" + hashed_cte_sql("tok") + "), "
         "nrm AS (SELECT doc_id, CAST(sum(val * val) AS BIGINT) AS n2 "
         "FROM hemb GROUP BY doc_id), "
         "pd AS (SELECT cd.query_id, cd.doc_id, "
@@ -152,7 +148,8 @@ def _hybrid_oracle() -> str:
         "LEFT JOIN pd USING (query_id, doc_id)), "
         "cs AS (SELECT d.query_id, d.doc_id, d.bm25, "
         "CASE WHEN nq.n2 > 0 AND nd.n2 > 0 THEN "
-        "round(CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.n2 * nd.n2 AS DOUBLE))"
+        "round(CAST(d.dot AS DOUBLE) / "
+        "sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nd.n2 AS DOUBLE))"
         ", 6) ELSE 0.0 END AS cos "
         "FROM dots d JOIN nrm nq ON nq.doc_id = d.query_id "
         "JOIN nrm nd ON nd.doc_id = d.doc_id) "
@@ -245,7 +242,11 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots = c20.join(pair_dots, ["query_id", "doc_id"], "left").withColumn(
         "dot", F.coalesce(F.col("dot"), F.lit(0))
     )
-    nq = nrm.select(F.col("doc_id").alias("query_id"), F.col("n2").alias("qn2"))
+    # query norms ONLY — nrm is corpus-sized; broadcasting it unfiltered
+    # would collect every doc's norm to the driver
+    nq = nrm.filter(F.col("doc_id") < N_Q).select(
+        F.col("doc_id").alias("query_id"), F.col("n2").alias("qn2")
+    )
     cs = (
         dots.join(F.broadcast(nq), "query_id")
         .join(nrm, "doc_id")
@@ -255,9 +256,13 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bm25",
             F.when(
                 (F.col("qn2") > 0) & (F.col("n2") > 0),
+                # norms cast to double BEFORE the product: two long
+                # squared-norms can overflow int64 on pathological docs
                 F.round(
                     F.col("dot").cast("double")
-                    / F.sqrt((F.col("qn2") * F.col("n2")).cast("double")),
+                    / F.sqrt(
+                        F.col("qn2").cast("double") * F.col("n2").cast("double")
+                    ),
                     6,
                 ),
             )

@@ -212,3 +212,45 @@ def test_ids_reconstruct_budgets(spark, sf_dir):
         ).collect()
     }
     assert {d: (len(w), n) for d, (w, n) in per_doc.items()} == budgets
+
+
+def test_oracles_survive_merge_exhaustion(spark, tmp_path, sf_dir):
+    """A corpus whose merges EXHAUST before BPE_MERGES (every word fully
+    merged) must keep engine and oracle in agreement for all three BPE
+    keys: the seq CTE chain uses LEFT JOIN ON true, so an empty m{t}
+    leaves seq{t} = seq{t-1} instead of emptying the chain (a cross join
+    would return ZERO oracle rows while the engine, which breaks early,
+    returns the encoded corpus)."""
+    import os
+
+    import duckdb
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        TABLE_NAMES,
+    )
+
+    d = str(tmp_path)
+    for t in TABLE_NAMES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT * FROM (VALUES "
+        "(0, 'ab ab cd', 'en', 'src0', 8), "
+        "(1, 'ab cd', 'en', 'src0', 5)) "
+        "t(doc_id, text, lang, source, n_chars)) "
+        f"TO '{d}/documents.parquet' (FORMAT parquet)"
+    )
+    con.close()
+    # sanity: this corpus exhausts after 2 merges (vocab {ab, cd})
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).groupBy("word").agg(F.count("*").alias("c"))
+    assert len(train_bpe(words, 6)) == 2
+    for key in ("tokenizer_bpe_train", "tokenizer_bpe_encode", "tokenizer_bpe_ids"):
+        assert_matches_oracle(
+            spark, d, key, registry.QUERIES[key], registry.ORACLES[key]
+        )
