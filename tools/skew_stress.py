@@ -165,7 +165,17 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{fix1}/{t}.parquet')"
         )
     tier1 = {"fixture": meta1, "results": {}}
-    for name in ("word_count", "dedup_clusters_lsh", "agg_salted"):
+    # hybrid_retrieval: the head word (~30% of tokens) is a degenerate
+    # posting list — stage 1 scores the whole corpus for that term and
+    # must still bound candidates via the window. tokenizer_bpe_ids: BPE
+    # trained on the skewed vocabulary (head-word merges dominate).
+    for name in (
+        "word_count",
+        "dedup_clusters_lsh",
+        "agg_salted",
+        "hybrid_retrieval",
+        "tokenizer_bpe_ids",
+    ):
         rows, times = _timed(lambda: qs[name](spark, fix1).collect(), n=1)
         ok = _oracle_check(con, osql[name], rows)
         ok_all &= ok
@@ -185,7 +195,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{fix2}/{t}.parquet')"
         )
     tier2 = {"fixture": meta2, "results": {}}
-    for name in ("word_count", "agg_salted"):
+    for name in ("word_count", "agg_salted", "hybrid_retrieval"):
         rows, times = _timed(lambda: qs[name](spark, fix2).collect())
         ok = _oracle_check(con2, osql[name], rows)
         ok_all &= ok
