@@ -229,3 +229,46 @@ def events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_purchase_value"
         ),
     )
+
+
+@query(
+    "dim_scd2_build",
+    oracle=(
+        "WITH o AS (SELECT user_id, ts, event_id, value, "
+        "lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS prev FROM events), "
+        "ch AS (SELECT user_id, ts, event_id, value FROM o "
+        "WHERE prev IS NULL OR value <> prev) "
+        "SELECT user_id, epoch_ms(ts) AS valid_from_ms, "
+        "epoch_ms(lead(ts) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id)) AS valid_to_ms, value "
+        "FROM ch"
+    ),
+)
+def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a type-2 slowly-changing dimension (Kimball's SCD2 — the
+    standard warehouse versioning layout) from a change log: per user,
+    consecutive duplicate values collapse, each surviving change opens a
+    [valid_from, valid_to) interval, and the current row has
+    valid_to = NULL. The output is the point-in-time table that
+    ``join_asof``/``join_interval`` consume as their dimension side.
+
+    Plan shape: BOTH windows (the lag change-detect and the lead
+    interval-close) are keyed on user_id with the same ordering, so the
+    whole build is ONE user-keyed exchange — the sessionize pattern. At
+    100 TB of change log the state per task is one partition of users;
+    no global sort, no driver state. Timestamps emit as epoch millis
+    (module convention: immune to the driver session's timezone)."""
+    evs = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        evs.select("user_id", "ts", "event_id", "value")
+        .withColumn("prev", F.lag("value").over(w))
+        .filter(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
+    )
+    return ch.select(
+        "user_id",
+        F.unix_millis("ts").alias("valid_from_ms"),
+        F.unix_millis(F.lead("ts").over(w)).alias("valid_to_ms"),
+        "value",
+    )

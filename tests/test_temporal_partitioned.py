@@ -161,3 +161,35 @@ def test_events_locf_oracle(spark, sf_correct):
         registry.QUERIES["events_locf"],
         registry.ORACLES["events_locf"],
     )
+
+
+def test_scd2_oracle(spark, sf_correct):
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "dim_scd2_build",
+        registry.QUERIES["dim_scd2_build"],
+        registry.ORACLES["dim_scd2_build"],
+    )
+
+
+def test_scd2_interval_chain(spark, sf_correct):
+    """Per user: valid_from strictly increasing, each valid_to equals the
+    next row's valid_from (half-open intervals chain without gaps or
+    overlaps), exactly ONE open (NULL valid_to) current row per user, and
+    consecutive versions always change the tracked value."""
+    rows = registry.QUERIES["dim_scd2_build"](spark, sf_correct).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for chain in by_user.values():
+        chain.sort(key=lambda r: r.valid_from_ms)
+        assert sum(1 for r in chain if r.valid_to_ms is None) == 1
+        assert chain[-1].valid_to_ms is None
+        for a, b in zip(chain, chain[1:]):
+            assert a.valid_to_ms == b.valid_from_ms
+            assert a.valid_from_ms < b.valid_from_ms
+            assert a.value != b.value

@@ -90,6 +90,7 @@ HEADLINE = [
     "tokenizer_bpe_ids",
     "k_anonymity",
     "hybrid_retrieval",
+    "dim_scd2_build",
 ]
 
 NOTES = {
@@ -167,6 +168,9 @@ NOTES = {
     "WindowGroupLimit; stage 2's dense rerank is candidate-scoped "
     "(N_Q × N_CAND docs' hashed features, query features broadcast) — "
     "the retrieve-then-rerank cost asymmetry",
+    "dim_scd2_build": "both windows (lag change-detect, lead "
+    "interval-close) share the user_id key and ordering — the whole SCD2 "
+    "build is ONE user-keyed exchange (the sessionize pattern)",
     "dedup_clusters_incremental": "batch merge into the standing cluster "
     "map: the dumped plan is the final label table — the standing map M0, "
     "the batch's index-probe edges (O(batch × bands), the standing corpus "
