@@ -340,3 +340,70 @@ def quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_e6.alias("p_e6"),
         (p_e6 >= 500000).alias("pred"),
     )
+
+
+@query(
+    "preference_pairs",
+    oracle=(
+        # argmax/argmin spelled as row_number windows — result-equivalent
+        # to the engine's max-over-struct hash aggregate.
+        "WITH t AS (SELECT doc_id, source, lang, "
+        "list_filter(string_split(text, ' '), w -> w <> '') AS toks "
+        "FROM documents), "
+        "s AS (SELECT doc_id, source, lang, "
+        "round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) "
+        "AS ttr FROM t WHERE len(toks) > 0), "
+        "r AS (SELECT *, "
+        "row_number() OVER (PARTITION BY source, lang "
+        "ORDER BY ttr DESC, doc_id) AS rc, "
+        "row_number() OVER (PARTITION BY source, lang "
+        "ORDER BY ttr ASC, doc_id) AS rr FROM s) "
+        "SELECT source, lang, "
+        "max(CASE WHEN rc = 1 THEN doc_id END) AS chosen_id, "
+        "max(CASE WHEN rc = 1 THEN ttr END) AS chosen_score, "
+        "max(CASE WHEN rr = 1 THEN doc_id END) AS rejected_id, "
+        "max(CASE WHEN rr = 1 THEN ttr END) AS rejected_score, "
+        "round(max(CASE WHEN rc = 1 THEN ttr END) "
+        "- max(CASE WHEN rr = 1 THEN ttr END), 6) AS score_gap "
+        "FROM r GROUP BY source, lang"
+    ),
+)
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (the DPO/RLHF dataset-building step):
+    per (source, lang) cohort, pair the highest-scoring document (chosen)
+    with the lowest (rejected) under a deterministic quality signal —
+    here type-token ratio (lexical diversity; exact integer division,
+    float-identical cross-engine) — with doc_id tiebreaks, plus the score
+    gap a trainer can threshold on. Swap the score column for any of the
+    registered quality signals (gopher flags, classifier margin, LM
+    logprob) without changing the plan.
+
+    Plan shape: one corpus pass computes the score, then BOTH extremes
+    come from ONE hash aggregate (max over (score, -doc_id) / (−score,
+    −doc_id) structs — the triplet_mining argmax pattern): partials
+    combine map-side and only |cohorts| rows shuffle. The window spelling
+    in the oracle would shuffle the whole corpus per extreme."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    s = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("ttr"),
+    ).filter(F.size(toks) > 0)
+    best = F.struct(F.col("ttr"), (-F.col("doc_id")).alias("nid"))
+    worst = F.struct((-F.col("ttr")).alias("nttr"), (-F.col("doc_id")).alias("nid"))
+    agg = s.groupBy("source", "lang").agg(
+        F.max(best).alias("c"), F.max(worst).alias("r")
+    )
+    return agg.select(
+        "source",
+        "lang",
+        (-F.col("c.nid")).alias("chosen_id"),
+        F.col("c.ttr").alias("chosen_score"),
+        (-F.col("r.nid")).alias("rejected_id"),
+        (-F.col("r.nttr")).alias("rejected_score"),
+        F.round(F.col("c.ttr") + F.col("r.nttr"), 6).alias("score_gap"),
+    )

@@ -193,3 +193,50 @@ def test_gd_learns_beyond_majority(spark, sf_correct):
         want_y = 1 if len([w for w in toks if w in stops]) / len(toks) >= GD_LABEL_STOP_FRAC else 0
         got_y = next(r.y for r in rows if r.doc_id == d.doc_id)
         assert got_y == want_y
+
+
+def test_preference_pairs_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "preference_pairs",
+        registry.QUERIES["preference_pairs"],
+        registry.ORACLES["preference_pairs"],
+    )
+
+
+def test_preference_pairs_vs_python(spark, sf_dir):
+    """chosen/rejected must be the argmax/argmin type-token-ratio doc per
+    (source, lang) with min-doc_id tiebreaks; chosen score >= rejected."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    cohorts = {}
+    for r in docs:
+        toks = [w for w in r.text.split(" ") if w]
+        if not toks:
+            continue
+        ttr = round(len(set(toks)) / len(toks), 6)
+        cohorts.setdefault((r.source, r.lang), []).append((ttr, r.doc_id))
+    expected = {}
+    for k, xs in cohorts.items():
+        chosen = min(xs, key=lambda t: (-t[0], t[1]))
+        rejected = min(xs, key=lambda t: (t[0], t[1]))
+        expected[k] = (
+            chosen[1],
+            chosen[0],
+            rejected[1],
+            rejected[0],
+            round(chosen[0] - rejected[0], 6),
+        )
+    got = {
+        (r.source, r.lang): (
+            r.chosen_id,
+            r.chosen_score,
+            r.rejected_id,
+            r.rejected_score,
+            r.score_gap,
+        )
+        for r in registry.QUERIES["preference_pairs"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    for _, cs, _, rs, gap in got.values():
+        assert cs >= rs and gap >= 0

@@ -91,6 +91,7 @@ HEADLINE = [
     "k_anonymity",
     "hybrid_retrieval",
     "dim_scd2_build",
+    "preference_pairs",
 ]
 
 NOTES = {
@@ -171,6 +172,10 @@ NOTES = {
     "dim_scd2_build": "both windows (lag change-detect, lead "
     "interval-close) share the user_id key and ordering — the whole SCD2 "
     "build is ONE user-keyed exchange (the sessionize pattern)",
+    "preference_pairs": "both extremes from ONE hash aggregate (max over "
+    "(score, -id) structs, the triplet_mining argmax pattern): partials "
+    "map-side, only |cohorts| rows shuffle — not the oracle's two windows "
+    "over the corpus",
     "dedup_clusters_incremental": "batch merge into the standing cluster "
     "map: the dumped plan is the final label table — the standing map M0, "
     "the batch's index-probe edges (O(batch × bands), the standing corpus "
