@@ -233,18 +233,22 @@ def doc_embedding_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_features(w)
 
 
-def hashed_features(tok: DataFrame) -> DataFrame:
+def hashed_features(tok: DataFrame, weight: str | None = None) -> DataFrame:
     """(doc_id, word) token stream → (doc_id, dim, val) hashed features
     (the body of ``doc_embedding_hashed``, reusable by retrieval/rerank
-    stages that already hold the token stream)."""
+    stages). With ``weight`` (a count column, e.g. a term-frequency
+    relation's ``tf``), each row contributes sign × weight — identical to
+    summing over the expanded token stream, but computable from the much
+    smaller (doc, word, count) relation without re-exploding the corpus."""
     h = F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
     parity = F.conv(F.substring(F.md5("word"), 9, 1), 16, 10).cast("long")
     sgn = F.when(parity % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    contrib = sgn * F.col(weight) if weight else sgn
     return (
         tok.select(
             "doc_id",
             F.pmod(h, F.lit(HASH_DIMS)).cast("int").alias("dim"),
-            sgn.alias("s"),
+            contrib.alias("s"),
         )
         .groupBy("doc_id", "dim")
         .agg(F.sum("s").cast("long").alias("val"))

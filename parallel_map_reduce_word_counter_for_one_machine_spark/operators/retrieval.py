@@ -188,10 +188,13 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word"
         ),
     )
-    tok = tok.localCheckpoint()  # tf, dl, hemb consumers
+    # ONE corpus explode; everything downstream (dl, df, hashed features)
+    # derives from the (doc, word, tf) relation — materializing tf is
+    # much cheaper than checkpointing the expanded token stream, and
+    # sum(tf) per doc ≡ count per doc over tokens.
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    tf = tf.localCheckpoint()  # scored + query-side + df consumers
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = tf.localCheckpoint()  # scored/query-side/df/dl/hemb consumers
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     q = tf.filter(F.col("doc_id") < N_Q).select(
@@ -225,7 +228,8 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crank") <= N_CAND)
         .drop("crank")
     )
-    hemb = hashed_features(tok)
+    # weighted form: sign × tf per distinct (doc, word) ≡ sign per token
+    hemb = hashed_features(tf, weight="tf")
     hemb = hemb.localCheckpoint()  # candidate-side, query-side, norms
     nrm = hemb.groupBy("doc_id").agg(
         F.sum(F.col("val") * F.col("val")).cast("long").alias("n2")
