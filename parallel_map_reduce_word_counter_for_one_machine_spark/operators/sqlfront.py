@@ -439,3 +439,37 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "   GROUP BY o_orderstatus, o_orderpriority "
         "|> WHERE n > 5"
     )
+
+
+# Identical SQL text on both engines: TPC-H-Q19-shaped disjunctive
+# predicate — an OR of three (brand, size-range, quantity-range) conjunct
+# groups spanning BOTH join sides. The planner probe: the common
+# p_partkey = l_partkey conjunct must still drive a hash join (not a
+# nested loop over the disjunction), per-side prunable conjuncts
+# (p_brand IN (...), the size/quantity envelopes) should be extracted
+# below the join, and the residual disjunction evaluates post-join in
+# codegen.
+_Q19_SQL = (
+    "SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) "
+    "AS revenue, count(*) AS n_items "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 "
+    "AND l_quantity BETWEEN 1 AND 20) "
+    "OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25 "
+    "AND l_quantity BETWEEN 10 AND 40) "
+    "OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 "
+    "AND l_quantity BETWEEN 20 AND 50) "
+    "GROUP BY p_brand"
+)
+
+
+@query("sql_disjunctive_revenue", oracle=_Q19_SQL)
+def sql_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive-predicate revenue query (identical SQL
+    text on both engines). Q19 is the classic test that a planner keeps
+    the equi-join conjunct out of the OR (hash join, not a nested loop)
+    and pushes the per-side implied filters (brand membership, size and
+    quantity envelopes) below the join while the residual disjunction
+    stays a codegen filter above it."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q19_SQL)

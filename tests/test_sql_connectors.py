@@ -505,3 +505,29 @@ def test_stat_crosstab_contingency(spark, sf_correct):
             total += got
             assert got == pair.get((r["event_type_user_id"], c), 0)
     assert total == e.count()
+
+
+def test_sql_disjunctive_revenue(spark, sf_correct):
+    """Q19-shaped disjunction: oracle match PLUS the planner probe — the
+    equi-join conjunct must survive the OR (a hash/broadcast join, never
+    a nested loop over the disjunction), and at least one per-side
+    implied filter (brand membership) must land below the join."""
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "sql_disjunctive_revenue",
+        registry.QUERIES["sql_disjunctive_revenue"],
+        registry.ORACLES["sql_disjunctive_revenue"],
+    )
+    plan = plan_string(
+        registry.QUERIES["sql_disjunctive_revenue"](spark, sf_correct)
+    )
+    assert "NestedLoop" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+    # per-side extraction reaches the SCANS: the implied brand/size
+    # disjunction is a pushed filter on part, the quantity-envelope
+    # disjunction a pushed filter on lineitem
+    assert "PushedFilters: [IsNotNull(p_partkey), Or(" in plan, plan
+    assert "PushedFilters: [IsNotNull(l_partkey), Or(" in plan, plan
