@@ -181,3 +181,61 @@ def dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") == F.count_distinct("o_orderkey")).alias("orderkey_unique")
     )
     return li.crossJoin(F.broadcast(o))
+
+
+@query(
+    "quantile_normalize_lengths",
+    oracle=(
+        "WITH s AS (SELECT doc_id, source, n_chars FROM documents), "
+        "g AS (SELECT *, row_number() OVER (ORDER BY n_chars, doc_id) "
+        "AS g_rk FROM s), "
+        "ns AS (SELECT source, count(*) AS n_s FROM s GROUP BY source), "
+        "tot AS (SELECT count(*) AS n FROM s), "
+        "r AS (SELECT doc_id, source, n_chars, row_number() OVER ("
+        "PARTITION BY source ORDER BY n_chars, doc_id) AS src_rk FROM s) "
+        "SELECT r.doc_id, r.source, r.n_chars, lut.n_chars AS norm_len "
+        "FROM r JOIN ns USING (source) CROSS JOIN tot "
+        "JOIN g lut ON lut.g_rk = CAST(round((r.src_rk - 0.5) / ns.n_s "
+        "* (tot.n - 1)) AS BIGINT) + 1"
+    ),
+)
+def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (the batch-effect correction of
+    bioinformatics, applied to corpus features): each document's length is
+    replaced by the GLOBAL length at the same within-source quantile, so
+    every source's feature distribution maps onto the corpus-wide one —
+    the calibration step before cross-source thresholds (quality cutoffs,
+    mixture caps) are comparable.
+
+    Plan shape: within-source ranks come from ``grouped_global_rank`` and
+    global ranks from ``global_rank`` (both the two-level distributed
+    scheme — no per-source or global single-task window); per-source
+    counts and the corpus total broadcast; the only corpus-vs-corpus join
+    is rank-lookup on the computed target index (one exchange per side).
+    At 100 TB the exact N-row lookup table would be replaced by the
+    bounded histogram grid of ``hist_quantile_lengths`` (same mapping, ≤
+    bins rows, one-bin error) — this key is the exact tier."""
+    from .rank import global_rank, grouped_global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select("doc_id", "source", "n_chars")
+    g = global_rank(s, ["n_chars", "doc_id"], rank_col="g_rk").select(
+        F.col("g_rk").cast("long").alias("g_rk"),
+        F.col("n_chars").alias("norm_len"),
+    )
+    ns = s.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = s.agg(F.count("*").alias("n"))
+    r = grouped_global_rank(s, ["source"], ["n_chars", "doc_id"], "src_rk")
+    idx = (
+        F.round(
+            (F.col("src_rk") - 0.5) / F.col("n_s") * (F.col("n") - 1)
+        ).cast("long")
+        + 1
+    )
+    return (
+        r.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "source", "n_chars", idx.alias("g_rk"))
+        .join(g, "g_rk")
+        .select("doc_id", "source", "n_chars", "norm_len")
+    )

@@ -59,3 +59,50 @@ def test_profile_single_scan(spark, sf_dir):
 
     p = plan_string(registry.QUERIES["dq_profile"](spark, sf_dir), mode="simple")
     assert p.count("FileScan parquet") == 1
+
+
+def test_quantile_normalize_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "quantile_normalize_lengths",
+        registry.QUERIES["quantile_normalize_lengths"],
+        registry.ORACLES["quantile_normalize_lengths"],
+    )
+
+
+def test_quantile_normalize_vs_python(spark, sf_dir):
+    """Exact twin: each doc's norm_len is the global length at its
+    within-source mid-rank quantile; norm values are drawn from the global
+    value multiset and the mapping is rank-monotone within a source."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    s = [(r.doc_id, r.source, r.n_chars) for r in docs]
+    glob = sorted(s, key=lambda t: (t[2], t[0]))
+    n = len(glob)
+    expected = {}
+    by_src = {}
+    for t in s:
+        by_src.setdefault(t[1], []).append(t)
+    for src, xs in by_src.items():
+        xs.sort(key=lambda t: (t[2], t[0]))
+        for i, (doc_id, _, n_chars) in enumerate(xs, start=1):
+            # Python round() is banker's; the engines round HALF_UP
+            import decimal
+
+            idx = int(
+                decimal.Decimal((i - 0.5) / len(xs) * (n - 1)).quantize(
+                    0, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            expected[doc_id] = (src, n_chars, glob[idx][2])
+    got = {
+        r.doc_id: (r.source, r.n_chars, r.norm_len)
+        for r in registry.QUERIES["quantile_normalize_lengths"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+    # within a source, the mapping is monotone in the original length
+    for src, xs in by_src.items():
+        seq = [got[d][2] for d, _, _ in sorted(xs, key=lambda t: (t[2], t[0]))]
+        assert seq == sorted(seq)

@@ -92,6 +92,7 @@ HEADLINE = [
     "hybrid_retrieval",
     "dim_scd2_build",
     "preference_pairs",
+    "quantile_normalize_lengths",
 ]
 
 NOTES = {
@@ -176,6 +177,10 @@ NOTES = {
     "(score, -id) structs, the triplet_mining argmax pattern): partials "
     "map-side, only |cohorts| rows shuffle — not the oracle's two windows "
     "over the corpus",
+    "quantile_normalize_lengths": "within-source and global ranks via the "
+    "two-level distributed rank (no single-task windows); counts/total "
+    "broadcast; the one corpus-vs-corpus join is the rank-index lookup — "
+    "at 100 TB the exact lookup swaps for the bounded histogram grid",
     "dedup_clusters_incremental": "batch merge into the standing cluster "
     "map: the dumped plan is the final label table — the standing map M0, "
     "the batch's index-probe edges (O(batch × bands), the standing corpus "
