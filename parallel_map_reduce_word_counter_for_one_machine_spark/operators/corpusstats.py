@@ -412,3 +412,78 @@ def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_points))
         .select(F.col("n").cast("long").alias("n_points"), "ks_stat", "stable")
     )
+
+
+_HEALTH_ORACLE = (
+    "WITH d AS (SELECT doc_id, source, lang, n_chars, md5(text) AS fp, "
+    "list_filter(string_split(text, ' '), w -> w <> '') AS toks "
+    "FROM documents), "
+    "per AS (SELECT doc_id, source, lang, n_chars, fp, len(toks) AS n_tok, "
+    "CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) "
+    "* 1000000) AS BIGINT) AS ttr_e6 FROM d WHERE len(toks) > 0), "
+    "fpc AS (SELECT fp, count(*) AS n_fp FROM per GROUP BY fp), "
+    "tot AS (SELECT sum(n_tok) AS total_tok FROM per) "
+    "SELECT source, count(*) AS n_docs, "
+    "CAST(sum(n_tok) AS BIGINT) AS n_tokens, "
+    "CAST(round(sum(n_tok) * 1000000.0 / max(t.total_tok)) AS BIGINT) "
+    "AS token_share_e6, "
+    "CAST(count(*) FILTER (f.n_fp > 1) AS BIGINT) AS dup_docs, "
+    "CAST(round(avg(ttr_e6)) AS BIGINT) AS mean_ttr_e6, "
+    "round(quantile_cont(n_chars, 0.5), 2) AS median_len, "
+    "count(DISTINCT lang) AS n_langs "
+    "FROM per JOIN fpc f USING (fp) CROSS JOIN tot t GROUP BY source"
+)
+
+
+@query("corpus_health_report", oracle=_HEALTH_ORACLE)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-health dashboard — the one-row-per-source report
+    a curation team reviews before every training run: volume (docs,
+    tokens, corpus token share), exact-duplicate involvement (docs whose
+    full-text fingerprint occurs more than once ANYWHERE in the corpus —
+    cross-source dups count in both sources), lexical diversity (mean
+    type-token ratio), length median, and language spread.
+
+    Determinism: per-doc TTR quantizes to BIGINT e6 BEFORE the mean so
+    the average is exact-integer-sum / count (no float summation-order
+    hazard); token share is fixed-point e6 of exact token counts; the
+    median interpolates two BIGINTs (engine-identical doubles).
+
+    Plan shape: one corpus scan → per-doc derivations; the fingerprint
+    cardinality is one md5-keyed aggregate joined back (the dedup_exact
+    exchange); the report is one source-keyed aggregate with the 1-row
+    token total broadcast. Nothing wider than the corpus shuffles, and
+    the output is |sources| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    per = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("fp"),
+        F.size(toks).alias("n_tok"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks) * 1e6
+        )
+        .cast("long")
+        .alias("ttr_e6"),
+    ).filter(F.size(toks) > 0)
+    fpc = per.groupBy("fp").agg(F.count("*").alias("n_fp"))
+    tot = per.agg(F.sum("n_tok").alias("total_tok"))
+    return (
+        per.join(fpc, "fp")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.round(F.sum("n_tok") * 1e6 / F.max("total_tok"))
+            .cast("long")
+            .alias("token_share_e6"),
+            F.count(F.when(F.col("n_fp") > 1, 1)).alias("dup_docs"),
+            F.round(F.avg("ttr_e6")).cast("long").alias("mean_ttr_e6"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("median_len"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )

@@ -59,3 +59,56 @@ def test_zipf_slope_negative_on_real_corpus(spark, sf_correct):
     row = registry.QUERIES["zipf_slope"](spark, sf_correct).collect()[0]
     assert row.slope < 0
     assert row.n_words > 5
+
+
+def test_corpus_health_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "corpus_health_report",
+        registry.QUERIES["corpus_health_report"],
+        registry.ORACLES["corpus_health_report"],
+    )
+
+
+def test_corpus_health_vs_python(spark, sf_dir):
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    fpc = {}
+    rows = []
+    for r in docs:
+        toks = [w for w in r.text.split(" ") if w]
+        if not toks:
+            continue
+        fp = hashlib.md5(r.text.encode()).hexdigest()
+        fpc[fp] = fpc.get(fp, 0) + 1
+        rows.append((r.source, r.lang, r.n_chars, fp, len(toks),
+                     round(len(set(toks)) / len(toks) * 1e6)))
+    total = sum(t[4] for t in rows)
+    by_src = {}
+    for t in rows:
+        by_src.setdefault(t[0], []).append(t)
+    got = {
+        r.source: r
+        for r in registry.QUERIES["corpus_health_report"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(by_src)
+    share_sum = 0
+    for src, xs in by_src.items():
+        g = got[src]
+        assert g.n_docs == len(xs)
+        assert g.n_tokens == sum(t[4] for t in xs)
+        assert g.token_share_e6 == round(g.n_tokens * 1e6 / total)
+        assert g.dup_docs == sum(1 for t in xs if fpc[t[3]] > 1)
+        assert g.mean_ttr_e6 == round(sum(t[5] for t in xs) / len(xs))
+        assert g.n_langs == len({t[1] for t in xs})
+        lens = sorted(t[2] for t in xs)
+        mid = (len(lens) - 1) / 2
+        med = (lens[int(mid)] + lens[int(mid + 0.5)]) / 2
+        assert abs(g.median_len - round(med, 2)) < 1e-9
+        share_sum += g.token_share_e6
+    # shares account for the whole corpus (rounding slack)
+    assert abs(share_sum - 1_000_000) <= len(by_src)

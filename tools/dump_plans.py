@@ -93,6 +93,7 @@ HEADLINE = [
     "dim_scd2_build",
     "preference_pairs",
     "quantile_normalize_lengths",
+    "corpus_health_report",
 ]
 
 NOTES = {
@@ -181,6 +182,10 @@ NOTES = {
     "two-level distributed rank (no single-task windows); counts/total "
     "broadcast; the one corpus-vs-corpus join is the rank-index lookup — "
     "at 100 TB the exact lookup swaps for the bounded histogram grid",
+    "corpus_health_report": "one corpus scan → per-doc derivations; the "
+    "md5 fingerprint cardinality is one keyed aggregate joined back (the "
+    "dedup_exact exchange); one source-keyed report aggregate with the "
+    "1-row token total broadcast — |sources| output rows",
     "dedup_clusters_incremental": "batch merge into the standing cluster "
     "map: the dumped plan is the final label table — the standing map M0, "
     "the batch's index-probe edges (O(batch × bands), the standing corpus "
