@@ -469,6 +469,10 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ttr_e6"),
     ).filter(F.size(toks) > 0)
+    # three consumers (fpc, tot, the report join) — materialize the
+    # per-doc derivations once so 'one corpus scan' holds in execution,
+    # not just in the lineage (module multi-consumer policy)
+    per = per.localCheckpoint()
     fpc = per.groupBy("fp").agg(F.count("*").alias("n_fp"))
     tot = per.agg(F.sum("n_tok").alias("total_tok"))
     return (

@@ -218,7 +218,8 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .rank import global_rank, grouped_global_rank
 
     d = load_table(spark, sf_dir, "documents")
-    s = d.select("doc_id", "source", "n_chars")
+    # four consumers (g, ns, tot, r) — materialize once (module policy)
+    s = d.select("doc_id", "source", "n_chars").localCheckpoint()
     g = global_rank(s, ["n_chars", "doc_id"], rank_col="g_rk").select(
         F.col("g_rk").cast("long").alias("g_rk"),
         F.col("n_chars").alias("norm_len"),

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import drain
-from .upsertsink import _marker_name, committed_versions
+from .upsertsink import commit_merged_batch, latest_committed_state
 
 
 def _scd2_merge(cur: DataFrame, batch: DataFrame) -> DataFrame:
@@ -100,30 +100,21 @@ def _scd2_merge(cur: DataFrame, batch: DataFrame) -> DataFrame:
 def apply_scd2_batch(
     batch_df: DataFrame, batch_id: int, state_root: str, lineage: str = ""
 ) -> None:
-    """One sink commit — identical protocol to ``upsertsink.apply_batch``
-    (skip on existing marker, merge base from the committed ledger,
-    overwrite any orphaned version, marker written last)."""
-    marker = os.path.join(state_root, _marker_name(lineage, batch_id))
-    if os.path.exists(marker):
-        return
-    committed = committed_versions(state_root)
-    if committed:
-        cur = batch_df.sparkSession.read.parquet(
-            os.path.join(state_root, f"v{committed[-1]}")
-        )
-        merged = _scd2_merge(cur, batch_df)
-        out_version = committed[-1] + 1
-    else:
-        empty = batch_df.sparkSession.createDataFrame(
-            [], "user_id BIGINT, valid_from_ms BIGINT, valid_to_ms BIGINT, value DOUBLE"
-        )
-        merged = _scd2_merge(empty, batch_df)
-        out_version = 0
-    merged.write.mode("overwrite").parquet(
-        os.path.join(state_root, f"v{out_version}")
-    )
-    with open(marker, "w") as fh:
-        fh.write(f"v{out_version}\n")
+    """One sink commit through the SHARED protocol
+    (``upsertsink.commit_merged_batch`` — skip on existing marker, merge
+    base from the committed ledger, orphan overwrite, marker last); only
+    the merge function is SCD2-specific."""
+
+    def merge(cur, bdf):
+        if cur is None:
+            cur = bdf.sparkSession.createDataFrame(
+                [],
+                "user_id BIGINT, valid_from_ms BIGINT, "
+                "valid_to_ms BIGINT, value DOUBLE",
+            )
+        return _scd2_merge(cur, bdf)
+
+    commit_merged_batch(batch_df, batch_id, state_root, lineage, merge)
 
 
 def run_stream_scd2(
@@ -152,5 +143,4 @@ def run_stream_scd2(
         .start()
     )
     drain(q)
-    versions = committed_versions(state_root)
-    return spark.read.parquet(os.path.join(state_root, f"v{versions[-1]}"))
+    return latest_committed_state(spark, state_root)

@@ -165,28 +165,33 @@ def committed_versions(state_root: str) -> list[int]:
     return sorted(out)
 
 
-def apply_batch(
-    batch_df: DataFrame, batch_id: int, state_root: str, lineage: str = ""
+def commit_merged_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_root: str,
+    lineage: str,
+    merge_fn,
 ) -> None:
-    """One sink commit: reduce the micro-batch, merge into the latest
-    COMMITTED version (marker ledger, not directory listing), write the
-    next version, then the ``_applied_{lineage}_b{batch_id}`` marker.
-    Named (not a closure) so the stream, replay tests, and any manual
-    backfill drive the IDENTICAL commit path."""
+    """The ONE copy of the commit protocol, shared by every versioned-
+    state sink (upsert here, SCD2 in scd2sink.py): skip on an existing
+    marker (replay), resolve the merge base from the COMMITTED ledger
+    (never directory listing), ``merge_fn(cur_or_None, batch_df)`` →
+    next state, overwrite any orphaned version directory, and write the
+    ``_applied_{lineage}_b{batch_id}`` marker LAST. Fixes to the
+    torn-commit/replay guarantees land here once for all sinks."""
     marker = os.path.join(state_root, _marker_name(lineage, batch_id))
     if os.path.exists(marker):
         return  # replayed micro-batch: version already committed
-    batch = _latest_per_key(batch_df)
     committed = committed_versions(state_root)
     if committed:
         cur = batch_df.sparkSession.read.parquet(
             os.path.join(state_root, f"v{committed[-1]}")
         )
-        merged = _merge_state(cur, batch)
         out_version = committed[-1] + 1
     else:
-        merged = batch
+        cur = None
         out_version = 0
+    merged = merge_fn(cur, batch_df)
     # mode("overwrite") also clobbers an orphaned v{out_version} left by
     # a crash between the previous attempt's write and its marker — the
     # replayed batch OVERWRITES the orphan rather than merging against it
@@ -198,6 +203,33 @@ def apply_batch(
     # to the ledger) and the replay rewrites that same version number
     with open(marker, "w") as fh:
         fh.write(f"v{out_version}\n")
+
+
+def latest_committed_state(spark: SparkSession, state_root: str) -> DataFrame:
+    """The newest COMMITTED version as a DataFrame; a clear error (not an
+    IndexError) when nothing ever committed."""
+    versions = committed_versions(state_root)
+    if not versions:
+        raise RuntimeError(
+            f"no committed state under {state_root!r} — the stream "
+            "committed zero batches (empty staged input?)"
+        )
+    return spark.read.parquet(os.path.join(state_root, f"v{versions[-1]}"))
+
+
+def apply_batch(
+    batch_df: DataFrame, batch_id: int, state_root: str, lineage: str = ""
+) -> None:
+    """One upsert commit: reduce the micro-batch, MERGE into the latest
+    committed version, commit (see ``commit_merged_batch`` for the shared
+    protocol). Named (not a closure) so the stream, replay tests, and any
+    manual backfill drive the IDENTICAL commit path."""
+
+    def merge(cur, bdf):
+        batch = _latest_per_key(bdf)
+        return _merge_state(cur, batch) if cur is not None else batch
+
+    commit_merged_batch(batch_df, batch_id, state_root, lineage, merge)
 
 
 def run_stream_upsert(
@@ -218,8 +250,7 @@ def run_stream_upsert(
         .start()
     )
     drain(q)
-    versions = committed_versions(state_root)
-    return spark.read.parquet(os.path.join(state_root, f"v{versions[-1]}"))
+    return latest_committed_state(spark, state_root)
 
 
 def vacuum_versions(state_root: str, keep_last: int = 2) -> list[int]:

@@ -71,6 +71,18 @@ def test_corpus_health_oracle(spark, sf_correct):
     )
 
 
+def _rhu(x, nd=0):
+    """Half-up rounding on the double's shortest repr — the engines'
+    round() semantics; Python's built-in round() is banker's and flips
+    exact-.5 cases the other way."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-nd)
+    return float(
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
 def test_corpus_health_vs_python(spark, sf_dir):
     import hashlib
 
@@ -84,7 +96,7 @@ def test_corpus_health_vs_python(spark, sf_dir):
         fp = hashlib.md5(r.text.encode()).hexdigest()
         fpc[fp] = fpc.get(fp, 0) + 1
         rows.append((r.source, r.lang, r.n_chars, fp, len(toks),
-                     round(len(set(toks)) / len(toks) * 1e6)))
+                     int(_rhu(len(set(toks)) / len(toks) * 1e6))))
     total = sum(t[4] for t in rows)
     by_src = {}
     for t in rows:
@@ -101,9 +113,9 @@ def test_corpus_health_vs_python(spark, sf_dir):
         g = got[src]
         assert g.n_docs == len(xs)
         assert g.n_tokens == sum(t[4] for t in xs)
-        assert g.token_share_e6 == round(g.n_tokens * 1e6 / total)
+        assert g.token_share_e6 == int(_rhu(g.n_tokens * 1e6 / total))
         assert g.dup_docs == sum(1 for t in xs if fpc[t[3]] > 1)
-        assert g.mean_ttr_e6 == round(sum(t[5] for t in xs) / len(xs))
+        assert g.mean_ttr_e6 == int(_rhu(sum(t[5] for t in xs) / len(xs)))
         assert g.n_langs == len({t[1] for t in xs})
         lens = sorted(t[2] for t in xs)
         mid = (len(lens) - 1) / 2

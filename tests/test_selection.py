@@ -214,7 +214,15 @@ def test_preference_pairs_vs_python(spark, sf_dir):
         toks = [w for w in r.text.split(" ") if w]
         if not toks:
             continue
-        ttr = round(len(set(toks)) / len(toks), 6)
+        # half-up on the repr, matching the engines' round() (Python's
+        # built-in is banker's — flips exact-.5 cases)
+        import decimal
+
+        ttr = float(
+            decimal.Decimal(repr(len(set(toks)) / len(toks))).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
         cohorts.setdefault((r.source, r.lang), []).append((ttr, r.doc_id))
     expected = {}
     for k, xs in cohorts.items():
