@@ -112,3 +112,65 @@ def test_real_stream_equals_batch_build(spark, sf_dir, tmp_path):
     # one commit per staged file, each a separate micro-batch
     assert len(committed_versions(root)) == N_SLICES
     assert _state_rows(final) == _expected(spark, sf_dir)
+
+
+def test_merge_theorem_under_random_cuts(spark, sf_dir, tmp_path):
+    """The merge theorem, property-tested: ANY event-time-ordered cut of
+    the change log into micro-batches (random count and boundaries,
+    including empty slices) yields the identical final dimension. Uses a
+    ~100-event sub-log so each hypothesis example stays cheap."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    evs = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 17 == 0)
+        .localCheckpoint()
+    )
+    ts_sorted = sorted(r.ts for r in evs.select("ts").collect())
+    n = len(ts_sorted)
+    assert n >= 40
+    # reference state: the SAME sub-log merged as ONE batch (the one-batch
+    # case equals dim_scd2_build by test_manual_ordered_batches above)
+    root0 = str(tmp_path / "ref")
+    os.makedirs(root0)
+    apply_scd2_batch(evs, 0, root0, lineage="ref")
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming.upsertsink import (
+        latest_committed_state,
+    )
+
+    expected = _state_rows(latest_committed_state(spark, root0))
+
+    counter = {"i": 0}
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        cuts=st.lists(
+            st.integers(min_value=0, max_value=n - 1), min_size=1, max_size=6
+        )
+    )
+    def run(cuts):
+        counter["i"] += 1
+        root = str(tmp_path / f"s{counter['i']}")
+        os.makedirs(root)
+        bounds = sorted({ts_sorted[c] for c in cuts})
+        lo = None
+        bid = 0
+        for hi in list(bounds) + [None]:
+            b = evs
+            if lo is not None:
+                b = b.filter(F.col("ts") >= F.lit(lo))
+            if hi is not None:
+                b = b.filter(F.col("ts") < F.lit(hi))
+            apply_scd2_batch(b, bid, root, lineage=f"hyp{counter['i']}")
+            bid += 1
+            lo = hi
+        got = _state_rows(latest_committed_state(spark, root))
+        assert got == expected
+
+    run()
