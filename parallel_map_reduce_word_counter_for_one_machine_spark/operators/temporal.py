@@ -272,3 +272,53 @@ def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.lead("ts").over(w)).alias("valid_to_ms"),
         "value",
     )
+
+
+@query(
+    "events_ohlc_hourly",
+    oracle=(
+        # open/close spelled as row_number windows — result-equivalent to
+        # the engine's struct-min/max hash aggregate.
+        "WITH e AS (SELECT event_type, "
+        "epoch_ms(date_trunc('hour', ts)) AS hour_ms, ts, event_id, value "
+        "FROM events), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_type, "
+        "hour_ms ORDER BY ts, event_id) AS ro, "
+        "row_number() OVER (PARTITION BY event_type, hour_ms "
+        "ORDER BY ts DESC, event_id DESC) AS rc FROM e) "
+        "SELECT event_type, hour_ms, "
+        "max(CASE WHEN ro = 1 THEN value END) AS open, "
+        "max(value) AS high, min(value) AS low, "
+        "max(CASE WHEN rc = 1 THEN value END) AS close, "
+        "count(*) AS n_events "
+        "FROM r GROUP BY event_type, hour_ms"
+    ),
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling (the time-series downsample every metrics/market
+    system ships): per (event_type, hour), the first value (open), max
+    (high), min (low), last value (close), and the event count. First/
+    last are deterministic under the (ts, event_id) total order.
+
+    Plan shape: ONE hash aggregate — open/close are min/max over a
+    (ts, event_id, value) struct (field-ordered comparison; the unique
+    (ts, event_id) prefix decides before value is ever compared), so all
+    five stats combine map-side and only |types × hours| rows shuffle.
+    The window spelling the oracle uses would shuffle every event twice.
+    Values pass through untouched (no float arithmetic) — exact
+    cross-engine."""
+    evs = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id", F.col("value").alias("v"))
+    return (
+        evs.groupBy(
+            "event_type",
+            F.unix_millis(F.date_trunc("hour", "ts")).alias("hour_ms"),
+        )
+        .agg(
+            F.min(key).getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(key).getField("v").alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -193,3 +193,41 @@ def test_scd2_interval_chain(spark, sf_correct):
             assert a.valid_to_ms == b.valid_from_ms
             assert a.valid_from_ms < b.valid_from_ms
             assert a.value != b.value
+
+
+def test_ohlc_oracle(spark, sf_correct):
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "events_ohlc_hourly",
+        registry.QUERIES["events_ohlc_hourly"],
+        registry.ORACLES["events_ohlc_hourly"],
+    )
+
+
+def test_ohlc_vs_python(spark, sf_dir):
+    """open/close must be the first/last value under the (ts, event_id)
+    total order; high/low the extremes; per (event_type, hour)."""
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    groups = {}
+    for r in rows:
+        hour_ms = int(
+            r.ts.replace(minute=0, second=0, microsecond=0).timestamp() * 1000
+        )
+        groups.setdefault((r.event_type, hour_ms), []).append(
+            (r.ts, r.event_id, r.value)
+        )
+    expected = {}
+    for k, xs in groups.items():
+        xs.sort()
+        vals = [v for _, _, v in xs]
+        expected[k] = (xs[0][2], max(vals), min(vals), xs[-1][2], len(xs))
+    got = {
+        (r.event_type, r.hour_ms): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in registry.QUERIES["events_ohlc_hourly"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    for o, h, l, c, _ in got.values():
+        assert l <= o <= h and l <= c <= h

@@ -94,6 +94,7 @@ HEADLINE = [
     "preference_pairs",
     "quantile_normalize_lengths",
     "corpus_health_report",
+    "events_ohlc_hourly",
 ]
 
 NOTES = {
@@ -186,6 +187,10 @@ NOTES = {
     "md5 fingerprint cardinality is one keyed aggregate joined back (the "
     "dedup_exact exchange); one source-keyed report aggregate with the "
     "1-row token total broadcast — |sources| output rows",
+    "events_ohlc_hourly": "ONE hash aggregate: open/close are min/max "
+    "over a (ts, event_id, value) struct so all five stats combine "
+    "map-side — the oracle's window spelling would shuffle every event "
+    "twice",
     "dedup_clusters_incremental": "batch merge into the standing cluster "
     "map: the dumped plan is the final label table — the standing map M0, "
     "the batch's index-probe edges (O(batch × bands), the standing corpus "
