@@ -285,6 +285,11 @@ def build_ivfpq_index(
     index_err = held.agg(F.avg("qerr").alias("e")).collect()[0].e
     if index_err is None:
         index_err = codes_df.agg(F.avg("qerr").alias("e")).collect()[0].e
+    if index_err is None:  # both averages NULL ⇔ zero rows were indexed
+        raise ValueError(
+            "build_ivfpq_index: no vectors were indexed (empty corpus or "
+            "all zero-norm embeddings) — an index needs ≥1 encodable vector"
+        )
     spark.createDataFrame(
         [
             (
@@ -379,10 +384,20 @@ def delete_from_ivfpq_index(
     delete touches |affected cells|/n_cells of the files; a tombstone
     column would defer even that rewrite, but then every probe pays the
     anti-join forever — rewrite-on-delete is the right trade for
-    ANN-index churn rates (deletes are rare vs probes)."""
+    ANN-index churn rates (deletes are rare vs probes).
+
+    Crash consistency (same contract as the upsert sink's marker ledger):
+    the swap never deletes a cell's only copy. Each original partition is
+    renamed ASIDE into ``_codes_old/`` before the staged replacement moves
+    in, and the aside copies are dropped only after every swap landed; a
+    ``_STAGED_COMPLETE`` marker (written after the staging write finishes)
+    tells ``_heal_delete_swap`` — run at the next delete's entry — whether
+    to roll a torn swap FORWARD from the staged dir or BACK from the aside
+    copy. Torn-swap recovery is tested in tests/test_ann_lifecycle.py."""
     import shutil
 
     codes_root = os.path.join(index_root, "codes")
+    _heal_delete_swap(index_root)
     doomed = spark.createDataFrame(
         [(int(v),) for v in vec_ids], "vec_id LONG"
     )
@@ -401,18 +416,62 @@ def delete_from_ivfpq_index(
     )
     survivors = affected.join(F.broadcast(doomed), "vec_id", "left_anti")
     n_deleted = affected.count() - survivors.count()
-    # stage the rewritten partitions, then swap directories atomically-ish
-    # (per-cell: the unit readers list); survivors keep their frozen codes
+    # stage the rewritten partitions, then swap: original aside FIRST, so
+    # no point in time has zero copies of a cell's surviving codes
     staged = os.path.join(index_root, "_codes_staged")
+    oldroot = os.path.join(index_root, "_codes_old")
     survivors.write.mode("overwrite").partitionBy("cell").parquet(staged)
+    # marker last: its presence certifies the staged dir is complete, so a
+    # torn swap rolls FORWARD from it; absence rolls BACK to the aside copy
+    open(os.path.join(staged, _STAGED_MARKER), "w").close()
+    os.makedirs(oldroot, exist_ok=True)
     for c in cells:
         dst = os.path.join(codes_root, f"cell={c}")
         src = os.path.join(staged, f"cell={c}")
-        shutil.rmtree(dst)
+        os.rename(dst, os.path.join(oldroot, f"cell={c}"))
         if os.path.isdir(src):  # a cell can empty out entirely
             shutil.move(src, dst)
+    # every swap landed — only now is it safe to drop the aside copies
+    shutil.rmtree(oldroot)
     shutil.rmtree(staged, ignore_errors=True)
     return {"deleted": int(n_deleted), "cells_rewritten": sorted(cells)}
+
+
+_STAGED_MARKER = "_STAGED_COMPLETE"
+
+
+def _heal_delete_swap(index_root: str) -> None:
+    """Recover a delete whose partition swap was torn by a crash. The
+    aside dir (``_codes_old/``) only ever holds cells whose swap was in
+    flight; for each one: if the live partition exists the swap finished
+    (drop the aside copy); else roll forward from the staged dir when its
+    completeness marker is present (a missing staged cell then means the
+    cell legitimately emptied out), or roll the aside copy back when it
+    is not. Idempotent — safe to run on a clean index or re-run after a
+    crash mid-heal (every branch restores the one-copy invariant)."""
+    import shutil
+
+    codes_root = os.path.join(index_root, "codes")
+    staged = os.path.join(index_root, "_codes_staged")
+    oldroot = os.path.join(index_root, "_codes_old")
+    if os.path.isdir(oldroot):
+        staged_ok = os.path.isfile(os.path.join(staged, _STAGED_MARKER))
+        for name in os.listdir(oldroot):
+            old = os.path.join(oldroot, name)
+            dst = os.path.join(codes_root, name)
+            src = os.path.join(staged, name)
+            if os.path.isdir(dst):
+                shutil.rmtree(old)  # swap finished; aside copy is stale
+            elif staged_ok and os.path.isdir(src):
+                shutil.move(src, dst)  # roll forward: finish the swap
+                shutil.rmtree(old)
+            elif staged_ok:
+                shutil.rmtree(old)  # cell emptied out: absent is correct
+            else:
+                shutil.move(old, dst)  # stage incomplete: roll back
+        shutil.rmtree(oldroot, ignore_errors=True)
+    # leftover staging area from a crash after the swaps all landed
+    shutil.rmtree(staged, ignore_errors=True)
 
 
 # One built index per (session, sf_dir, quantizer) — build is the one-off

@@ -74,12 +74,20 @@ def _apply_merges(merges: list[tuple]) -> F.Column:
 
 def _corpus_words(d: DataFrame) -> DataFrame:
     """documents → the (word, c) vocabulary relation (the one corpus-scale
-    pass every BPE key starts from)."""
+    pass every BPE key starts from). Words containing the delimiter
+    character ``|`` are EXCLUDED from the vocabulary: a pipe inside token
+    content would alias into the ``|a||b|`` merge pattern and silently
+    corrupt symbol boundaries. Being absent from the vocab, such words
+    also drop from the encode/ids streams (inner join) — the same rule
+    on both engines (the oracle's words CTE carries the twin filter)."""
     return (
         d.select(
-            F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias(
-                "word"
-            )
+            F.explode(
+                F.filter(
+                    F.split("text", " "),
+                    lambda w: (w != "") & ~w.contains("|"),
+                )
+            ).alias("word")
         )
         .groupBy("word")
         .agg(F.count("*").alias("c"))
@@ -123,8 +131,11 @@ def _bpe_ctes() -> str:
     # exponentially in BPE_MERGES (same blowup as the GD oracle; see
     # selection._gd_oracle).
     parts = [
+        # delimiter safety: pipe-bearing words are excluded from the
+        # vocabulary (twin of _corpus_words' filter)
         "WITH words AS (SELECT word, count(*) AS c FROM ("
-        "SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) "
+        "SELECT unnest(list_filter(string_split(text, ' '), "
+        "w -> w <> '' AND NOT contains(w, '|'))) "
         "AS word FROM documents) GROUP BY word)",
         # word is carried through the chain (inert for training — p{t}
         # projects only (s, c)) so the encode oracle can join lengths

@@ -317,7 +317,7 @@ PSI_BIN_W = 8
         "(cb + 0.5) / (nb + 0.5 * b) AS pb FROM cnt, tot) "
         "SELECT CAST((SELECT b FROM tot) AS BIGINT) AS n_bins, "
         "round(sum((pa - pb) * ln(pa / pb)), 6) AS psi, "
-        "sum((pa - pb) * ln(pa / pb)) < 0.1 AS stable FROM sh"
+        "round(sum((pa - pb) * ln(pa / pb)), 6) < 0.1 AS stable FROM sh"
     ),
 )
 def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,9 +352,16 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("b").alias("n_bins"),
             F.round(F.sum(term), 6).alias("psi"),
-            (F.sum(term) < 0.1).alias("stable"),
         )
-        .select(F.col("n_bins").cast("long").alias("n_bins"), "psi", "stable")
+        .select(
+            F.col("n_bins").cast("long").alias("n_bins"),
+            "psi",
+            # the verdict derives from the SAME 6dp-rounded value both
+            # engines emit — the unrounded aggregate differs by ln ulps
+            # plus partial-agg order, which can flip the boolean on a
+            # near-threshold corpus (module float policy)
+            (F.col("psi") < 0.1).alias("stable"),
+        )
     )
 
 
@@ -372,7 +379,7 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum(cb) OVER (ORDER BY l) * 1.0 / nb AS fb FROM cnt, tot) "
         "SELECT CAST((SELECT count(*) FROM cnt) AS BIGINT) AS n_points, "
         "round(max(abs(fa - fb)), 6) AS ks_stat, "
-        "max(abs(fa - fb)) < 0.15 AS stable FROM cum"
+        "round(max(abs(fa - fb)), 6) < 0.15 AS stable FROM cum"
     ),
 )
 def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,9 +413,11 @@ def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_points = cnt.agg(F.count("*").alias("n"))
     gap = F.max(F.abs(F.col("fa") - F.col("fb")))
     return (
-        cum.agg(
-            F.round(gap, 6).alias("ks_stat"), (gap < 0.15).alias("stable")
-        )
+        cum.agg(F.round(gap, 6).alias("ks_stat"))
+        # verdict from the SAME 6dp-rounded stat both engines emit (the
+        # drift_psi rationale: unrounded floats can flip the boolean
+        # cross-engine on a near-threshold corpus)
+        .select("ks_stat", (F.col("ks_stat") < 0.15).alias("stable"))
         .crossJoin(F.broadcast(n_points))
         .select(F.col("n").cast("long").alias("n_points"), "ks_stat", "stable")
     )

@@ -419,7 +419,7 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(count(*) AS BIGINT) AS n_docs, "
         "CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) "
         "AS BIGINT) AS n_tokens, "
-        "bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2, 7)) "
+        "bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2, 14)) "
         "AS BIGINT)) AS ids_xor "
         "FROM documents GROUP BY shard"
     ),
@@ -445,7 +445,10 @@ def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly, which is the property a resumable exporter actually needs."""
     d = load_table(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string"))
-    idh = F.conv(F.substring(h, 2, 7), 16, 10).cast("long")
+    # 14 hex chars = a true 56-bit id hash (7 chars would be 28 bits —
+    # birthday collisions at ~2^14 docs/shard, far too weak for the
+    # documented membership-checksum contract)
+    idh = F.conv(F.substring(h, 2, 14), 16, 10).cast("long")
     ntok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
     return (
         d.select(

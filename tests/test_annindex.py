@@ -272,3 +272,88 @@ def test_delete_rewrites_only_affected_cells(spark, sf_dir, tmp_path):
     got = ivfpq_pruned_topk_listing(spark, sf_dir, index_root=root).collect()
     assert got and not ({r.cand_id for r in got} & set(doomed))
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_delete_swap_crash_recovery(spark, sf_dir, tmp_path):
+    """Torn-swap healing (ADVICE r6): a crash inside the delete's
+    partition swap must never lose a cell's surviving codes. Three torn
+    states are constructed on a real index and healed by the next delete:
+    (a) swap fully landed but the aside copy not yet dropped → heal drops
+    the stale aside; (b) original renamed aside, staged replacement not
+    yet moved in, staging COMPLETE (marker present) → heal rolls forward
+    from the staged dir; (c) original renamed aside with an INCOMPLETE
+    staging area (no marker) → heal rolls the aside copy back. In every
+    case the replayed delete converges to exactly original-minus-doomed."""
+    import shutil
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.annindex import (
+        _STAGED_MARKER,
+        build_ivfpq_index,
+        delete_from_ivfpq_index,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.similarity import (
+        _vectors,
+    )
+
+    root = str(tmp_path / "torn_idx")
+    build_ivfpq_index(spark, sf_dir, root, vecs=_vectors(spark, sf_dir))
+    codes_root = os.path.join(root, "codes")
+    staged = os.path.join(root, "_codes_staged")
+    oldroot = os.path.join(root, "_codes_old")
+    before = {
+        r.vec_id: r.cell
+        for r in spark.read.parquet(codes_root).select("vec_id", "cell").collect()
+    }
+    by_cell: dict = {}
+    for vid, cell in sorted(before.items()):
+        by_cell.setdefault(cell, []).append(vid)
+    two_cells = [c for c, vs in sorted(by_cell.items()) if len(vs) >= 2][:2]
+    assert len(two_cells) == 2, "fixture needs two multi-vector cells"
+    cell_a, cell_b = two_cells
+    doomed1 = [by_cell[cell_a][0], by_cell[cell_b][0]]
+
+    # construct the mid-crash state the real swap loop passes through:
+    # survivors staged (marker last), cell_a fully swapped but its aside
+    # copy not yet dropped, cell_b renamed aside and nothing moved in
+    codes = spark.read.parquet(codes_root)
+    codes.filter(F.col("cell").isin([cell_a, cell_b])).filter(
+        ~F.col("vec_id").isin([int(v) for v in doomed1])
+    ).write.mode("overwrite").partitionBy("cell").parquet(staged)
+    open(os.path.join(staged, _STAGED_MARKER), "w").close()
+    os.makedirs(oldroot)
+    for c in (cell_a, cell_b):
+        os.rename(
+            os.path.join(codes_root, f"cell={c}"),
+            os.path.join(oldroot, f"cell={c}"),
+        )
+    shutil.move(
+        os.path.join(staged, f"cell={cell_a}"),
+        os.path.join(codes_root, f"cell={cell_a}"),
+    )
+
+    # the replayed delete heals first, then finds the doomed ids gone
+    res = delete_from_ivfpq_index(spark, doomed1, root)
+    assert res["deleted"] == 0 and res["cells_rewritten"] == []
+    after1 = {
+        r.vec_id for r in spark.read.parquet(codes_root).select("vec_id").collect()
+    }
+    assert after1 == set(before) - set(doomed1)
+    assert not os.path.exists(oldroot) and not os.path.exists(staged)
+
+    # (c) incomplete staging (no marker): heal must roll the aside copy
+    # BACK, and the replayed delete then runs to completion normally
+    doomed2 = [by_cell[cell_b][1]]
+    os.makedirs(oldroot)
+    os.rename(
+        os.path.join(codes_root, f"cell={cell_b}"),
+        os.path.join(oldroot, f"cell={cell_b}"),
+    )
+    os.makedirs(staged)  # torn before any parquet (and before the marker)
+    res2 = delete_from_ivfpq_index(spark, doomed2, root)
+    assert res2["deleted"] == 1 and res2["cells_rewritten"] == [cell_b]
+    after2 = {
+        r.vec_id for r in spark.read.parquet(codes_root).select("vec_id").collect()
+    }
+    assert after2 == after1 - set(doomed2)
+    assert not os.path.exists(oldroot) and not os.path.exists(staged)
+    shutil.rmtree(root, ignore_errors=True)

@@ -51,7 +51,7 @@ def test_written_shards_reproduce_manifest(spark, sf_correct, tmp_path):
     ).parquet(out)
 
     back = spark.read.parquet(out)
-    idh = F.conv(F.substring(h, 2, 7), 16, 10).cast("long")
+    idh = F.conv(F.substring(h, 2, 14), 16, 10).cast("long")
     ntok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
     rederived = {
         r.shard: (r.n_docs, r.n_tokens, r.ids_xor)
@@ -79,7 +79,7 @@ def test_checksum_flips_on_membership_change(spark, sf_correct):
         ).collect()
     }
     h = F.md5(F.col("doc_id").cast("string"))
-    idh = F.conv(F.substring(h, 2, 7), 16, 10).cast("long")
+    idh = F.conv(F.substring(h, 2, 14), 16, 10).cast("long")
     ntok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
     dropped = {
         r.shard: (r.n_docs, r.n_tokens, r.ids_xor)
