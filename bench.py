@@ -281,6 +281,17 @@ def _cold_and_best(df, name: str) -> tuple[float, float]:
 CANARY_OUTLIER_X = 1.5
 CANARY_OUTLIER_FRAC_LIMIT = 0.2
 
+# Box normalization (VERDICT r06 item 8): builder/driver boxes differ
+# ~1.2-1.4x and most round-over-round drift tracks the canary floor, so
+# the JSON now ALSO emits each query's min scaled to a fixed reference
+# box — the r05 builder2 canary-clean pass's floor (BENCH_r05_builder2
+# .json canary.min = 0.114 s). normalized = t * REF_FLOOR / this_pass_
+# floor: on a box whose canary floor is 1.24x the reference, every
+# normalized number is the raw min / 1.24. Cross-round comparisons read
+# `queries_box_normalized` directly instead of doing the canary
+# arithmetic by hand; the raw `queries` block stays the ground truth.
+CANARY_REF_FLOOR = 0.114
+
 
 def _canary_once(spark, sf_dir: str) -> float:
     fn = registry.QUERIES["word_count"]
@@ -349,6 +360,7 @@ def main() -> None:
     best = min(passes, key=lambda p: p["canary_spread"])
 
     total = round(sum(best["times"].values()), 3)
+    box_factor = best["canary_min"] / CANARY_REF_FLOOR
     print(
         json.dumps(
             {
@@ -358,6 +370,11 @@ def main() -> None:
                 "queries": best["times"],
                 "queries_cold_first_run": best["cold"],
                 "queries_runs": best["runs"],
+                "queries_box_normalized": {
+                    k: round(v / box_factor, 3) for k, v in best["times"].items()
+                },
+                "box_factor": round(box_factor, 3),
+                "box_ref_floor": CANARY_REF_FLOOR,
                 "n_runs": N_RUNS,
                 "sf": float(sf),
                 "canary": {

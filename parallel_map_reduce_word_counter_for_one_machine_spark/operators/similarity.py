@@ -532,20 +532,35 @@ def _train_subspace_codebooks(X, n_m: int = PQ_M, n_k: int = PQ_KSUB):
     return np.stack(books)  # (n_m, n_k, dsub)
 
 
-def _pq_codebooks(vecs: DataFrame):
+# One trained codebook tensor per (session, source): training is the
+# one-off ingest step of the PQ lifecycle (the annindex persisted-index
+# pattern, in-memory form) — the deterministic sample and k-means give
+# the same tensor on every call, so re-deriving it per query re-ran
+# ~1.1 s of driver-side work per probe for an identical result.
+_PQ_BOOKS: dict = {}
+
+
+def _pq_codebooks(vecs: DataFrame, cache_key: tuple | None = None):
     """Train per-subspace codebooks on a BOUNDED deterministic sample
     (lowest vec_ids; at scale: a hash-sample with the same cap) —
     driver work is O(cap · dim · iters), independent of corpus size, like
     ``kmeans_centroids``' k×dim state. Vectors are L2-normalized before
     training so the quantizer approximates the unit sphere the cosine
-    scan operates on."""
+    scan operates on. ``cache_key`` (session + source identity) memoizes
+    the tensor — pass it wherever the input relation is the stable
+    embeddings table rather than an ad-hoc frame."""
     import numpy as np
 
+    if cache_key is not None and cache_key in _PQ_BOOKS:
+        return _PQ_BOOKS[cache_key]
     rows = vecs.orderBy("vec_id").limit(PQ_TRAIN_CAP).select("v").collect()
     X = np.array([r.v for r in rows], dtype=np.float64)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     X = X[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
-    return _train_subspace_codebooks(X)
+    books = _train_subspace_codebooks(X)
+    if cache_key is not None:
+        _PQ_BOOKS[cache_key] = books
+    return books
 
 
 def pq_topk_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -567,7 +582,9 @@ def pq_topk_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     vecs = _vectors(spark, sf_dir)
-    books = _pq_codebooks(vecs)  # (M, KSUB, dsub) — closed over, ~4 KB
+    books = _pq_codebooks(
+        vecs, cache_key=(spark.sparkContext.applicationId, sf_dir)
+    )  # (M, KSUB, dsub) — closed over, ~4 KB
     qrows = vecs.filter(F.col("vec_id") < N_QUERIES).collect()
     q_ids = np.array([r.vec_id for r in qrows])
     Q = np.array([r.v for r in qrows], dtype=np.float64)
@@ -600,19 +617,45 @@ def pq_topk_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 S = X[:, m * dsub : (m + 1) * dsub]
                 d2 = ((S[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
                 R[:, m * dsub : (m + 1) * dsub] = books[m][d2.argmin(axis=1)]
-            S = R @ Qn.T  # ADC: query · reconstructed candidate
-            out = pd.DataFrame(
-                {
-                    "query_id": np.repeat(q_ids, len(ids)),
-                    "cand_id": np.tile(ids, len(q_ids)),
-                    "pq_score": S.T.reshape(-1),
-                }
-            )
-            yield out[out.query_id != out.cand_id]
+            # ADC + PER-BATCH PARTIAL TOP-PQ_SHORTLIST (VERDICT r06 item
+            # 3): emitting the full |Q|×batch scored relation made the
+            # downstream per-query window land N rows on each of |Q|
+            # tasks — the one shuffle in this listing that grows with the
+            # corpus. The global top-S over per-batch top-S equals the
+            # global top-S over everything PROVIDED the batch cut uses
+            # the window's exact total order — (score@6dp DESC, cand_id
+            # ASC) — so the cut keeps every row tying the S-th score
+            # before the tiebreak sort, and the shuffle shrinks from
+            # |Q|×N to |Q|×S×n_batches rows.
+            Sc = np.round(R @ Qn.T, 6)  # query · reconstructed candidate
+            frames = []
+            for qi in range(len(q_ids)):
+                m_self = ids != q_ids[qi]
+                c_ids, c_sc = ids[m_self], Sc[m_self, qi]
+                if len(c_ids) > PQ_SHORTLIST:
+                    kth = np.partition(c_sc, len(c_sc) - PQ_SHORTLIST)[
+                        len(c_sc) - PQ_SHORTLIST
+                    ]
+                    tied = c_sc >= kth  # keep boundary ties for the sort
+                    c_ids, c_sc = c_ids[tied], c_sc[tied]
+                order = np.lexsort((c_ids, -c_sc))[:PQ_SHORTLIST]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[qi],
+                            "cand_id": c_ids[order],
+                            "pq_score": c_sc[order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     scored = vecs.select("vec_id", "v").mapInPandas(score, schema=out_schema)
+    # pq_score arrives 6dp-rounded from the batch cut; ordering by it raw
+    # keeps the window's total order identical to the cut's
     w_short = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round("pq_score", 6)), F.asc("cand_id")
+        F.desc("pq_score"), F.asc("cand_id")
     )
     shortlist = (
         scored.withColumn("srk", F.row_number().over(w_short))
@@ -666,7 +709,9 @@ def ivfpq_topk_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     vecs = _vectors(spark, sf_dir)
-    books = _pq_codebooks(vecs)
+    books = _pq_codebooks(
+        vecs, cache_key=(spark.sparkContext.applicationId, sf_dir)
+    )
     # coarse quantizer state: k×dim label centroids, driver-side
     crows = (
         vecs.select("label", F.posexplode("v").alias("dim", "val"))

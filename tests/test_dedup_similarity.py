@@ -549,3 +549,61 @@ def test_bitmask_verify_equals_array_verify(spark, sf_correct):
         for r in _jaccard_verify(rel, cands, 0.8, None).collect()
     }
     assert via_mask == via_array and via_mask
+
+
+@pytest.mark.parametrize("v_size", [63, 64, 65])
+def test_bitmask_verify_boundary(spark, v_size):
+    """The adaptive-verify switch point (VERDICT r06 item 7): vocabularies
+    of exactly 63/64/65 tokens straddle the one-BIGINT bitmask capacity.
+    ``_small_vocab`` must choose the bitmask form iff V ≤ 63 (bit 62 is
+    the last sign-safe bit), and BOTH verify representations must emit the
+    exact same pair set as a set-algebra Python twin — including planted
+    pairs that sit exactly ON the 0.8 threshold and a doc that uses every
+    vocabulary slot (bit 62 set on the 63-token side of the switch)."""
+    import random
+
+    vocab = [f"t{i:03d}" for i in range(v_size)]
+    rng = random.Random(v_size * 1000 + 7)
+    rows = []
+    for d in range(40):
+        k = rng.randint(1, v_size)
+        rows.append((d, sorted(rng.sample(vocab, k))))
+    # exact-threshold pair: J(4-set, 5-superset) = 4/5 = 0.8 precisely
+    rows.append((100, sorted(vocab[:4])))
+    rows.append((101, sorted(vocab[:5])))
+    # full-vocabulary doc: exercises the highest bit the mask can hold
+    rows.append((102, sorted(vocab)))
+    rows.append((103, sorted(vocab[: v_size - 1])))
+    rel = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in rows],
+        "doc_id LONG, toks ARRAY<STRING>, n INT",
+    )
+    sv = D._small_vocab(rel)
+    assert (sv is not None) == (v_size <= 63)
+    if sv is not None:
+        assert sv == vocab  # sorted, complete, bit-stable
+
+    ids = [d for d, _ in rows]
+    cands = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]],
+        "doc_a LONG, doc_b LONG",
+    )
+    tokmap = {d: set(t) for d, t in rows}
+    truth = sorted(
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if len(tokmap[a] & tokmap[b]) / len(tokmap[a] | tokmap[b]) >= 0.8
+    )
+    assert truth, "fixture must plant at least one qualifying pair"
+
+    def verified(small_vocab):
+        return sorted(
+            map(tuple, D._jaccard_verify(rel, cands, 0.8, small_vocab).collect())
+        )
+
+    # the hash-array path is the always-valid reference; the bitmask path
+    # must agree with it (and with the twin) wherever it is eligible
+    assert verified(None) == truth
+    if sv is not None:
+        assert verified(sv) == truth

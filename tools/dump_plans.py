@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_embedding",
     "dedup_embedding_lsh",
     "similarity_topk_ivf",
+    "pq_topk_listing",  # production ADC listing (registered key: similarity_topk_pq)
     "corpus_drift_chi2",
     "pmi_bigrams",
     "zipf_slope",
@@ -332,6 +333,10 @@ NOTES = {
     "broadcast",
     "zipf_slope": "word-count aggregate, TakeOrdered head (V=200), one "
     "bounded single-partition rank window, one regr_slope aggregate",
+    "pq_topk_listing": "ADC scan emits per-batch partial top-PQ_SHORTLIST "
+    "from the Arrow generator (r07): the per-query window shuffles "
+    "|Q|×S×n_batches rows, not |Q|×N; codebooks memoized per session; "
+    "re-rank joins broadcast the shortlist and query set",
 }
 
 
@@ -348,10 +353,13 @@ def main() -> None:
            ""]
     from parallel_map_reduce_word_counter_for_one_machine_spark.operators import (
         dedup as _dedup,
+        similarity as _similarity,
     )
 
     for name in HEADLINE:
-        fn = registry.QUERIES.get(name) or getattr(_dedup, name)
+        fn = registry.QUERIES.get(name) or getattr(
+            _dedup, name, None
+        ) or getattr(_similarity, name)
         plan = plan_string(fn(spark, sf_dir), mode="simple")
         out.append(f"## {name}")
         out.append("")
