@@ -55,6 +55,25 @@ from .similarity import (
 )
 
 
+def _write_driver_table(path: str, table) -> None:
+    """Write a DRIVER-STATE sidecar table (codebooks, centroids, stats —
+    k×dim artifacts that never leave the driver) as one parquet file via
+    pyarrow, bypassing the Spark job entirely. A ``createDataFrame(rows)
+    .coalesce(1).write`` of the same rows costs ~5 s at local[32]: the
+    local relation pickles into defaultParallelism slices and the single
+    coalesced write task decodes all 32 SEQUENTIALLY through the Python
+    worker (measured; at local[4] the same write is 0.9 s). Spark reads
+    the pyarrow file identically (standard parquet LIST/primitive types;
+    round-trip pinned in tests/test_annindex.py)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(path, ignore_errors=True)  # overwrite semantics
+    os.makedirs(path)
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+
+
 # kmeans coarse quantizer: more cells than the 10 labels ⇒ deeper
 # partition pruning (a probe opens n_probe/n_cells of the files instead of
 # IVFPQ_N_PROBE/10). At 100 TB the knob is n_cells ≈ sqrt(N) (FAISS
@@ -210,20 +229,24 @@ def build_ivfpq_index(
 
     if vecs is None:
         vecs = _vectors(spark, sf_dir)
-    first = vecs.select(F.size("v").alias("d")).first()
-    dim = int(first.d)
-    assert dim % pq_m == 0
-    cell_ids, C, Cn = _coarse_centroids(spark, vecs, n_cells, dim)
-    dsub = dim // pq_m
-
     # residual training sample (bounded, deterministic — same cap/policy
-    # as similarity._pq_codebooks)
+    # as similarity._pq_codebooks); the vector dimension comes from the
+    # sample's first row, so no separate dim-probe job runs
     srows = (
         vecs.orderBy("vec_id")
         .limit(train_cap)
         .select("vec_id", "v", "label")
         .collect()
     )
+    if not srows:
+        raise ValueError(
+            "build_ivfpq_index: no vectors were indexed (empty corpus) — "
+            "an index needs ≥1 encodable vector"
+        )
+    dim = len(srows[0].v)
+    assert dim % pq_m == 0
+    cell_ids, C, Cn = _coarse_centroids(spark, vecs, n_cells, dim)
+    dsub = dim // pq_m
     train_max_id = max((int(r.vec_id) for r in srows), default=-1)
     S = np.array([r.v for r in srows], dtype=np.float64)
     nrm = np.linalg.norm(S, axis=1, keepdims=True)
@@ -242,33 +265,57 @@ def build_ivfpq_index(
     # quantization noise (measured in tests/test_annindex_bulk.py).
     books = _train_residual_codebooks(Sn - Cn[s_cells], n_m=pq_m)
 
-    # 1. codebooks table
-    cb_rows = [
-        (int(m), int(k), [float(x) for x in books[m, k]])
-        for m in range(books.shape[0])
-        for k in range(books.shape[1])
-    ]
-    spark.createDataFrame(cb_rows, "m INT, k INT, sub ARRAY<DOUBLE>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(os.path.join(index_root, "codebooks"))
+    import pyarrow as pa
+
+    # 1. codebooks table (driver-state sidecar: pyarrow write, no job)
+    _write_driver_table(
+        os.path.join(index_root, "codebooks"),
+        pa.table(
+            {
+                "m": pa.array(
+                    [m for m in range(books.shape[0]) for _ in range(books.shape[1])],
+                    pa.int32(),
+                ),
+                "k": pa.array(
+                    [k for _ in range(books.shape[0]) for k in range(books.shape[1])],
+                    pa.int32(),
+                ),
+                "sub": pa.array(
+                    [
+                        [float(x) for x in books[m, k]]
+                        for m in range(books.shape[0])
+                        for k in range(books.shape[1])
+                    ],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+    )
 
     # 2. coarse-quantizer centroids (raw; every consumer re-normalizes the
     # same float64 values, so encode and probe see bit-identical ĉ)
-    c_rows = [
-        (int(cell_ids[i]), [float(x) for x in C[i]]) for i in range(len(C))
-    ]
-    spark.createDataFrame(
-        c_rows, "cell LONG, centroid ARRAY<DOUBLE>"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(index_root, "centroids")
+    _write_driver_table(
+        os.path.join(index_root, "centroids"),
+        pa.table(
+            {
+                "cell": pa.array([int(c) for c in cell_ids], pa.int64()),
+                "centroid": pa.array(
+                    [[float(x) for x in row] for row in C],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
     )
 
     # 3. codes, one distributed encode pass (shared with append),
-    # partitioned by cell
+    # partitioned by cell — persisted so the stats aggregate below reads
+    # the in-memory codes instead of re-listing + re-scanning the fresh
+    # parquet (same values: qerr is a written column)
     use_kmeans = n_cells is not None
-    _encode_codes(vecs, books, cell_ids, Cn, pq_m, use_kmeans).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(os.path.join(index_root, "codes"))
+    enc = _encode_codes(vecs, books, cell_ids, Cn, pq_m, use_kmeans).persist()
+    enc.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_root, "codes")
+    )
 
     # 4. stats: the build-time reference point for the append drift gate —
     # quantizer mode plus the indexed corpus's mean residual quantization
@@ -280,28 +327,28 @@ def build_ivfpq_index(
     # A corpus small enough to sit entirely inside train_cap has no
     # held-out rows; fall back to the full mean (the gate is then
     # conservative, which tiny corpora can afford — re-training is cheap).
-    codes_df = spark.read.parquet(os.path.join(index_root, "codes"))
-    held = codes_df.filter(F.col("vec_id") > train_max_id)
+    held = enc.filter(F.col("vec_id") > train_max_id)
     index_err = held.agg(F.avg("qerr").alias("e")).collect()[0].e
     if index_err is None:
-        index_err = codes_df.agg(F.avg("qerr").alias("e")).collect()[0].e
+        index_err = enc.agg(F.avg("qerr").alias("e")).collect()[0].e
+    enc.unpersist()
     if index_err is None:  # both averages NULL ⇔ zero rows were indexed
         raise ValueError(
             "build_ivfpq_index: no vectors were indexed (empty corpus or "
             "all zero-norm embeddings) — an index needs ≥1 encodable vector"
         )
-    spark.createDataFrame(
-        [
-            (
-                ("kmeans" if use_kmeans else "label"),
-                int(pq_m),
-                int(dim),
-                float(index_err),
-            )
-        ],
-        "quantizer STRING, pq_m INT, dim INT, index_err DOUBLE",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(index_root, "stats")
+    _write_driver_table(
+        os.path.join(index_root, "stats"),
+        pa.table(
+            {
+                "quantizer": pa.array(
+                    ["kmeans" if use_kmeans else "label"], pa.string()
+                ),
+                "pq_m": pa.array([int(pq_m)], pa.int32()),
+                "dim": pa.array([int(dim)], pa.int32()),
+                "index_err": pa.array([float(index_err)], pa.float64()),
+            }
+        ),
     )
 
 
