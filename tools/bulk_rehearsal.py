@@ -1,0 +1,408 @@
+"""sf1.0-scale bulk rehearsal (VERDICT r06 item 1): measure — don't
+extrapolate — how the four superlinear-RISK families scale from a base
+fixture to a 10× fixture, and record per-family wall times, shuffle/input
+bytes (Spark REST API), and driver RSS to BULK_r7.json.
+
+Everything below sf0.1 was already correctness-proven (CORRECTNESS_r0*)
+and skew-proven (BULK_r6). What was still extrapolation is the SCALING
+LAW above sf0.1 for the families whose worst case is quadratic or
+iterative; this harness pins each one with a same-session base-vs-10×
+ratio, so the number is box-independent:
+
+* ``dedup_clusters_lsh`` — fixture grows the corpus by REPLICATING THE
+  NEAR-DUP FAMILY STRUCTURE, not the family SIZE: each copy's tokens are
+  prefixed ``c<copy>_``, so copies are vocabulary-disjoint and each
+  reproduces the base corpus's internal near-dup families in its own
+  token universe (10× docs ⇒ 10× families ⇒ ~10× candidate pairs — the
+  realistic growth axis; family-SIZE growth is the skew gate's axis,
+  BULK_r6's welded giant component). Base is 3 copies so BOTH tiers'
+  vocabularies exceed 63 tokens and take the hash-array verify (the
+  bitmask fast path would make the base tier incomparably cheap).
+  Correctness at both tiers: algorithm diversity (label-prop closure ==
+  large-star/small-star closure over the same verified edges, checked
+  DISTRIBUTED), every verified edge intra-cluster, cluster_id = min
+  member (the exact recursive-CTE oracle is O(n²·walk) — it lives at
+  sf0.01 in the driver gate, not here).
+* ``pagerank_parts`` — lineitem replicated with per-copy key offsets:
+  10 disjoint copies of the bipartite graph (10× nodes AND 10× edges,
+  constant diameter — how a real catalog grows). Checks: rank sum ≈ 1
+  per copy-normalized mass and node count = 10× base.
+* IVFPQ ``build`` + ``append`` — embeddings replicated with vec_id
+  offsets. Build should scale ~linearly (one distributed encode pass;
+  codebook training is CAP-BOUNDED driver work). Append of the SAME
+  batch onto the base and the 10× index should cost ~the same — the
+  claim that append work is batch-proportional, never index-proportional.
+* ``tokenizer_bpe_train`` — documents replicated VERBATIM (vocabulary
+  constant: real vocabularies grow sublinearly in corpus size). The
+  first word-count pass is corpus-linear; every merge iteration runs on
+  the VOCABULARY-sized relation, so train time should scale far BELOW
+  linear. Check: identical merge table at both scales (same vocab ⇒
+  same counts ×N ⇒ same argmaxes).
+
+Gate: big/base wall ratio ≤ 13 for 10× data per family (≤ 2 for the
+append pair), and merges/cluster checks green. N_RUNS=2, min taken —
+first run carries codegen; both recorded.
+
+Run: python tools/bulk_rehearsal.py   (writes BULK_r7.json; fixtures are
+built under /tmp/bulk_r7_fixtures and deleted on success).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import shutil
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXROOT = "/tmp/bulk_r7_fixtures"
+RATIO_LIMIT = 13.0
+APPEND_RATIO_LIMIT = 2.0
+N_RUNS = 2
+OFF = 10_000_000  # per-copy id offset (beyond any source id domain)
+
+
+def _rss_mb() -> float:
+    return round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+
+
+class StageMeter:
+    """Cumulative shuffle-write/input bytes via the Spark REST API; delta
+    between marks = the bytes a measured block moved."""
+
+    def __init__(self, spark):
+        self.base_url = spark.sparkContext.uiWebUrl
+        self.app_id = spark.sparkContext.applicationId
+        self._last = self._totals()
+
+    def _totals(self) -> dict:
+        try:
+            with urllib.request.urlopen(
+                f"{self.base_url}/api/v1/applications/{self.app_id}/stages"
+                "?status=complete",
+                timeout=10,
+            ) as r:
+                stages = json.load(r)
+        except Exception:
+            return {"shuffle_write_b": -1, "input_b": -1}
+        return {
+            "shuffle_write_b": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+            "input_b": sum(s.get("inputBytes", 0) for s in stages),
+        }
+
+    def delta(self) -> dict:
+        cur = self._totals()
+        out = {
+            k: (cur[k] - self._last[k] if cur[k] >= 0 and self._last[k] >= 0 else -1)
+            for k in cur
+        }
+        self._last = cur
+        return out
+
+
+def build_fixtures(spark) -> dict:
+    """All six fixture dirs, derived from /root/testdata/sf0.1 (read-only)."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    src = "/root/testdata/sf0.1"
+    meta = {}
+    os.makedirs(FIXROOT, exist_ok=True)
+
+    def rep(df, copies):
+        return df.crossJoin(
+            spark.range(copies).select(F.col("id").alias("copy"))
+        )
+
+    # clusters: vocabulary-disjoint copies (see module docstring)
+    docs = load_table(spark, src, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    for tier, copies in (("clusters_base", 3), ("clusters_big", 30)):
+        d = os.path.join(FIXROOT, tier)
+        pref = F.concat(F.lit("c"), F.col("copy").cast("string"), F.lit("_"))
+        newtext = F.array_join(
+            F.transform(toks, lambda t: F.concat(pref, t)), " "
+        )
+        rep(docs, copies).select(
+            (F.col("doc_id") + F.col("copy") * OFF).alias("doc_id"),
+            newtext.alias("text"),
+            "lang",
+            "source",
+            F.length(newtext).cast("long").alias("n_chars"),
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        meta[tier] = {"copies": copies, "n_docs": 5000 * copies}
+
+    # pagerank: disjoint graph copies via key offsets
+    li = load_table(spark, src, "lineitem")
+    for tier, copies in (("graph_base", 1), ("graph_big", 10)):
+        d = os.path.join(FIXROOT, tier)
+        rep(li, copies).select(
+            (F.col("l_orderkey") + F.col("copy") * OFF).alias("l_orderkey"),
+            (F.col("l_partkey") + F.col("copy") * OFF).alias("l_partkey"),
+            (F.col("l_suppkey") + F.col("copy") * OFF).alias("l_suppkey"),
+            "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+            "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+        ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        meta[tier] = {"copies": copies, "n_rows": 600_000 * copies}
+
+    # ivfpq: replicated embeddings (+ a fresh 1×-sized append batch)
+    emb = load_table(spark, src, "embeddings")
+    for tier, copies in (("vec_base", 10), ("vec_big", 100)):
+        d = os.path.join(FIXROOT, tier)
+        rep(emb, copies).select(
+            (F.col("vec_id") + F.col("copy") * OFF).alias("vec_id"),
+            "embedding",
+            "label",
+        ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+        meta[tier] = {"copies": copies, "n_vecs": 2000 * copies}
+
+    # bpe: verbatim replication (constant vocabulary)
+    for tier, copies in (("bpe_base", 100), ("bpe_big", 1000)):
+        d = os.path.join(FIXROOT, tier)
+        rep(docs, copies).select(
+            (F.col("doc_id") + F.col("copy") * OFF).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        meta[tier] = {"copies": copies, "n_docs": 5000 * copies}
+    return meta
+
+
+def _timed(fn, n=N_RUNS):
+    times, out = [], None
+    for _ in range(n):
+        t0 = time.monotonic()
+        out = fn()
+        times.append(round(time.monotonic() - t0, 3))
+    return out, times
+
+
+def check_clusters(spark, fix: str, clusters_df) -> dict:
+    """Distributed closure checks (the BULK_r6 tier-2 trio, scaled)."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators import (
+        dedup as D,
+        graphdedup as G,
+    )
+
+    cm = clusters_df.select("doc_id", "cluster_id").localCheckpoint()
+    pairs = D.lsh_verified_pairs(spark, fix).localCheckpoint()
+    star = G.connected_components_star(G._sym_edges(pairs)).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    div_ok = (
+        cm.exceptAll(star).limit(1).count() == 0
+        and star.exceptAll(cm).limit(1).count() == 0
+    )
+    ca = cm.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("x"))
+    cb = cm.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("y"))
+    edge_bad = (
+        pairs.join(ca, "doc_a").join(cb, "doc_b")
+        .filter(F.col("x") != F.col("y")).limit(1).count()
+    )
+    min_bad = cm.filter(F.col("cluster_id") > F.col("doc_id")).limit(1).count()
+    return {
+        "n_pairs": pairs.count(),
+        "bigstar_identical": bool(div_ok),
+        "every_edge_intra_cluster": edge_bad == 0,
+        "cluster_id_is_min_member": min_bad == 0,
+    }
+
+
+def main() -> int:
+    import importlib.util
+
+    from pyspark.sql import SparkSession
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators import (
+        annindex as A,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    registry.load_all()
+    # get_spark conf + UI enabled (the REST stage metrics need it)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bulk-rehearsal-r7")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.QUERIES
+    payload = {
+        "gate": {"ratio_limit": RATIO_LIMIT, "append_ratio_limit": APPEND_RATIO_LIMIT},
+        "fixtures": build_fixtures(spark),
+        "families": {},
+        "driver_maxrss_mb": {"after_fixtures": _rss_mb()},
+    }
+    meter = StageMeter(spark)
+    fams = payload["families"]
+    ok_all = True
+
+    def family(name, base_fn, big_fn, limit=RATIO_LIMIT, extra=None):
+        nonlocal ok_all
+        meter.delta()
+        base_out, base_t = _timed(base_fn)
+        base_io = meter.delta()
+        big_out, big_t = _timed(big_fn)
+        big_io = meter.delta()
+        ratio = round(min(big_t) / max(min(base_t), 1e-9), 2)
+        entry = {
+            "base": {"times_sec": base_t, "best_sec": min(base_t), "io": base_io},
+            "big": {"times_sec": big_t, "best_sec": min(big_t), "io": big_io},
+            "wall_ratio_big_over_base": ratio,
+            "ratio_ok": ratio <= limit,
+        }
+        if extra:
+            entry.update(extra(base_out, big_out))
+        ok = entry["ratio_ok"] and all(
+            v for k, v in entry.items() if k.endswith("_ok")
+        )
+        ok_all &= ok
+        fams[name] = entry
+        payload["driver_maxrss_mb"][f"after_{name}"] = _rss_mb()
+        print(f"{'ok ' if ok else 'FAIL'} {name:22s} base {min(base_t):8.2f}s "
+              f"big {min(big_t):8.2f}s ratio {ratio}x", flush=True)
+
+    # --- dedup_clusters_lsh: 15k docs (93-token vocab) vs 150k (930) ---
+    cb = os.path.join(FIXROOT, "clusters_base")
+    cg = os.path.join(FIXROOT, "clusters_big")
+
+    def _clusters_extra(base_df, big_df):
+        chk_b = check_clusters(spark, cb, base_df)
+        chk_g = check_clusters(spark, cg, big_df)
+        return {
+            "base_checks": chk_b,
+            "big_checks": chk_g,
+            "pairs_ratio": round(chk_g["n_pairs"] / max(chk_b["n_pairs"], 1), 2),
+            "closure_ok": all(
+                v for c in (chk_b, chk_g) for k, v in c.items() if k != "n_pairs"
+            ),
+        }
+
+    family(
+        "dedup_clusters_lsh",
+        lambda: qs["dedup_clusters_lsh"](spark, cb).localCheckpoint(),
+        lambda: qs["dedup_clusters_lsh"](spark, cg).localCheckpoint(),
+        extra=_clusters_extra,
+    )
+
+    # --- pagerank_parts: 21k-node graph vs 10 disjoint copies ---
+    gb = os.path.join(FIXROOT, "graph_base")
+    gg = os.path.join(FIXROOT, "graph_big")
+
+    def _pr_extra(base_df, big_df):
+        nb, ng = base_df.count(), big_df.count()
+        return {
+            "base_nodes": nb,
+            "big_nodes": ng,
+            "nodes_ok": ng == 10 * nb,
+        }
+
+    family(
+        "pagerank_parts",
+        lambda: qs["pagerank_parts"](spark, gb).localCheckpoint(),
+        lambda: qs["pagerank_parts"](spark, gg).localCheckpoint(),
+        extra=_pr_extra,
+    )
+
+    # --- IVFPQ build: 20k vs 200k vectors (fresh index_root per run) ---
+    vb = os.path.join(FIXROOT, "vec_base")
+    vg = os.path.join(FIXROOT, "vec_big")
+    roots = {"base": [], "big": []}
+
+    def _build(tier, fix):
+        root = os.path.join(FIXROOT, f"idx_{tier}_{len(roots[tier])}")
+        roots[tier].append(root)
+        A.build_ivfpq_index(spark, fix, root)
+        return root
+
+    family(
+        "ivfpq_build",
+        lambda: _build("base", vb),
+        lambda: _build("big", vg),
+    )
+
+    # --- IVFPQ append: SAME 2k batch onto the base and the 10× index ---
+    from pyspark.sql import functions as F
+
+    batch = (
+        load_table(spark, "/root/testdata/sf0.1", "embeddings")
+        .select(
+            (F.col("vec_id") + 999 * OFF).alias("vec_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            "label",
+        )
+        .localCheckpoint()
+    )
+    meter.delta()
+    g_base, t_ab = _timed(
+        lambda: A.append_to_ivfpq_index(spark, batch, roots["base"][0]), n=1
+    )
+    io_ab = meter.delta()
+    g_big, t_ag = _timed(
+        lambda: A.append_to_ivfpq_index(spark, batch, roots["big"][0]), n=1
+    )
+    io_ag = meter.delta()
+    ar = round(t_ag[0] / max(t_ab[0], 1e-9), 2)
+    app_ok = ar <= APPEND_RATIO_LIMIT and not g_base["retrain"] and not g_big["retrain"]
+    ok_all &= app_ok
+    fams["ivfpq_append"] = {
+        "base": {"times_sec": t_ab, "io": io_ab, "gate": g_base},
+        "big": {"times_sec": t_ag, "io": io_ag, "gate": g_big},
+        "wall_ratio_big_over_base": ar,
+        "ratio_ok": ar <= APPEND_RATIO_LIMIT,
+        "drift_gates_quiet_ok": not g_base["retrain"] and not g_big["retrain"],
+        "claim": "append cost is batch-proportional, not index-proportional",
+    }
+    payload["driver_maxrss_mb"]["after_ivfpq_append"] = _rss_mb()
+    print(f"{'ok ' if app_ok else 'FAIL'} ivfpq_append          base "
+          f"{t_ab[0]:8.2f}s big {t_ag[0]:8.2f}s ratio {ar}x", flush=True)
+
+    # --- BPE train: 500k docs vs 5M docs (~7 GB decoded text) ---
+    bb = os.path.join(FIXROOT, "bpe_base")
+    bg = os.path.join(FIXROOT, "bpe_big")
+
+    def _bpe_extra(base_df, big_df):
+        mb = [(r.iteration, r.left_sym, r.right_sym) for r in base_df.collect()]
+        mg = [(r.iteration, r.left_sym, r.right_sym) for r in big_df.collect()]
+        return {"merges_identical_ok": mb == mg, "n_merges": len(mb)}
+
+    family(
+        "tokenizer_bpe_train",
+        lambda: qs["tokenizer_bpe_train"](spark, bb).localCheckpoint(),
+        lambda: qs["tokenizer_bpe_train"](spark, bg).localCheckpoint(),
+        extra=_bpe_extra,
+    )
+
+    payload["all_green"] = bool(ok_all)
+    with open(os.path.join(REPO, "BULK_r7.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print("wrote BULK_r7.json; all green:", ok_all, flush=True)
+    if ok_all:
+        shutil.rmtree(FIXROOT, ignore_errors=True)
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
