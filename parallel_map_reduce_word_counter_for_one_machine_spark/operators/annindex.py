@@ -440,7 +440,8 @@ def delete_from_ivfpq_index(
     ``_STAGED_COMPLETE`` marker (written after the staging write finishes)
     tells ``_heal_delete_swap`` — run at the next delete's entry — whether
     to roll a torn swap FORWARD from the staged dir or BACK from the aside
-    copy. Torn-swap recovery is tested in tests/test_ann_lifecycle.py."""
+    copy. Torn-swap recovery is tested in tests/test_annindex.py::
+    test_delete_swap_crash_recovery."""
     import shutil
 
     codes_root = os.path.join(index_root, "codes")
