@@ -221,27 +221,36 @@ def kmeans_centroids(
             )
         )
         # Materialize the tiny centroid table: truncates the growing lineage
-        # (3 iterations of lazy plans would re-run every prior scan) and is
-        # the only collect in the algorithm — k×dim floats.
-        rows = cents.collect()
-        cents = vecs.sparkSession.createDataFrame(rows, cents.schema)
+        # (3 iterations of lazy plans would re-run every prior scan).
+        # localCheckpoint, NOT collect+createDataFrame: the round-trip
+        # re-entered the plan as a defaultParallelism-slice pickled local
+        # relation whose every downstream broadcast re-decoded through the
+        # Python worker (~1 s/iteration at local[32], measured — the
+        # annindex sidecar-write lesson applied to the iterative case).
+        cents = cents.localCheckpoint()
     return cents
 
 
 def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast centroids, argmin by cosine
-    distance via one window over the (corpus × k) candidate scores."""
+    """Nearest-centroid assignment: broadcast centroids, argmax by cosine
+    via ``max(struct(sim, -cell_id, v))`` — the SAME (sim DESC, cell_id
+    ASC) winner the old row_number window picked, but as a PARTIAL-
+    AGGREGABLE aggregate: map-side combine collapses each vec_id's k
+    candidate rows before the exchange, where the window shuffled and
+    sorted all corpus×k rows (v riding along) to rank them. v never
+    breaks a tie (cell_ids are distinct), it just rides in the winning
+    struct so no join-back is needed."""
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id",
-        "v",
-        "cell_id",
-        cosine(F.col("v"), F.col("centroid")).alias("sim"),
+        F.struct(
+            cosine(F.col("v"), F.col("centroid")).alias("sim"),
+            (-F.col("cell_id")).alias("negc"),
+            F.col("v"),
+        ).alias("cand"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", "cell_id")
+    best = scored.groupBy("vec_id").agg(F.max("cand").alias("b"))
+    return best.select(
+        "vec_id", F.col("b.v").alias("v"), (-F.col("b.negc")).alias("cell_id")
     )
 
 
