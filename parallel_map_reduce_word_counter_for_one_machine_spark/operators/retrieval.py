@@ -108,7 +108,9 @@ N_CAND = 20
 FINAL_K = 5
 
 
-def _hybrid_oracle() -> str:
+def _hybrid_ctes() -> str:
+    """The shared CTE chain through ``cs`` (query_id, doc_id, bm25, cos)
+    — consumed by the cosine-rerank oracle AND the RRF-fusion oracle."""
     from .embedprep import hashed_cte_sql
 
     return (
@@ -153,6 +155,11 @@ def _hybrid_oracle() -> str:
         ", 6) ELSE 0.0 END AS cos "
         "FROM dots d JOIN nrm nq ON nq.doc_id = d.query_id "
         "JOIN nrm nd ON nd.doc_id = d.doc_id) "
+    )
+
+
+def _hybrid_oracle() -> str:
+    return _hybrid_ctes() + (
         "SELECT query_id, rank, doc_id, bm25 AS bm25_score, "
         "cos AS cos_score FROM ("
         "SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
@@ -161,14 +168,12 @@ def _hybrid_oracle() -> str:
     )
 
 
-@query("hybrid_retrieval", oracle=_hybrid_oracle())
-def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage hybrid retrieval — the standard retrieve-then-rerank
-    architecture: BM25 over the query docs' terms selects N_CAND sparse
-    candidates per query, then a dense rerank by hashed-feature cosine
-    (``embedprep.hashed_features`` — the in-engine stand-in for a learned
-    encoder) keeps the FINAL_K best. Query docs are doc_id < N_Q; the doc
-    itself is excluded from its own candidates.
+def _hybrid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared two-stage candidate relation (query_id, doc_id, bm25,
+    cos): BM25 over the query docs' terms selects N_CAND sparse
+    candidates per query, then the dense hashed-feature cosine is scored
+    for exactly those candidates. Consumed by the cosine rerank
+    (``hybrid_retrieval``) and the RRF fusion (``hybrid_retrieval_rrf``).
 
     Scale shape: stage 1 touches only the probed posting lists (the query
     terms' rows of tf — broadcast query side), aggregates per (query,
@@ -274,6 +279,15 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos"),
         )
     )
+    return cs
+
+
+@query("hybrid_retrieval", oracle=_hybrid_oracle())
+def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval, cosine rerank: keep the FINAL_K
+    candidates with the best dense score (see ``_hybrid_scored`` for the
+    two-stage pipeline and its scale shape)."""
+    cs = _hybrid_scored(spark, sf_dir)
     fw = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
     return (
         cs.withColumn("rank", F.row_number().over(fw))
@@ -284,5 +298,67 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("bm25").alias("bm25_score"),
             F.col("cos").alias("cos_score"),
+        )
+    )
+
+
+# Reciprocal-rank-fusion constant (Cormack, Clarke & Büttcher, SIGIR'09:
+# k = 60 dominates the tested alternatives and is the standard default).
+RRF_K = 60
+
+
+def _rrf_oracle() -> str:
+    return _hybrid_ctes() + (
+        ", rk AS (SELECT query_id, doc_id, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY bm25 DESC, doc_id) AS INT) AS sparse_rank, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, doc_id) AS INT) AS dense_rank FROM cs) "
+        f"SELECT query_id, rank, doc_id, sparse_rank, dense_rank, "
+        "rrf_score FROM ("
+        f"SELECT *, round(1.0 / ({RRF_K} + sparse_rank) + "
+        f"1.0 / ({RRF_K} + dense_rank), 6) AS rrf_score, "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY "
+        f"1.0 / ({RRF_K} + sparse_rank) + 1.0 / ({RRF_K} + dense_rank) "
+        "DESC, doc_id) AS INT) AS rank FROM rk) "
+        f"WHERE rank <= {FINAL_K}"
+    )
+
+
+@query("hybrid_retrieval_rrf", oracle=_rrf_oracle())
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval, RECIPROCAL-RANK FUSION combiner — the
+    other standard way to merge a sparse and a dense ranking (Cormack et
+    al. SIGIR'09; the Elasticsearch/Vespa hybrid default): each candidate
+    scores Σᵢ 1/(RRF_K + rankᵢ) over the two per-query rankings, which
+    needs NO score calibration between BM25 and cosine (only ranks enter).
+
+    Scale shape: identical to ``hybrid_retrieval`` through the candidate
+    relation (posting-list-probed stage 1, candidate-scoped stage 2);
+    the fusion itself adds two rank windows and an arithmetic projection
+    over N_Q × N_CAND rows — bounded by the candidate budget, never the
+    corpus. Cross-engine floats: ranks are integers, the two reciprocal
+    terms are evaluated in the same order on both engines, and the fused
+    score is rounded 6dp; ties broken by doc_id."""
+    cs = _hybrid_scored(spark, sf_dir)
+    sw = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    dw = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    rk = cs.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(sw).cast("int").alias("sparse_rank"),
+        F.row_number().over(dw).cast("int").alias("dense_rank"),
+    )
+    fused = 1.0 / (RRF_K + F.col("sparse_rank")) + 1.0 / (
+        RRF_K + F.col("dense_rank")
+    )
+    fw = Window.partitionBy("query_id").orderBy(F.desc(fused), F.asc("doc_id"))
+    return (
+        rk.withColumn("rrf_score", F.round(fused, 6))
+        .withColumn("rank", F.row_number().over(fw).cast("int"))
+        .filter(F.col("rank") <= FINAL_K)
+        .select(
+            "query_id", "rank", "doc_id", "sparse_rank", "dense_rank",
+            "rrf_score",
         )
     )

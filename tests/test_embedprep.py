@@ -142,3 +142,72 @@ def test_doc_embedding_hashed_vs_python(spark, sf_dir):
     for d in docs:
         n = sum(1 for w in d.text.split(" ") if w)
         assert sum(abs(v) for (i, _), v in got.items() if i == d.doc_id) <= n
+
+
+def test_embedding_quantize_int8_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "embedding_quantize_int8",
+        registry.QUERIES["embedding_quantize_int8"],
+        registry.ORACLES["embedding_quantize_int8"],
+    )
+
+
+def test_embedding_quantize_int8_vs_numpy(spark, sf_dir):
+    """Independent twin: per-dim max-abs scales, floor(x+0.5) quantize,
+    reconstruction errors — per-label n_vecs/mse_e12/max_err_e12 must
+    match the engine exactly."""
+    import math
+
+    ids, labels, X = _load_np(spark, sf_dir)
+    scale = np.abs(X).max(axis=0)
+    safe = np.where(scale > 0, scale, 1.0)
+    q = np.floor(X / safe * 127 + 0.5)
+    deq = np.where(scale > 0, q * safe / 127, 0.0)
+    err = (X - deq) ** 2
+    want = {}
+    for lb in sorted(set(labels)):
+        m = labels == lb
+        e = err[m]
+        want[int(lb)] = (
+            int(m.sum()),
+            int(round(e.mean() * 1e12)),
+            int(round(e.max() * 1e12)),
+        )
+    got = {
+        r.label: (r.n_vecs, r.mse_e12, r.max_err_e12)
+        for r in registry.QUERIES["embedding_quantize_int8"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+
+
+def test_quantized_vectors_preserve_topk_recall(spark, sf_dir):
+    """The acceptance claim behind the report: ANN over DEQUANTIZED
+    vectors recovers almost all of the exact float top-10 (the int8 noise
+    floor sits far below inter-vector distance scale)."""
+    ids, _, X = _load_np(spark, sf_dir)
+    nrm = np.linalg.norm(X, axis=1)
+    ok = nrm > 0
+    ids, X = ids[ok], X[ok]
+    scale = np.abs(X).max(axis=0)
+    safe = np.where(scale > 0, scale, 1.0)
+    deq = np.where(scale > 0, np.floor(X / safe * 127 + 0.5) * safe / 127, 0.0)
+
+    def topk(M):
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        hits = {}
+        for qi in range(min(5, len(ids))):
+            sims = Mn @ Mn[qi]
+            sims[qi] = -2
+            order = np.argsort(np.round(-sims, 12), kind="stable")
+            hits[ids[qi]] = {int(ids[j]) for j in order[:10]}
+        return hits
+
+    exact, quant = topk(X), topk(deq)
+    inter = sum(len(exact[q] & quant[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    recall = inter / total
+    assert recall >= 0.9, f"int8 top-10 recall {recall:.2f} < 0.9"

@@ -96,3 +96,47 @@ def test_hybrid_retrieval_vs_python(spark, sf_dir):
         for r in registry.QUERIES["hybrid_retrieval"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_hybrid_rrf_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "hybrid_retrieval_rrf",
+        registry.QUERIES["hybrid_retrieval_rrf"],
+        registry.ORACLES["hybrid_retrieval_rrf"],
+    )
+
+
+def test_hybrid_rrf_fuses_the_candidate_rankings(spark, sf_dir):
+    """RRF must be a pure rank-space fusion of the SAME candidate relation
+    the cosine rerank consumes: recompute both per-query rankings from
+    ``_hybrid_scored`` in Python, fuse with 1/(60+r), and the engine's
+    top-FINAL_K (ranks, scores, order) must match exactly."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.retrieval import (
+        RRF_K,
+        _hybrid_scored,
+    )
+
+    cs = _hybrid_scored(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in cs:
+        by_q.setdefault(r.query_id, []).append(r)
+    want = []
+    for qid, rows in by_q.items():
+        sparse = sorted(rows, key=lambda r: (-r.bm25, r.doc_id))
+        dense = sorted(rows, key=lambda r: (-r.cos, r.doc_id))
+        sr = {r.doc_id: i + 1 for i, r in enumerate(sparse)}
+        dr = {r.doc_id: i + 1 for i, r in enumerate(dense)}
+        fused = sorted(
+            ((1.0 / (RRF_K + sr[r.doc_id]) + 1.0 / (RRF_K + dr[r.doc_id]),
+              r.doc_id) for r in rows),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (score, doc) in enumerate(fused[:5], start=1):
+            want.append((qid, rank, doc, sr[doc], dr[doc], round(score, 6)))
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.sparse_rank, r.dense_rank, r.rrf_score)
+        for r in registry.QUERIES["hybrid_retrieval_rrf"](spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(want)

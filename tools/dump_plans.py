@@ -91,6 +91,8 @@ HEADLINE = [
     "tokenizer_bpe_ids",
     "k_anonymity",
     "hybrid_retrieval",
+    "hybrid_retrieval_rrf",
+    "embedding_quantize_int8",
     "dim_scd2_build",
     "preference_pairs",
     "quantile_normalize_lengths",
@@ -337,6 +339,13 @@ NOTES = {
     "from the Arrow generator (r07): the per-query window shuffles "
     "|Q|×S×n_batches rows, not |Q|×N; codebooks memoized per session; "
     "re-rank joins broadcast the shortlist and query set",
+    "hybrid_retrieval_rrf": "same posting-list-probed stage 1 + "
+    "candidate-scoped stage 2 as hybrid_retrieval; the fusion adds two "
+    "rank windows + arithmetic over the N_Q×N_CAND candidate relation "
+    "only — rank-space, no score calibration",
+    "embedding_quantize_int8": "posexplode -> 64-row per-dim max "
+    "(broadcast back) -> one linear encode/error pass; both error stats "
+    "partial+final aggregates, driver state = the scale vector",
 }
 
 
