@@ -45,6 +45,13 @@ first run carries codegen; both recorded.
 
 Run: python tools/bulk_rehearsal.py   (writes BULK_r7.json; fixtures are
 built under /tmp/bulk_r7_fixtures and deleted on success).
+
+Optional second decade: ``python tools/bulk_rehearsal.py --clusters100x``
+runs ONLY the dedup_clusters_lsh family at base/10×/100× (1.5 M docs,
+9,300-token vocabulary, ~3.6 M verified pairs) and merges the extra tier
+into an existing BULK_r7.json — two measured decades for the family with
+the most quadratic risk. n=1 at 100× (the run is minutes, codegen noise
+is a rounding error at that scale).
 """
 
 from __future__ import annotations
@@ -217,6 +224,79 @@ def check_clusters(spark, fix: str, clusters_df) -> dict:
     }
 
 
+def _build_clusters_fixture(spark, tier: str, copies: int) -> str:
+    """One vocabulary-disjoint clusters fixture (the build_fixtures recipe,
+    callable standalone for the --clusters100x leg)."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    d = os.path.join(FIXROOT, tier)
+    pref = F.concat(F.lit("c"), F.col("copy").cast("string"), F.lit("_"))
+    newtext = F.array_join(F.transform(toks, lambda t: F.concat(pref, t)), " ")
+    docs.crossJoin(
+        spark.range(copies).select(F.col("id").alias("copy"))
+    ).select(
+        (F.col("doc_id") + F.col("copy") * OFF).alias("doc_id"),
+        newtext.alias("text"),
+        "lang",
+        "source",
+        F.length(newtext).cast("long").alias("n_chars"),
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def clusters_second_decade(spark) -> int:
+    """base (3 copies) → 10× (30) → 100× (300 copies, 1.5 M docs): the
+    two-decade scaling record for the LSH-clustering family. Merged into
+    the existing BULK_r7.json under families.dedup_clusters_lsh_decades."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+
+    registry.load_all()
+    fn = registry.QUERIES["dedup_clusters_lsh"]
+    out = {"tiers": {}, "fixture": "vocabulary-disjoint copies of sf0.1 docs"}
+    prev_best = None
+    ok_all = True
+    for tier, copies, n in (("base", 3, 2), ("x10", 30, 2), ("x100", 300, 1)):
+        fix = _build_clusters_fixture(spark, f"clusters_{tier}", copies)
+        df, times = _timed(lambda: fn(spark, fix).localCheckpoint(), n=n)
+        checks = check_clusters(spark, fix, df)
+        entry = {
+            "copies": copies,
+            "n_docs": 5000 * copies,
+            "times_sec": times,
+            "best_sec": min(times),
+            "checks": checks,
+        }
+        if prev_best is not None:
+            entry["wall_ratio_vs_prev_tier"] = round(min(times) / prev_best, 2)
+            entry["ratio_ok"] = entry["wall_ratio_vs_prev_tier"] <= RATIO_LIMIT
+            ok_all &= entry["ratio_ok"]
+        ok_all &= all(v for k, v in checks.items() if k != "n_pairs")
+        prev_best = min(times)
+        out["tiers"][tier] = entry
+        print(
+            f"{tier:5s} {5000 * copies:8d} docs best {min(times):8.2f}s "
+            f"pairs {checks['n_pairs']} ratio "
+            f"{entry.get('wall_ratio_vs_prev_tier', '-')}",
+            flush=True,
+        )
+    path = os.path.join(REPO, "BULK_r7.json")
+    payload = json.load(open(path)) if os.path.exists(path) else {"families": {}}
+    payload["families"]["dedup_clusters_lsh_decades"] = out
+    payload["second_decade_green"] = bool(ok_all)
+    with open(path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print("merged dedup_clusters_lsh_decades into BULK_r7.json; green:", ok_all)
+    if ok_all:
+        shutil.rmtree(FIXROOT, ignore_errors=True)
+    return 0 if ok_all else 1
+
+
 def main() -> int:
     import importlib.util
 
@@ -248,6 +328,8 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if "--clusters100x" in sys.argv:
+        return clusters_second_decade(spark)
     qs = registry.QUERIES
     payload = {
         "gate": {"ratio_limit": RATIO_LIMIT, "append_ratio_limit": APPEND_RATIO_LIMIT},
