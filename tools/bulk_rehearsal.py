@@ -250,6 +250,35 @@ def _build_clusters_fixture(spark, tier: str, copies: int) -> str:
     return d
 
 
+def _make_session(shuffle_partitions: int | None = None):
+    """get_spark conf + UI enabled (the REST stage metrics need it).
+    Driver memory 32g, not the package default 8g: this single local-mode
+    JVM IS the whole cluster here, and the 100× clusters tier's bucket
+    collect_list aggregate over 1.5 M docs needs real execution memory
+    across 32 concurrent tasks (measured: UNABLE_TO_ACQUIRE_MEMORY at 8g;
+    a real deployment has 32 GiB per EXECUTOR). NOTE the JVM heap is set
+    at FIRST JVM launch of the process — per-tier re-sessions inherit it."""
+    from pyspark.sql import SparkSession
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bulk-rehearsal-r7")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "32g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
 def clusters_second_decade(spark) -> int:
     """base (3 copies) → 10× (30) → 100× (300 copies, 1.5 M docs): the
     two-decade scaling record for the LSH-clustering family. Merged into
@@ -262,12 +291,32 @@ def clusters_second_decade(spark) -> int:
     prev_best = None
     ok_all = True
     for tier, copies, n in (("base", 3, 2), ("x10", 30, 2), ("x100", 300, 1)):
+        # Shuffle sized to the tier — the knob every 100 TB deployment
+        # turns (brief: "size spark.sql.shuffle.partitions so partitions
+        # fit in executor memory at the target SF"). A FIXED 32 at 100×
+        # put ~47 k docs of collect_list state in each aggregate task of
+        # one shared 24 g heap: measured 21.3× wall for 10× data (pure
+        # spill/GC — every closure check was green and pairs grew exactly
+        # 10×). AQE coalesces the small stages back down, so the higher
+        # setting doesn't tax the cheap tiers.
+        parts = {3: 32, 30: 64, 300: 512}[copies]
+        # FRESH context per tier: each tier's localCheckpoints (the pair
+        # relation, the collapsed-rep table, the returned cluster map)
+        # pin MEMORY_AND_DISK blocks for as long as Python references
+        # live; letting three tiers accumulate in one 32-thread JVM OOMed
+        # the 100× run (java.lang.OutOfMemoryError during a
+        # localCheckpoint) even at a heap the single tier fits in.
+        # Restarting the context between tiers is the local-mode stand-in
+        # for what tier isolation gets for free on a cluster.
+        spark.stop()
+        spark = _make_session(shuffle_partitions=parts)
         fix = _build_clusters_fixture(spark, f"clusters_{tier}", copies)
         df, times = _timed(lambda: fn(spark, fix).localCheckpoint(), n=n)
         checks = check_clusters(spark, fix, df)
         entry = {
             "copies": copies,
             "n_docs": 5000 * copies,
+            "shuffle_partitions": parts,
             "times_sec": times,
             "best_sec": min(times),
             "checks": checks,
@@ -311,23 +360,7 @@ def main() -> int:
     )
 
     registry.load_all()
-    # get_spark conf + UI enabled (the REST stage metrics need it)
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("bulk-rehearsal-r7")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "8g")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = _make_session()
     if "--clusters100x" in sys.argv:
         return clusters_second_decade(spark)
     qs = registry.QUERIES
