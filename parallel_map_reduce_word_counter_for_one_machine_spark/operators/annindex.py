@@ -64,14 +64,27 @@ def _write_driver_table(path: str, table) -> None:
     coalesced write task decodes all 32 SEQUENTIALLY through the Python
     worker (measured; at local[4] the same write is 0.9 s). Spark reads
     the pyarrow file identically (standard parquet LIST/primitive types;
-    round-trip pinned in tests/test_annindex.py)."""
+    round-trip pinned in tests/test_annindex.py).
+
+    Overwrite is ATOMIC-ish (ADVICE r07): the file is written into a temp
+    sibling dir and renamed over the target — a crash mid-write leaves the
+    previous table intact (plus a stale ``._tmp`` the next write clobbers),
+    never a half-written or missing component. The only residual window is
+    between the two renames, where the aside copy (``._old``) still holds
+    the previous table."""
     import shutil
 
     import pyarrow.parquet as pq
 
-    shutil.rmtree(path, ignore_errors=True)  # overwrite semantics
-    os.makedirs(path)
-    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+    tmp, old = path + "._tmp", path + "._old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 # kmeans coarse quantizer: more cells than the 10 labels ⇒ deeper
@@ -379,9 +392,17 @@ def append_to_ivfpq_index(
     frozen quantizers no longer fit the incoming distribution — the weekly
     re-train trigger of a real 100 TB vector store; the append itself
     still lands (a drifted batch is still searchable, just at degraded
-    recall, which beats being invisible)."""
+    recall, which beats being invisible).
+
+    Heals any torn delete swap FIRST (ADVICE r07): an append into a
+    crash-to-heal-window index would otherwise recreate ``cell=N`` with
+    only the new batch, making the next heal's dst-exists ⇒ swap-landed
+    inference silently drop the cell's pre-existing codes. Every entry
+    point of the index (append, delete, probe scan) heals on entry, so
+    that inference is always valid when heal itself runs."""
     import numpy as np
 
+    _heal_delete_swap(index_root)
     cb = spark.read.parquet(os.path.join(index_root, "codebooks")).collect()
     n_m = max(r.m for r in cb) + 1
     n_k = max(r.k for r in cb) + 1
@@ -438,10 +459,10 @@ def delete_from_ivfpq_index(
     renamed ASIDE into ``_codes_old/`` before the staged replacement moves
     in, and the aside copies are dropped only after every swap landed; a
     ``_STAGED_COMPLETE`` marker (written after the staging write finishes)
-    tells ``_heal_delete_swap`` — run at the next delete's entry — whether
-    to roll a torn swap FORWARD from the staged dir or BACK from the aside
-    copy. Torn-swap recovery is tested in tests/test_annindex.py::
-    test_delete_swap_crash_recovery."""
+    tells ``_heal_delete_swap`` — run at EVERY index entry point (append,
+    delete, probe scan; ADVICE r07) — whether to roll a torn swap FORWARD
+    from the staged dir or BACK from the aside copy. Torn-swap recovery is
+    tested in tests/test_annindex.py::test_delete_swap_crash_recovery."""
     import shutil
 
     codes_root = os.path.join(index_root, "codes")
@@ -492,7 +513,10 @@ def _heal_delete_swap(index_root: str) -> None:
     """Recover a delete whose partition swap was torn by a crash. The
     aside dir (``_codes_old/``) only ever holds cells whose swap was in
     flight; for each one: if the live partition exists the swap finished
-    (drop the aside copy); else roll forward from the staged dir when its
+    (drop the aside copy — valid ONLY because every index entry point
+    heals before touching ``codes/``, so nothing can have recreated the
+    live partition between the crash and this heal); else roll forward
+    from the staged dir when its
     completeness marker is present (a missing staged cell then means the
     cell legitimately emptied out), or roll the aside copy back when it
     is not. Idempotent — safe to run on a clean index or re-run after a
@@ -546,7 +570,13 @@ def probed_codes_scan(
     """The pruned scan: only ``cell=<id>/`` directories in ``cells`` are
     listed/opened (PartitionFilters; plan-asserted). Projects the probe's
     three columns so the per-vector ``qerr`` drift column never rides
-    along the hot path (column pruning reaches the parquet scan)."""
+    along the hot path (column pruning reaches the parquet scan).
+
+    Heals any torn delete swap first (ADVICE r07): a probe in the
+    crash-to-heal window would otherwise silently return results missing
+    the mid-swap cell. The heal is an os.path.isdir no-op on a clean
+    index — no per-probe cost."""
+    _heal_delete_swap(index_root)
     return (
         spark.read.parquet(os.path.join(index_root, "codes"))
         .filter(F.col("cell").isin([int(c) for c in cells]))

@@ -57,36 +57,51 @@ def _pairs_expr() -> F.Column:
 def _seq_expr() -> F.Column:
     """``word`` → the double-delimited character sequence (``||a||b||``) —
     the ONE definition of the delimiter scheme (train, encode, and ids
-    all build on it)."""
-    return F.concat(
-        F.regexp_replace(F.col("word"), "(.)", r"||$1"), F.lit("||")
-    )
+    all build on it).
+
+    Pipe content is ESCAPED into the symbol domain first: ``'|' ↦ ' '``
+    (ADVICE r07 — the previous rule silently DROPPED pipe-bearing words
+    from the vocabulary and, via the encode/ids inner joins, from the
+    outputs). A word can never contain a space (words come from
+    ``split(text, ' ')``), so the map is injective over the word domain
+    and exactly reversible — no corpus content is lost, and the delimiter
+    cannot alias with content. Training/merging runs entirely in the
+    escaped domain; output boundaries unmap emitted symbols with
+    ``_unescape_sym`` (train's left/right_sym, ids' subwords). Lengths
+    and counts are escape-invariant, so encode needs no unmap."""
+    esc = F.replace(F.col("word"), F.lit("|"), F.lit(" "))
+    return F.concat(F.regexp_replace(esc, "(.)", r"||$1"), F.lit("||"))
+
+
+def _unescape_sym(col: F.Column) -> F.Column:
+    """Escaped-domain symbol → original content (`' ' ↦ '|'`; exact
+    inverse of ``_seq_expr``'s escape since words never contain spaces)."""
+    return F.replace(col, F.lit(" "), F.lit("|"))
 
 
 def _apply_merges(merges: list[tuple]) -> F.Column:
     """``word`` → the fully-merged seq after replaying ``merges`` (the
-    chained greedy-leftmost ``replace`` fold — one codegen span)."""
+    chained greedy-leftmost ``replace`` fold — one codegen span).
+    ``merges`` carries CONTENT-domain symbols (train_bpe's contract);
+    the replay re-escapes them into the seq's symbol domain."""
     seq = _seq_expr()
     for _, a, b, _pc in merges:
-        seq = F.replace(seq, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+        ea, eb = a.replace("|", " "), b.replace("|", " ")
+        seq = F.replace(seq, F.lit(f"|{ea}||{eb}|"), F.lit(f"|{ea}{eb}|"))
     return seq
 
 
 def _corpus_words(d: DataFrame) -> DataFrame:
     """documents → the (word, c) vocabulary relation (the one corpus-scale
-    pass every BPE key starts from). Words containing the delimiter
-    character ``|`` are EXCLUDED from the vocabulary: a pipe inside token
-    content would alias into the ``|a||b|`` merge pattern and silently
-    corrupt symbol boundaries. Being absent from the vocab, such words
-    also drop from the encode/ids streams (inner join) — the same rule
-    on both engines (the oracle's words CTE carries the twin filter)."""
+    pass every BPE key starts from). ``word`` is the ORIGINAL content
+    (the encode/ids join key against the per-doc word stream); delimiter
+    safety is handled downstream by ``_seq_expr``'s reversible
+    ``'|' ↦ ' '`` escape, so pipe-bearing words participate fully —
+    nothing is dropped (ADVICE r07)."""
     return (
         d.select(
             F.explode(
-                F.filter(
-                    F.split("text", " "),
-                    lambda w: (w != "") & ~w.contains("|"),
-                )
+                F.filter(F.split("text", " "), lambda w: w != "")
             ).alias("word")
         )
         .groupBy("word")
@@ -96,7 +111,10 @@ def _corpus_words(d: DataFrame) -> DataFrame:
 
 def train_bpe(words: DataFrame, merges: int = BPE_MERGES) -> list[tuple]:
     """Learn ``merges`` BPE merges from a (word, c) vocabulary relation.
-    Returns [(iteration, left_sym, right_sym, pair_count), ...]."""
+    Returns [(iteration, left_sym, right_sym, pair_count), ...] with
+    symbols in CONTENT domain (the internal '|' ↦ ' ' delimiter escape is
+    unmapped at return, so the result matches a textbook BPE run on the
+    raw words — including pipe-bearing ones)."""
     seqed = words.select(
         _seq_expr().alias("seq"), "c"
     ).localCheckpoint()  # vocabulary-sized; base of every iteration
@@ -107,7 +125,15 @@ def train_bpe(words: DataFrame, merges: int = BPE_MERGES) -> list[tuple]:
             cur.select(F.explode(_pairs_expr()).alias("p"), "c")
             .groupBy("p.a", "p.b")
             .agg(F.sum("c").alias("pc"))
-            .orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
+            # tie-break in CONTENT domain (unmap before comparing): ' '
+            # and '|' sort differently, so an escaped-domain tie-break
+            # could pick a different argmax than a textbook run on the
+            # raw words whenever a pipe symbol ties
+            .orderBy(
+                F.desc("pc"),
+                F.asc(_unescape_sym(F.col("a"))),
+                F.asc(_unescape_sym(F.col("b"))),
+            )
             .limit(1)
             .collect()
         )
@@ -121,7 +147,8 @@ def train_bpe(words: DataFrame, merges: int = BPE_MERGES) -> list[tuple]:
             ).alias("seq"),
             "c",
         )
-    return out
+    # unmap the escaped symbol domain at the contract boundary (' ' ↦ '|')
+    return [(t, a.replace(" ", "|"), b.replace(" ", "|"), pc) for t, a, b, pc in out]
 
 
 def _bpe_ctes() -> str:
@@ -131,17 +158,17 @@ def _bpe_ctes() -> str:
     # exponentially in BPE_MERGES (same blowup as the GD oracle; see
     # selection._gd_oracle).
     parts = [
-        # delimiter safety: pipe-bearing words are excluded from the
-        # vocabulary (twin of _corpus_words' filter)
         "WITH words AS (SELECT word, count(*) AS c FROM ("
         "SELECT unnest(list_filter(string_split(text, ' '), "
-        "w -> w <> '' AND NOT contains(w, '|'))) "
+        "w -> w <> '')) "
         "AS word FROM documents) GROUP BY word)",
         # word is carried through the chain (inert for training — p{t}
         # projects only (s, c)) so the encode oracle can join lengths
         # back onto the per-doc word stream by the ORIGINAL word.
+        # Delimiter safety: the reversible '|' ↦ ' ' escape (twin of
+        # _seq_expr — words never contain spaces, so it is injective).
         "seq0 AS MATERIALIZED (SELECT word, "
-        "regexp_replace(word, '(.)', '||\\1', 'g') || '||' "
+        "regexp_replace(replace(word, '|', ' '), '(.)', '||\\1', 'g') || '||' "
         "AS seq, c FROM words)",
     ]
     for t in range(1, BPE_MERGES + 1):
@@ -154,8 +181,11 @@ def _bpe_ctes() -> str:
             "GROUP BY a, b)"
         )
         parts.append(
+            # tie-break in CONTENT domain (twin of train_bpe's unmapped
+            # ordering)
             f"m{t} AS MATERIALIZED (SELECT a, b, pc FROM p{t} "
-            "ORDER BY pc DESC, a, b LIMIT 1)"
+            "ORDER BY pc DESC, replace(a, ' ', '|'), replace(b, ' ', '|') "
+            "LIMIT 1)"
         )
         if t < BPE_MERGES:
             parts.append(_seq_step_cte(t))
@@ -185,7 +215,9 @@ def _bpe_oracle() -> str:
     iteration re-derives pairs from the previous rewrite and takes the
     same (count DESC, pair ASC) argmax."""
     sel = " UNION ALL ".join(
-        f"SELECT {t} AS iteration, a AS left_sym, b AS right_sym, "
+        # output boundary: unmap the escaped symbol domain (' ' ↦ '|')
+        f"SELECT {t} AS iteration, replace(a, ' ', '|') AS left_sym, "
+        f"replace(b, ' ', '|') AS right_sym, "
         f"pc AS pair_count FROM m{t}"
         for t in range(1, BPE_MERGES + 1)
     )
@@ -277,8 +309,11 @@ def _ids_oracle() -> str:
         _bpe_ctes()
         + _seq_final_cte()
         + (
+            # subwords unmap to original content (' ' ↦ '|') before the
+            # vocabulary rank — twin of the engine's _unescape_sym
             ", wsubs AS (SELECT word, "
-            "list_filter(string_split(seq, '|'), x -> x <> '') AS subs "
+            "list_transform(list_filter(string_split(seq, '|'), "
+            "x -> x <> ''), s -> replace(s, ' ', '|')) AS subs "
             f"FROM seq{BPE_MERGES})"
         )
         + (
@@ -336,7 +371,12 @@ def tokenizer_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_bpe(words)
     seq = _apply_merges(merges)
     wsubs = words.select(
-        "word", F.filter(F.split(seq, r"\|"), lambda s: s != "").alias("subs")
+        "word",
+        # output boundary: subwords unmap to original content (' ' ↦ '|')
+        # BEFORE the vocabulary rank, so token ids order by real content
+        F.transform(
+            F.filter(F.split(seq, r"\|"), lambda s: s != ""), _unescape_sym
+        ).alias("subs"),
     ).localCheckpoint()  # consumed by the vocab derivation AND the join
     vocab = global_rank(
         wsubs.select(F.explode("subs").alias("subword")).distinct(),
@@ -370,7 +410,7 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifying argmax ties, the greedy-leftmost rewrite, and the weighted
     pair counts cross-engine."""
     d = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(_corpus_words(d))
+    merges = train_bpe(_corpus_words(d))  # already content-domain symbols
     return spark.createDataFrame(
         merges, "iteration INT, left_sym STRING, right_sym STRING, pair_count BIGINT"
     )

@@ -324,12 +324,15 @@ def lsh_candidate_pairs(
     if n_hashes % n_bands != 0:
         raise ValueError(f"n_hashes={n_hashes} not divisible by n_bands={n_bands}")
     r = n_hashes // n_bands
-    # No sigs materialization: since the banded stream below is itself
-    # checkpointed, the signature subtree has exactly ONE consumer (the
-    # banded explode), so a sigs barrier would only add a job + a copy of
-    # n_hashes longs per doc. (Historically sigs fed the bucket groupBy
-    # AND the neighbor window directly — that fan-out now hangs off the
-    # banded checkpoint instead.)
+    # SIGS is the materialization point (r08 — flipped from the historical
+    # banded checkpoint): the signature relation is N rows × n_hashes
+    # longs, while the banded explode is N × n_bands rows — checkpointing
+    # the COMPACT side and re-deriving the explode per consumer (three
+    # potential consumers: bucket groupBy, over-cap size aggregate, and
+    # the rot-bearing over-cap recovery stream) moves ~n_bands× fewer
+    # bytes through storage, and the re-derives are pure map passes off
+    # the checkpoint (explode + r-value hash), never a recompute of the
+    # expensive shingle/tokenize subtree beneath sigs.
     # ONE transform over a band-index sequence, not n_bands hand-unrolled
     # struct literals: the unrolled form was n_bands × ~7 Column objects —
     # ~700 py4j round-trips PER CALL at 96 bands, profiled as ~1.5 s of
@@ -346,41 +349,48 @@ def lsh_candidate_pairs(
     # harmless extra candidates at 2⁻⁶⁴ odds).
     p = min(sort_prefix, n_hashes)
 
-    def band_struct(b: Column) -> Column:
+    def band_struct(b: Column, with_rot: bool) -> Column:
         base = b * r
-        return F.struct(
+        fields = [
             b.cast("int").alias("band_id"),
             F.xxhash64(
                 *[F.element_at("sig", (base + F.lit(i + 1)).cast("int")) for i in range(r)]
             ).alias("band_hash"),
+        ]
+        if with_rot:
             # Band-rotated sort key for sketch-sort neighbors. Starts at
             # the band's own slice (constant within a bucket — harmless)
             # and wraps; prefix-truncated to keep the shuffled row narrow.
-            F.array(
-                *[
-                    F.element_at(
-                        "sig", (F.pmod(base + F.lit(i), F.lit(n_hashes)) + 1).cast("int")
-                    )
-                    for i in range(p)
-                ]
-            ).alias("rot"),
-        )
+            fields.append(
+                F.array(
+                    *[
+                        F.element_at(
+                            "sig",
+                            (F.pmod(base + F.lit(i), F.lit(n_hashes)) + 1).cast("int"),
+                        )
+                        for i in range(p)
+                    ]
+                ).alias("rot")
+            )
+        return F.struct(*fields)
 
     bands = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)), band_struct
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: band_struct(b, False),
     )
     size_cols = ["n"] if size_ratio is not None else []
+    sigs = sigs.localCheckpoint()
+    # The main banded stream is NARROW — (doc_id[, n], band_id, band_hash),
+    # no rot (r08, the measured x100 fix): rot is 16 longs per row and
+    # exists ONLY for over-cap sketch-sort recovery, yet it used to ride
+    # through a full-stream checkpoint and the count-window shuffle+SORT of
+    # EVERY banded row — ~4 GB of state at 1.5 M docs × 16 bands in one
+    # shared local[32] heap, profiled (tools/stage_profile.py) as the heart
+    # of the 16.6×-for-10×-data candidates stage. The rot-bearing stream is
+    # re-derived below only for buckets that actually overflow.
     banded = sigs.select(
         "doc_id", *size_cols, F.explode(bands).alias("band")
-    ).select(
-        "doc_id", *size_cols, "band.band_id", "band.band_hash", "band.rot"
-    )
-    # Materialize the banded stream: it feeds BOTH the bucket groupBy and
-    # the neighbor windows (bucket-size prefilter + sorts). A/B at sf0.1:
-    # skipping this at 16 bands costs +0.8 s (the double explode + the
-    # count-window recompute exceed one stage barrier), and at 96 bands
-    # the gap is larger still. Rows are 4 narrow columns.
-    banded = banded.localCheckpoint()
+    ).select("doc_id", *size_cols, "band.band_id", "band.band_hash")
     member = (
         F.struct("doc_id", "n") if size_ratio is not None else F.col("doc_id")
     )
@@ -440,6 +450,31 @@ def lsh_candidate_pairs(
         .select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
     )
+    # Over-cap keys from a PARTIAL-AGGREGABLE count over the narrow
+    # checkpoint — not a whole-partition count window, which exchanged +
+    # SORTED every banded row just to learn bucket sizes (r08; the sort of
+    # the full rot-bearing stream was the dominant candidates-stage cost
+    # at the x100 decade). Map-side combine collapses this to one row per
+    # (partition, bucket) before the exchange.
+    overcap_keys = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") > max_bucket)
+        .select("band_id", "band_hash")
+    )
+    # The rot-bearing stream is re-derived ONLY for over-cap buckets: a
+    # map pass off the sigs checkpoint, executed at all only when the
+    # bounded driver probe inside _overcap_neighbor_pairs finds an
+    # overflow.
+    banded_wide = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: band_struct(b, True),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash", "band.rot")
     # Tie-break by a BAND-SEEDED hash of doc_id, not doc_id itself: docs
     # with equal sort prefixes (e.g. signature-identical groups) form tie
     # blocks, and a global doc_id tie-break would order every band's block
@@ -448,10 +483,11 @@ def lsh_candidate_pairs(
     # 16 bands was still missed under doc_id tie-break). A per-band shuffle
     # gives each band an independent 2W-window shot at every tie-block pair.
     neighbors = _overcap_neighbor_pairs(
-        banded,
+        banded_wide,
         part_keys=["band_id", "band_hash"],
         order_cols=[F.col("rot"), F.xxhash64("doc_id", "band_id")],
         max_bucket=max_bucket,
+        overcap_keys=overcap_keys,
     )
     out = core.union(neighbors)
     return out.distinct() if dedupe else out
@@ -464,6 +500,7 @@ def _overcap_neighbor_pairs(
     carry: tuple = (),
     max_bucket: int = MAX_BUCKET,
     n_neighbors: int = NEIGHBOR_W,
+    overcap_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Shared over-cap recovery for capped-bucket LSH (MinHash bands AND
     SimHash chunks): chain every bucket member to its ``n_neighbors``
@@ -472,32 +509,48 @@ def _overcap_neighbor_pairs(
     one end sits beyond ``max_bucket`` in doc_id rank — kept×kept chains
     are redundant by construction with the capped core enumeration, so the
     filter provably does not change the candidate set while cutting the
-    neighbor volume from O(N · buckets/doc · W) to O(tail · W). Both
-    windows share one exchange (same partition keys; the rank sort and
-    the locality sort are per-partition, sort-based and spillable — a
-    degenerate million-doc bucket costs one sort, never bucket² pairs).
+    neighbor volume from O(N · buckets/doc · W) to O(tail · W).
+
+    Over-cap detection (r08 — the measured x100 fix, tools/
+    stage_profile.py): a PARTIAL-AGGREGABLE groupBy count (``overcap_
+    keys`` — callers that already aggregated bucket sizes pass theirs),
+    NOT the previous whole-partition count window, which exchanged AND
+    sorted every banded row of the corpus just to learn bucket sizes —
+    the dominant candidates-stage cost at the 1.5 M-doc decade tier. A
+    bounded driver probe (the ``_small_vocab`` idiom — one limit(1) job
+    over the tiny aggregate) then SKIPS the whole recovery subtree when
+    no bucket overflows, the common case for a band key space sized to
+    the corpus; otherwise ``df`` is joined against the over-cap key set
+    (AQE broadcasts it when small) and only those buckets pay the two
+    sorts + lead/explode machinery. Dropping whole ≤cap buckets is
+    exactly result-preserving: the output filter keeps only pairs with
+    one end beyond ``max_bucket`` in doc_id rank, and lead() pairs never
+    cross buckets.
 
     ``df`` needs columns ``doc_id``, ``part_keys``, and whatever
     ``order_cols``/``carry`` reference. Output: (doc_a, doc_b) with
     doc_a < doc_b, plus ``{c}_a``/``{c}_b`` for every carried column."""
     from pyspark.sql.window import Window
 
-    # Restrict to OVER-CAP buckets before any sorting: the output filter
-    # keeps only pairs with one end beyond ``max_bucket`` in doc_id rank,
-    # and lead() pairs never cross buckets, so dropping whole ≤cap buckets
-    # is exactly result-preserving. The count window is sort-free (whole
-    # partition frame) and shares the hash exchange the rank/locality
-    # windows need anyway — in the common case where no bucket overflows
-    # (e.g. a band key space sized to the corpus), the two expensive sorts
-    # and the 2×n_neighbors lead/explode machinery then run over ~nothing
-    # (profiled: the dominant candidate-stage cost at 96 bands × 50 k
-    # vectors before this filter).
-    w_cnt = Window.partitionBy(*part_keys)
-    df = (
-        df.withColumn("_bucket_n", F.count("*").over(w_cnt))
-        .filter(F.col("_bucket_n") > max_bucket)
-        .drop("_bucket_n")
-    )
+    if overcap_keys is None:
+        overcap_keys = (
+            df.groupBy(*part_keys)
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .select(*part_keys)
+        )
+    if overcap_keys.limit(1).count() == 0:
+        # no bucket overflows: the recovery contributes nothing — return
+        # an EMPTY relation of the right shape without ever evaluating
+        # ``df`` (which may be a deliberately re-derived wide stream)
+        proto = df.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(c).alias(f"{c}_a") for c in carry],
+            *[F.col(c).alias(f"{c}_b") for c in carry],
+        )
+        return df.sparkSession.createDataFrame([], proto.schema)
+    df = df.join(overcap_keys, part_keys)
 
     w_rank = Window.partitionBy(*part_keys).orderBy("doc_id")
     w_sort = Window.partitionBy(*part_keys).orderBy(*order_cols)

@@ -636,7 +636,18 @@ def pq_topk_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ASC) — so the cut keeps every row tying the S-th score
             # before the tiebreak sort, and the shuffle shrinks from
             # |Q|×N to |Q|×S×n_batches rows.
-            Sc = np.round(R @ Qn.T, 6)  # query · reconstructed candidate
+            # Half-UP at 6dp — floor(x·1e6 + 0.5), NOT np.round: np.round
+            # is half-EVEN, while the module's stated float policy is
+            # F.round's HALF_UP (ADVICE r07). (Exact F.round equality is
+            # unattainable in numpy — BigDecimal rounds the double's
+            # shortest DECIMAL form, and ties-toward-+inf differs from
+            # away-from-zero on negative halves — but one half-up mode
+            # module-wide beats mixing half-even in. The cut and the
+            # downstream window use these same rounded values, so the
+            # partial-top-S proof is unaffected; the only registered
+            # consumer is the recall-bounded verdict.)
+            P = R @ Qn.T  # query · reconstructed candidate
+            Sc = np.floor(P * 1e6 + 0.5) / 1e6
             frames = []
             for qi in range(len(q_ids)):
                 m_self = ids != q_ids[qi]

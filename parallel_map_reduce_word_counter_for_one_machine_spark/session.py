@@ -20,6 +20,16 @@ Scale notes (100 TB):
 - ``spark.sql.autoBroadcastJoinThreshold`` — dims (region/nation/customer/
   part/supplier) stay broadcast-able even at SF100k; fact-fact joins
   shuffle on join keys.
+- ``spark.sql.adaptive.shuffledHashJoinLocalMapThreshold`` is deliberately
+  left at its 0 default (r08, MEASURED — tools/verify_ab.py): converting
+  the second-decade LSH verify's SMJ to a shuffled hash join looked like
+  the obvious sort-elimination win, but at 64 MB the conversion OOMed the
+  x100 tier — AQE first coalesces shuffle partitions toward 64 MB, so
+  each SHJ task builds a ~64 MB hash relation (3-5× in-memory
+  amplification) × 32 concurrent tasks in local mode's ONE shared heap.
+  SMJ's spill-safe sorts are the right local[32] trade (361 s for the
+  35 M-pair verify vs a heap-space crash); on a real cluster with
+  per-executor heaps the threshold is worth revisiting.
 - Arrow on: every Python-boundary crossing (pandas UDFs in dedup/
   similarity/multimodal) is Arrow-batched, never row-at-a-time pickling.
 """

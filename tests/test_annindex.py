@@ -357,3 +357,121 @@ def test_delete_swap_crash_recovery(spark, sf_dir, tmp_path):
     assert after2 == after1 - set(doomed2)
     assert not os.path.exists(oldroot) and not os.path.exists(staged)
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_heal_runs_at_append_and_probe_entry(spark, sf_dir, tmp_path):
+    """ADVICE r07 (medium): healing only at the next DELETE's entry left a
+    window where (a) an append into a torn index recreated ``cell=N`` with
+    only the new batch — making the eventual heal's dst-exists ⇒
+    swap-landed inference silently drop the cell's pre-existing codes —
+    and (b) a probe silently returned results missing the whole mid-swap
+    cell. Every index entry point now heals first; this constructs the
+    torn state twice and drives it through append and the probe scan."""
+    import shutil
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.annindex import (
+        _STAGED_MARKER,
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        probed_codes_scan,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.similarity import (
+        _vectors,
+    )
+
+    root = str(tmp_path / "entry_heal_idx")
+    build_ivfpq_index(spark, sf_dir, root, vecs=_vectors(spark, sf_dir))
+    codes_root = os.path.join(root, "codes")
+    staged = os.path.join(root, "_codes_staged")
+    oldroot = os.path.join(root, "_codes_old")
+    before = {
+        r.vec_id: r.cell
+        for r in spark.read.parquet(codes_root).select("vec_id", "cell").collect()
+    }
+    by_cell: dict = {}
+    for vid, cell in sorted(before.items()):
+        by_cell.setdefault(cell, []).append(vid)
+    cell_b = next(c for c, vs in sorted(by_cell.items()) if len(vs) >= 2)
+    doomed = [by_cell[cell_b][0]]
+
+    def tear():
+        """cell_b renamed aside, staged replacement complete but not yet
+        moved in — the exact mid-swap crash point."""
+        codes = spark.read.parquet(codes_root)
+        codes.filter(F.col("cell") == cell_b).filter(
+            ~F.col("vec_id").isin([int(v) for v in doomed])
+        ).write.mode("overwrite").partitionBy("cell").parquet(staged)
+        open(os.path.join(staged, _STAGED_MARKER), "w").close()
+        os.makedirs(oldroot, exist_ok=True)
+        os.rename(
+            os.path.join(codes_root, f"cell={cell_b}"),
+            os.path.join(oldroot, f"cell={cell_b}"),
+        )
+
+    # (a) append into the torn index: heal must roll cell_b forward FIRST,
+    # then land the batch — nothing pre-existing is lost
+    tear()
+    batch = _vectors(spark, sf_dir).limit(3).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "v", "label"
+    )
+    batch_ids = {r.vec_id for r in batch.select("vec_id").collect()}
+    append_to_ivfpq_index(spark, batch, root)
+    after_append = {
+        r.vec_id for r in spark.read.parquet(codes_root).select("vec_id").collect()
+    }
+    assert after_append == (set(before) - set(doomed)) | batch_ids
+    assert not os.path.exists(oldroot) and not os.path.exists(staged)
+
+    # (b) probe scan of the torn index: heal first, so the probed cell's
+    # surviving rows are all present (not silently missing)
+    doomed2 = [by_cell[cell_b][1]]
+    cellb_now = {
+        r.vec_id
+        for r in spark.read.parquet(codes_root)
+        .filter(F.col("cell") == cell_b)
+        .select("vec_id")
+        .collect()
+    }
+    codes = spark.read.parquet(codes_root)
+    codes.filter(F.col("cell") == cell_b).filter(
+        ~F.col("vec_id").isin([int(v) for v in doomed2])
+    ).write.mode("overwrite").partitionBy("cell").parquet(staged)
+    open(os.path.join(staged, _STAGED_MARKER), "w").close()
+    os.makedirs(oldroot, exist_ok=True)
+    os.rename(
+        os.path.join(codes_root, f"cell={cell_b}"),
+        os.path.join(oldroot, f"cell={cell_b}"),
+    )
+    got = {
+        r.vec_id
+        for r in probed_codes_scan(spark, root, [cell_b]).select("vec_id").collect()
+    }
+    assert got == cellb_now - set(doomed2)
+    assert not os.path.exists(oldroot) and not os.path.exists(staged)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_write_driver_table_atomic_overwrite(tmp_path):
+    """ADVICE r07 (low): _write_driver_table used rmtree-then-write, so a
+    crash between the two left the component missing. Now temp-sibling +
+    rename: an overwrite replaces content atomically-ish, stale temp dirs
+    from a previous crash are clobbered, and no ._tmp/._old residue
+    survives a successful write."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.annindex import (
+        _write_driver_table,
+    )
+
+    path = str(tmp_path / "stats")
+    _write_driver_table(path, pa.table({"x": pa.array([1, 2], pa.int64())}))
+    assert pq.read_table(path).column("x").to_pylist() == [1, 2]
+
+    # stale temp dir from a torn previous write must not block or corrupt
+    os.makedirs(path + "._tmp", exist_ok=True)
+    open(os.path.join(path + "._tmp", "garbage"), "w").write("x")
+    _write_driver_table(path, pa.table({"x": pa.array([7], pa.int64())}))
+    assert pq.read_table(path).column("x").to_pylist() == [7]
+    assert not os.path.exists(path + "._tmp")
+    assert not os.path.exists(path + "._old")

@@ -254,3 +254,60 @@ def test_oracles_survive_merge_exhaustion(spark, tmp_path, sf_dir):
         assert_matches_oracle(
             spark, d, key, registry.QUERIES[key], registry.ORACLES[key]
         )
+
+
+def test_pipe_content_participates(spark):
+    """ADVICE r07: pipe-bearing words were silently dropped from the
+    vocabulary (and, via the encode/ids inner joins, from the outputs).
+    The '|' ↦ ' ' escape keeps them — train_bpe must now match the
+    textbook Python reference on a pipe-heavy vocabulary, including
+    merges whose symbols contain '|' and tie-breaks against them."""
+    wc = {
+        "a|b": 10,   # pipe inside content
+        "||": 6,     # pipe-only word
+        "a|a|": 5,   # trailing pipe
+        "ab": 4,
+        "|b": 4,     # tie shape: '|'+'b' vs 'a'+'b' ordering
+    }
+    words = spark.createDataFrame(list(wc.items()), "word STRING, c BIGINT")
+    got = train_bpe(words, 6)
+    assert got == _py_bpe(wc.items(), 6)
+    # at least one learned symbol must actually carry a pipe
+    assert any("|" in a or "|" in b for _, a, b, _c in got)
+
+
+def test_pipe_corpus_all_keys_match_oracle(spark, tmp_path, sf_dir):
+    """Engine and DuckDB oracle must agree on a corpus WITH pipe content
+    for all three BPE keys (both run the same reversible escape), and the
+    encode output must count pipe-bearing words instead of dropping them."""
+    import os
+
+    import duckdb
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        TABLE_NAMES,
+    )
+
+    d = str(tmp_path)
+    for t in TABLE_NAMES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT * FROM (VALUES "
+        "(0, 'a|b a|b ab cd |x', 'en', 'src0', 16), "
+        "(1, 'a|b || cd cd', 'en', 'src0', 12)) "
+        "t(doc_id, text, lang, source, n_chars)) "
+        f"TO '{d}/documents.parquet' (FORMAT parquet)"
+    )
+    con.close()
+    for key in ("tokenizer_bpe_train", "tokenizer_bpe_encode", "tokenizer_bpe_ids"):
+        assert_matches_oracle(
+            spark, d, key, registry.QUERIES[key], registry.ORACLES[key]
+        )
+    # no word is dropped: every doc's n_words equals its whitespace count
+    got = {
+        r.doc_id: r.n_words
+        for r in registry.QUERIES["tokenizer_bpe_encode"](spark, d).collect()
+    }
+    assert got == {0: 5, 1: 4}

@@ -21,6 +21,7 @@ import pytest
 from parallel_map_reduce_word_counter_for_one_machine_spark import registry
 from parallel_map_reduce_word_counter_for_one_machine_spark.plans.inspect import (
     plan_string,
+    resolve_headline,
 )
 
 registry.load_all()
@@ -41,6 +42,13 @@ PINNED = [
     "event_funnel",
     "inverted_index",
     "dedup_chunks",
+    # VERDICT r07 item 6: the ADC/IVFPQ probe plans this family's r06/r07
+    # shuffle fixes shrank — an exchange reappearing fails CI here. Plan
+    # derivation builds the sf0.01 index once per session (the memoized
+    # ingest step); the listing names resolve via plans.inspect.
+    "pq_topk_listing",
+    "ivfpq_pruned_listing",
+    "ivfpq_kmeans_listing",
 ]
 
 # Node classes whose count IS the scale property. "Exchange hash/range/
@@ -76,7 +84,7 @@ def test_headline_plan_shape_matches_committed(spark, name):
     blocks = _committed_blocks()
     assert name in blocks, f"{name} missing from PLANS.md — rerun dump_plans"
     want = _counts(blocks[name])
-    live = plan_string(registry.QUERIES[name](spark, PLANS_SF), mode="simple")
+    live = plan_string(resolve_headline(name)(spark, PLANS_SF), mode="simple")
     got = _counts(live)
     assert got == want, (
         f"{name}: plan shape drifted from committed PLANS.md "

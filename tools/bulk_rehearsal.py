@@ -52,6 +52,15 @@ runs ONLY the dedup_clusters_lsh family at base/10×/100× (1.5 M docs,
 into an existing BULK_r7.json — two measured decades for the family with
 the most quadratic risk. n=1 at 100× (the run is minutes, codegen noise
 is a rounding error at that scale).
+
+Round 8: ``python tools/bulk_rehearsal.py --decades`` runs base/x10/x100
+for ALL FOUR families (r7 measured the second decade for clusters only —
+and it failed, proving x10 ratios don't predict x100), n=2 per tier
+(min; the r7 x100 n=1 confounded codegen warm-up into its 24.2× ratio),
+fresh context + tier-scaled shuffle partitions per tier, family
+invariants checked at every tier, and the ivfpq family additionally
+appends the SAME 2k batch at each tier (batch-proportionality across two
+decades). Writes BULK_r8.json progressively.
 """
 
 from __future__ import annotations
@@ -273,6 +282,8 @@ def _make_session(shuffle_partitions: int | None = None):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # NO shuffledHashJoinLocalMapThreshold: measured OOM at the x100
+        # tier (tools/verify_ab.py — see session.py's scale note)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -346,10 +357,250 @@ def clusters_second_decade(spark) -> int:
     return 0 if ok_all else 1
 
 
+def _build_graph_fixture(spark, tier: str, copies: int) -> str:
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+    d = os.path.join(FIXROOT, tier)
+    li.crossJoin(spark.range(copies).select(F.col("id").alias("copy"))).select(
+        (F.col("l_orderkey") + F.col("copy") * OFF).alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("copy") * OFF).alias("l_partkey"),
+        (F.col("l_suppkey") + F.col("copy") * OFF).alias("l_suppkey"),
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    return d
+
+
+def _build_vec_fixture(spark, tier: str, copies: int) -> str:
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    d = os.path.join(FIXROOT, tier)
+    emb.crossJoin(spark.range(copies).select(F.col("id").alias("copy"))).select(
+        (F.col("vec_id") + F.col("copy") * OFF).alias("vec_id"),
+        "embedding",
+        "label",
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+def _build_bpe_fixture(spark, tier: str, copies: int) -> str:
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    d = os.path.join(FIXROOT, tier)
+    docs.crossJoin(spark.range(copies).select(F.col("id").alias("copy"))).select(
+        (F.col("doc_id") + F.col("copy") * OFF).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def decades_all() -> int:
+    """VERDICT r07 items 1+5: TWO measured decades (base → x10 → x100) for
+    ALL FOUR superlinear-risk families — r7 ran x100 for clusters only,
+    and it failed its gate; r7's own finding was that x10 ratios don't
+    predict x100. Fresh context per tier (the r7 OOM lesson), tier-scaled
+    shuffle partitions, n=2 runs per tier (min taken — the r7 x100 n=1
+    confounded codegen warm-up into the 24.2× ratio), per-tier REST
+    shuffle/input bytes, and the family's own invariant checks at every
+    tier. Gate: wall_ratio_vs_prev_tier ≤ 13 per decade (append ≤ 2).
+    Writes BULK_r8.json progressively (one flush per family)."""
+    import numpy as np  # noqa: F401  (import check before hours of work)
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+
+    registry.load_all()
+    path = os.path.join(REPO, "BULK_r8.json")
+    payload = {
+        "gate": {"ratio_limit": RATIO_LIMIT, "append_ratio_limit": APPEND_RATIO_LIMIT},
+        "families": {},
+        "driver_maxrss_mb": {"start": _rss_mb()},
+        "n_runs_per_tier": 2,
+    }
+    ok_all = True
+    spark = _make_session()  # first launch pins the 32g heap
+
+    def flush():
+        payload["second_decade_green"] = bool(ok_all)
+        with open(path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+
+    def run_family(name, base_copies, parts_by_tier, build_fix, run_tier, check_tier):
+        nonlocal spark, ok_all
+        out = {"tiers": {}}
+        prev_best = None
+        base_ctx = {}
+        fam_ok = True
+        for ti, mult in enumerate((1, 10, 100)):
+            copies = base_copies * mult
+            tier = ("base", "x10", "x100")[ti]
+            spark.stop()
+            spark = _make_session(shuffle_partitions=parts_by_tier[ti])
+            fix = build_fix(spark, f"{name}_{tier}", copies)
+            meter = StageMeter(spark)
+            res, times = _timed(lambda: run_tier(spark, fix), n=2)
+            io = meter.delta()
+            checks = check_tier(spark, fix, res, copies, base_ctx)
+            entry = {
+                "copies": copies,
+                "shuffle_partitions": parts_by_tier[ti],
+                "times_sec": times,
+                "best_sec": min(times),
+                "io": io,
+                "checks": checks,
+            }
+            if prev_best is not None:
+                entry["wall_ratio_vs_prev_tier"] = round(min(times) / prev_best, 2)
+                entry["ratio_ok"] = entry["wall_ratio_vs_prev_tier"] <= RATIO_LIMIT
+                fam_ok &= entry["ratio_ok"]
+            fam_ok &= all(
+                bool(v) for k, v in checks.items() if k.endswith("_ok")
+            )
+            prev_best = min(times)
+            out["tiers"][tier] = entry
+            payload["driver_maxrss_mb"][f"after_{name}_{tier}"] = _rss_mb()
+            print(
+                f"{name:20s} {tier:5s} copies {copies:6d} best "
+                f"{min(times):8.2f}s ratio "
+                f"{entry.get('wall_ratio_vs_prev_tier', '-')} checks "
+                f"{ {k: v for k, v in checks.items() if k.endswith('_ok')} }",
+                flush=True,
+            )
+        out["family_green"] = bool(fam_ok)
+        ok_all &= fam_ok
+        payload["families"][f"{name}_decades"] = out
+        flush()
+
+    qs = registry.QUERIES
+
+    # --- dedup_clusters_lsh: vocabulary-disjoint copies (10× FAMILIES) ---
+    def clusters_run(spark, fix):
+        return qs["dedup_clusters_lsh"](spark, fix).localCheckpoint()
+
+    def clusters_check(spark, fix, res, copies, ctx):
+        chk = check_clusters(spark, fix, res)
+        chk["closure_ok"] = all(
+            v for k, v in chk.items() if k != "n_pairs"
+        )
+        return chk
+
+    run_family(
+        "dedup_clusters_lsh", 3, (32, 64, 512),
+        _build_clusters_fixture, clusters_run, clusters_check,
+    )
+
+    # --- pagerank_parts: disjoint graph copies (constant diameter) ---
+    def pr_run(spark, fix):
+        return qs["pagerank_parts"](spark, fix).localCheckpoint()
+
+    def pr_check(spark, fix, res, copies, ctx):
+        n = res.count()
+        if "base_nodes" not in ctx:
+            ctx["base_nodes"] = n
+            ctx["base_copies"] = copies
+        want = ctx["base_nodes"] * (copies // ctx["base_copies"])
+        return {"n_nodes": n, "nodes_ok": n == want}
+
+    run_family(
+        "pagerank_parts", 1, (32, 64, 256),
+        _build_graph_fixture, pr_run, pr_check,
+    )
+
+    # --- IVFPQ build + same-batch append per tier ---
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators import (
+        annindex as A,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    _idx_n = [0]
+
+    def ivf_run(spark, fix):
+        root = os.path.join(FIXROOT, f"idx_dec_{_idx_n[0]}")
+        _idx_n[0] += 1
+        A.build_ivfpq_index(spark, fix, root)
+        return root
+
+    def ivf_check(spark, fix, root, copies, ctx):
+        # SAME 2k batch appended at every tier: append wall must be
+        # batch-proportional (≤ APPEND_RATIO_LIMIT × the base tier's) and
+        # the drift gate quiet — the two-decade form of the r7 claim.
+        batch = (
+            load_table(spark, "/root/testdata/sf0.1", "embeddings")
+            .select(
+                (F.col("vec_id") + 999 * OFF).alias("vec_id"),
+                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+                "label",
+            )
+            .localCheckpoint()
+        )
+        t0 = time.monotonic()
+        gate = A.append_to_ivfpq_index(spark, batch, root)
+        append_sec = round(time.monotonic() - t0, 3)
+        if "append_base_sec" not in ctx:
+            ctx["append_base_sec"] = append_sec
+        ratio = round(append_sec / max(ctx["append_base_sec"], 1e-9), 2)
+        return {
+            "append_sec": append_sec,
+            "append_ratio_vs_base": ratio,
+            "append_ratio_ok": ratio <= APPEND_RATIO_LIMIT,
+            "drift_gate_quiet_ok": not gate["retrain"],
+            "drift_ratio": round(gate["drift_ratio"], 4),
+        }
+
+    run_family(
+        "ivfpq_build", 10, (32, 64, 256),
+        _build_vec_fixture, ivf_run, ivf_check,
+    )
+
+    # --- BPE train: verbatim replication (constant vocabulary) ---
+    def bpe_run(spark, fix):
+        return qs["tokenizer_bpe_train"](spark, fix).localCheckpoint()
+
+    def bpe_check(spark, fix, res, copies, ctx):
+        merges = [(r.iteration, r.left_sym, r.right_sym) for r in res.collect()]
+        if "base_merges" not in ctx:
+            ctx["base_merges"] = merges
+        return {
+            "n_merges": len(merges),
+            "merges_identical_ok": merges == ctx["base_merges"],
+        }
+
+    run_family(
+        "tokenizer_bpe_train", 100, (32, 64, 256),
+        _build_bpe_fixture, bpe_run, bpe_check,
+    )
+
+    flush()
+    print("wrote BULK_r8.json; second_decade_green:", ok_all, flush=True)
+    if ok_all:
+        shutil.rmtree(FIXROOT, ignore_errors=True)
+    return 0 if ok_all else 1
+
+
 def main() -> int:
     import importlib.util
 
     from pyspark.sql import SparkSession
+
+    if "--decades" in sys.argv:
+        return decades_all()
 
     from parallel_map_reduce_word_counter_for_one_machine_spark import registry
     from parallel_map_reduce_word_counter_for_one_machine_spark.operators import (

@@ -43,6 +43,8 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "similarity_topk_ivf",
     "pq_topk_listing",  # production ADC listing (registered key: similarity_topk_pq)
+    "ivfpq_pruned_listing",  # persisted-index probe (registered: similarity_topk_ivfpq_pruned)
+    "ivfpq_kmeans_listing",  # kmeans-quantizer probe (registered: similarity_topk_ivfpq_kmeans_pruned)
     "corpus_drift_chi2",
     "pmi_bigrams",
     "zipf_slope",
@@ -339,6 +341,13 @@ NOTES = {
     "from the Arrow generator (r07): the per-query window shuffles "
     "|Q|×S×n_batches rows, not |Q|×N; codebooks memoized per session; "
     "re-rank joins broadcast the shortlist and query set",
+    "ivfpq_pruned_listing": "persisted-index probe: partition-pruned codes "
+    "scan (PartitionFilters on cell=), Arrow ADC with per-batch partial "
+    "top-S, one per-query window over |Q|×S×n_batches, broadcast re-rank "
+    "joins — no corpus-wide exchange",
+    "ivfpq_kmeans_listing": "same probe plan against the kmeans-quantizer "
+    "index (deeper pruning: n_probe/n_cells of the files); pinned "
+    "separately so the two quantizer paths cannot drift apart",
     "hybrid_retrieval_rrf": "same posting-list-probed stage 1 + "
     "candidate-scoped stage 2 as hybrid_retrieval; the fusion adds two "
     "rank windows + arithmetic over the N_Q×N_CAND candidate relation "
@@ -360,15 +369,12 @@ def main() -> None:
            "the property that makes the plan scale; tests/test_plans.py pins the",
            "load-bearing ones.",
            ""]
-    from parallel_map_reduce_word_counter_for_one_machine_spark.operators import (
-        dedup as _dedup,
-        similarity as _similarity,
+    from parallel_map_reduce_word_counter_for_one_machine_spark.plans.inspect import (
+        resolve_headline,
     )
 
     for name in HEADLINE:
-        fn = registry.QUERIES.get(name) or getattr(
-            _dedup, name, None
-        ) or getattr(_similarity, name)
+        fn = resolve_headline(name)
         plan = plan_string(fn(spark, sf_dir), mode="simple")
         out.append(f"## {name}")
         out.append("")
