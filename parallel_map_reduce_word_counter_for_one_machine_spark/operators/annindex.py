@@ -87,6 +87,23 @@ def _write_driver_table(path: str, table) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def _read_driver_table(path: str) -> list[dict]:
+    """Read a driver-state sidecar table back as row dicts via pyarrow —
+    the read twin of ``_write_driver_table`` (r08): these k×dim artifacts
+    never leave the driver, yet the probe/append paths read them through
+    ``spark.read.parquet(...).collect()`` — three scheduler round-trips
+    (~1 s of the cold probe) for a few KB. Reads every part file so
+    Spark-written dirs (e.g. pre-r07 indexes) stay readable; Spark can
+    still read these tables itself (round-trip pinned in tests)."""
+    import pyarrow.parquet as pqt
+
+    rows: list[dict] = []
+    for name in sorted(os.listdir(path)):
+        if name.endswith(".parquet") and not name.startswith("_"):
+            rows.extend(pqt.read_table(os.path.join(path, name)).to_pylist())
+    return rows
+
+
 # kmeans coarse quantizer: more cells than the 10 labels ⇒ deeper
 # partition pruning (a probe opens n_probe/n_cells of the files instead of
 # IVFPQ_N_PROBE/10). At 100 TB the knob is n_cells ≈ sqrt(N) (FAISS
@@ -117,26 +134,47 @@ KMEANS_TRAIN_PER_CELL = 128
 
 
 def _coarse_centroids(
-    spark: SparkSession, vecs: DataFrame, n_cells: int | None, dim: int
+    spark: SparkSession,
+    vecs: DataFrame,
+    n_cells: int | None,
+    dim: int,
+    full_sample=None,
 ):
     """(cell_ids, C raw, Cn normalized) for either quantizer mode: trained
     k-means cells, or the label column's per-label means (distributed agg,
-    collected — cells×dim driver state either way)."""
+    collected — cells×dim driver state either way).
+
+    ``full_sample``: rows the caller ALREADY collected that are known to
+    cover the whole corpus (build_ivfpq_index's residual-training sample
+    when limit(cap) returned fewer than cap rows) — k-means then runs
+    straight on them (similarity._kmeans_rows, same values as the
+    DataFrame path's literal round-trip), skipping the count + re-collect
+    jobs. At scale the sample never covers the corpus and the subsampled
+    distributed path below runs instead (r08, ivfpq_kmeans_probe cold)."""
     import numpy as np
 
+    from .similarity import _kmeans_rows
+
     if n_cells is not None:
-        n = vecs.count()
-        cap = KMEANS_TRAIN_PER_CELL * n_cells
-        train = vecs
-        if n > cap:
-            step = max(2, n // cap)
-            # hash-of-id sample: id-domain-shape-independent (r05 advice)
-            train = vecs.filter(
-                F.pmod(F.xxhash64(F.col("vec_id")), F.lit(step)) == 0
-            )
-        crows = kmeans_centroids(train, k=n_cells, iters=3, dim=dim).collect()
-    else:
-        crows = label_centroids(vecs).collect()  # (cell_id, centroid) rows
+        if full_sample is not None:
+            ids, C = _kmeans_rows(full_sample, k=n_cells, iters=3)
+            cell_ids = np.array([int(c) for c in ids])
+        else:
+            n = vecs.count()
+            cap = KMEANS_TRAIN_PER_CELL * n_cells
+            train = vecs
+            if n > cap:
+                step = max(2, n // cap)
+                # hash-of-id sample: id-domain-shape-independent (r05 advice)
+                train = vecs.filter(
+                    F.pmod(F.xxhash64(F.col("vec_id")), F.lit(step)) == 0
+                )
+            crows = kmeans_centroids(train, k=n_cells, iters=3, dim=dim).collect()
+            cell_ids = np.array([int(r.cell_id) for r in crows])
+            C = np.array([r.centroid for r in crows], dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        return cell_ids, C, Cn
+    crows = label_centroids(vecs).collect()  # (cell_id, centroid) rows
     cell_ids = np.array([int(r.cell_id) for r in crows])
     C = np.array([r.centroid for r in crows], dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
@@ -258,7 +296,13 @@ def build_ivfpq_index(
         )
     dim = len(srows[0].v)
     assert dim % pq_m == 0
-    cell_ids, C, Cn = _coarse_centroids(spark, vecs, n_cells, dim)
+    # limit(train_cap) returning FEWER than train_cap rows means srows IS
+    # the whole corpus — hand it to the kmeans so training skips its own
+    # count + collect jobs (bench-visible on the cold build)
+    cell_ids, C, Cn = _coarse_centroids(
+        spark, vecs, n_cells, dim,
+        full_sample=srows if len(srows) < train_cap else None,
+    )
     dsub = dim // pq_m
     train_max_id = max((int(r.vec_id) for r in srows), default=-1)
     S = np.array([r.v for r in srows], dtype=np.float64)
@@ -403,22 +447,22 @@ def append_to_ivfpq_index(
     import numpy as np
 
     _heal_delete_swap(index_root)
-    cb = spark.read.parquet(os.path.join(index_root, "codebooks")).collect()
-    n_m = max(r.m for r in cb) + 1
-    n_k = max(r.k for r in cb) + 1
-    dsub = len(cb[0].sub)
+    cb = _read_driver_table(os.path.join(index_root, "codebooks"))
+    n_m = max(r["m"] for r in cb) + 1
+    n_k = max(r["k"] for r in cb) + 1
+    dsub = len(cb[0]["sub"])
     books = np.zeros((n_m, n_k, dsub))
     for r in cb:
-        books[r.m, r.k] = r.sub
-    crows = spark.read.parquet(os.path.join(index_root, "centroids")).collect()
-    cell_ids = np.array([int(r.cell) for r in crows])
-    C = np.array([r.centroid for r in crows], dtype=np.float64)
+        books[r["m"], r["k"]] = r["sub"]
+    crows = _read_driver_table(os.path.join(index_root, "centroids"))
+    cell_ids = np.array([int(r["cell"]) for r in crows])
+    C = np.array([r["centroid"] for r in crows], dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    stats = spark.read.parquet(os.path.join(index_root, "stats")).collect()[0]
-    use_kmeans = stats.quantizer == "kmeans"
+    stats = _read_driver_table(os.path.join(index_root, "stats"))[0]
+    use_kmeans = stats["quantizer"] == "kmeans"
 
     enc = _encode_codes(
-        new_vecs, books, cell_ids, Cn, int(stats.pq_m), use_kmeans
+        new_vecs, books, cell_ids, Cn, int(stats["pq_m"]), use_kmeans
     ).persist()
     try:
         enc.write.mode("append").partitionBy("cell").parquet(
@@ -431,7 +475,7 @@ def append_to_ivfpq_index(
         enc.unpersist()
     if not agg.n:
         return {"drift_ratio": 0.0, "retrain": False}
-    ratio = float(agg.e) / max(float(stats.index_err), 1e-12)
+    ratio = float(agg.e) / max(float(stats["index_err"]), 1e-12)
     return {"drift_ratio": ratio, "retrain": bool(ratio > DRIFT_RETRAIN_RATIO)}
 
 
@@ -609,17 +653,18 @@ def ivfpq_pruned_topk_listing(
 
     root = index_root or ivfpq_index_dir(spark, sf_dir, n_cells=n_cells)
 
-    # small index tables -> driver state (M·KSUB codewords, cells×dim)
-    cb = spark.read.parquet(os.path.join(root, "codebooks")).collect()
-    n_m = max(r.m for r in cb) + 1
-    n_k = max(r.k for r in cb) + 1
-    dsub = len(cb[0].sub)
+    # small index tables -> driver state (M·KSUB codewords, cells×dim),
+    # read driver-side via pyarrow — no Spark jobs for a few KB (r08)
+    cb = _read_driver_table(os.path.join(root, "codebooks"))
+    n_m = max(r["m"] for r in cb) + 1
+    n_k = max(r["k"] for r in cb) + 1
+    dsub = len(cb[0]["sub"])
     books = np.zeros((n_m, n_k, dsub))
     for r in cb:
-        books[r.m, r.k] = r.sub
-    crows = spark.read.parquet(os.path.join(root, "centroids")).collect()
-    cells = [int(r.cell) for r in crows]
-    C = np.array([r.centroid for r in crows], dtype=np.float64)
+        books[r["m"], r["k"]] = r["sub"]
+    crows = _read_driver_table(os.path.join(root, "centroids"))
+    cells = [int(r["cell"]) for r in crows]
+    C = np.array([r["centroid"] for r in crows], dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
     qrows = _vectors(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).collect()

@@ -818,10 +818,32 @@ def lsh_verified_pairs(
         n_hashes=n_hashes,
         max_bucket=max_bucket,
         size_ratio=threshold,
-        dedupe=not bitmask_verify,
+        dedupe=False,
     )
+    if not bitmask_verify:
+        # ONE exchange serves both the cross-band dedupe and verify join 1
+        # (r08, second-decade fix): hash-partitioning by doc_a ALONE
+        # satisfies the distinct's (doc_a, doc_b) clustering requirement
+        # (identical pairs share doc_a — Spark's subset rule; plan-checked:
+        # partial+final HashAggregate with no second exchange) and is
+        # exactly the distribution verify join 1 requires, so the
+        # (a,b)-keyed distinct exchange of the ~10-bands-per-pair
+        # candidate stream disappears. The bitmask path keeps its
+        # measured no-pre-distinct economics (bit-op verify is cheaper
+        # than the dedupe, r04 A/B).
+        cands = cands.repartition("doc_a").distinct()
     verified = _jaccard_verify(reps, cands, threshold, small_vocab)
-    return star.union(verified).distinct()
+    out = star.union(verified)
+    # On the array-verify path the final distinct is PROVABLY redundant —
+    # and one less 35 M-row exchange at the x100 decade (r08): star and
+    # verified are DISJOINT (a star edge's doc_b is a non-rep member,
+    # and only reps appear in candidates), star is unique by construction
+    # (one row per (group, member)), and verified is unique because the
+    # pre-verify distinct made cands unique and the verify joins are 1:1
+    # on a unique-keyed reps relation. The bitmask path skips the
+    # pre-verify distinct (measured cheaper), so ITS duplicates are
+    # collapsed here as before.
+    return out.distinct() if bitmask_verify else out
 
 
 def incremental_cluster_pairs(

@@ -189,18 +189,93 @@ def label_centroids(vecs: DataFrame) -> DataFrame:
     )
 
 
+# Bound under which Lloyd's runs driver-side in numpy (r08, VERDICT item
+# 7): the coarse-quantizer TRAINING input is cap-bounded by construction
+# (annindex subsamples to KMEANS_TRAIN_PER_CELL×n_cells ≈ 2k rows), yet
+# the DataFrame loop paid ~12 Spark jobs (3 iterations × assign/explode/
+# two groupBys + checkpoints) of pure scheduling overhead — the dominant
+# slice of the ivfpq_kmeans_probe COLD gap vs its label-quantizer
+# sibling. Same design as _train_subspace_codebooks: training-scale work
+# on a bounded sample belongs on the driver; corpus-scale ASSIGNMENT
+# stays distributed (_assign_cells).
+KMEANS_DRIVER_CAP = 4096
+
+
+def _kmeans_rows(rows, k: int, iters: int):
+    """The numpy Lloyd's core over collected (vec_id, v) rows → (cell_ids
+    list, C ndarray). Semantics mirror the DataFrame loop: init = the k
+    lowest vec_ids; assignment = max cosine with ties to the lowest
+    surviving cell_id (zero-norm vectors follow the struct-max NULL
+    ordering: they land in the lowest surviving cell); cells that empty
+    out DROP; per-cell mean, ``iters`` rounds."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r.vec_id)
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    k = min(k, len(rows))
+    cell_ids = list(range(k))
+    C = X[:k].copy()
+    for _ in range(iters):
+        xn = np.linalg.norm(X, axis=1, keepdims=True)
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        sim = (X / np.maximum(xn, 1e-300)) @ (C / np.maximum(cn, 1e-300)).T
+        sim[:, cn[:, 0] == 0] = -np.inf
+        assign = sim.argmax(axis=1)  # first max = lowest cell index
+        assign[xn[:, 0] == 0] = 0
+        new_c, new_ids = [], []
+        for i, cid in enumerate(cell_ids):
+            mask = assign == i
+            if mask.any():
+                new_c.append(X[mask].mean(axis=0))
+                new_ids.append(cid)
+        C, cell_ids = np.array(new_c), new_ids
+    return cell_ids, C
+
+
+def _kmeans_driver(spark, rows, k: int, iters: int) -> DataFrame:
+    """DataFrame face of ``_kmeans_rows``. Float sums differ from the
+    distributed aggregate at ulp level (numpy vs partial-agg order) —
+    every consumer is a threshold-shaped recall/semdedup verdict,
+    tolerant by design. The result relation is built from JVM literals
+    (range(1) + explode), never a pickled local relation decoded through
+    a Python worker; the literal round-trip preserves float64 exactly,
+    so collecting this relation equals using ``_kmeans_rows`` directly."""
+    cell_ids, C = _kmeans_rows(rows, k, iters)
+    structs = [
+        F.struct(
+            F.lit(int(cid)).cast("int").alias("cell_id"),
+            F.lit([float(x) for x in c]).alias("centroid"),
+        )
+        for cid, c in zip(cell_ids, C)
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.cell_id", "s.centroid")
+    )
+
+
 def kmeans_centroids(
     vecs: DataFrame, k: int = 10, iters: int = 3, dim: int = 64
 ) -> DataFrame:
-    """Plain-DataFrame Lloyd's k-means for the IVF coarse quantizer — the
-    engine's iterative-algorithm pattern: a small state table (centroids)
-    is broadcast each iteration against one linear corpus scan; only the
-    k×dim centroid table ever reaches the driver. Deterministic init (the
-    k lowest vec_ids) so results are reproducible.
+    """Lloyd's k-means for the IVF coarse quantizer. Two tiers by input
+    size, decided with ONE bounded limit(cap+1) probe: at or under
+    KMEANS_DRIVER_CAP rows, train driver-side in numpy (the
+    _train_subspace_codebooks pattern — the probe returned the WHOLE
+    input, so no second scan); above it, the plain-DataFrame loop — a
+    small centroid table broadcast each iteration against one linear
+    corpus scan, only k×dim floats ever reaching the driver.
+    Deterministic init (the k lowest vec_ids) so results are reproducible
+    on both tiers.
 
-    At 100 TB: per iteration one scan + one (cell,dim)-keyed aggregation;
-    k·dim floats of driver state. Sampling the corpus for training is the
-    standard cheapening — same code over a ``.sample()`` input."""
+    At 100 TB: the index build trains on a KMEANS_TRAIN_PER_CELL-bounded
+    subsample (annindex._coarse_centroids), so training takes the driver
+    tier by construction; a full-corpus call (the ivf_kmeans listing at
+    scale) takes the distributed tier — per iteration one scan + one
+    (cell,dim)-keyed aggregation."""
+    probe = vecs.select("vec_id", "v").limit(KMEANS_DRIVER_CAP + 1).collect()
+    if len(probe) <= KMEANS_DRIVER_CAP:
+        return _kmeans_driver(vecs.sparkSession, probe, k, iters)
     init = (
         vecs.orderBy("vec_id")
         .limit(k)

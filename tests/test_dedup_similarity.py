@@ -607,3 +607,99 @@ def test_bitmask_verify_boundary(spark, v_size):
     assert verified(None) == truth
     if sv is not None:
         assert verified(sv) == truth
+
+
+def test_array_verify_path_unique_pairs_and_exact_closure(spark, tmp_path):
+    """r08: the array-verify (vocab > 63) path dropped its final
+    pair-distinct — star and verified are disjoint and each internally
+    unique once candidates are pre-distinct'd — and reuses ONE doc_a
+    exchange for dedupe + verify join 1. The plain sf fixtures all fit
+    the 63-bit bitmask, so this builds a >63-token corpus with planted
+    exact dups and near-dup families and asserts (a) the emitted pair
+    list is duplicate-free WITHOUT a distinct, (b) the LSH closure
+    equals the exact O(n^2) truth closure."""
+    import os
+    import random
+
+    import duckdb
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.dedup import (
+        _small_vocab,
+        lsh_verified_pairs,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.graphdedup import (
+        dedup_clusters,
+        dedup_clusters_exact,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        TABLE_NAMES,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"t{i:02d}" for i in range(80)]  # 80 > 63: forces hash-array
+    rows, did = [], 0
+    for fam in range(12):
+        base = rng.sample(vocab, 30)
+        # family head + near-dups (swap 1-2 tokens: J in [0.87, 1.0))
+        for variant in range(rng.randint(2, 4)):
+            toks = list(base)
+            for _ in range(rng.randint(0, 2) if variant else 0):
+                out_tok = rng.choice(toks)
+                in_tok = rng.choice([t for t in vocab if t not in toks])
+                toks[toks.index(out_tok)] = in_tok
+            rows.append((did, " ".join(toks)))
+            did += 1
+            if variant == 0:  # one exact dup of the head, reordered
+                shuf = list(toks)
+                rng.shuffle(shuf)
+                rows.append((did, " ".join(shuf)))
+                did += 1
+    # noise docs far from everything
+    for _ in range(30):
+        rows.append((did, " ".join(rng.sample(vocab, 12))))
+        did += 1
+
+    d = str(tmp_path)
+    for t in TABLE_NAMES:
+        if t != "documents":
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{d}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs_tmp(doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO docs_tmp VALUES (?, ?, 'en', 'src0', ?)",
+        [(i, t, len(t)) for i, t in rows],
+    )
+    con.execute(
+        f"COPY docs_tmp TO '{d}/documents.parquet' (FORMAT parquet)"
+    )
+    con.close()
+
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, d, "documents")
+    toks_rel = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("toks"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n"),
+    )
+    assert _small_vocab(toks_rel) is None, "fixture must exceed 63 tokens"
+
+    pairs = lsh_verified_pairs(spark, d).localCheckpoint()
+    n, nd = pairs.count(), pairs.distinct().count()
+    assert n == nd > 0, f"duplicate pairs emitted: {n} rows, {nd} distinct"
+
+    got = {
+        (r.doc_id, r.cluster_id) for r in dedup_clusters(spark, d).collect()
+    }
+    want = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters_exact(spark, d).collect()
+    }
+    assert got == want

@@ -409,7 +409,7 @@ def _build_bpe_fixture(spark, tier: str, copies: int) -> str:
     return d
 
 
-def decades_all() -> int:
+def decades_all(only: str | None = None) -> int:
     """VERDICT r07 items 1+5: TWO measured decades (base → x10 → x100) for
     ALL FOUR superlinear-risk families — r7 ran x100 for clusters only,
     and it failed its gate; r7's own finding was that x10 ratios don't
@@ -425,17 +425,29 @@ def decades_all() -> int:
 
     registry.load_all()
     path = os.path.join(REPO, "BULK_r8.json")
-    payload = {
-        "gate": {"ratio_limit": RATIO_LIMIT, "append_ratio_limit": APPEND_RATIO_LIMIT},
-        "families": {},
-        "driver_maxrss_mb": {"start": _rss_mb()},
-        "n_runs_per_tier": 2,
-    }
+    if only and os.path.exists(path):
+        # merge mode (``--decades-clusters``): re-run ONE family against
+        # the fixed code and splice it into the existing record
+        payload = json.load(open(path))
+        payload.setdefault("families", {})
+        payload.setdefault("driver_maxrss_mb", {})
+    else:
+        payload = {
+            "gate": {"ratio_limit": RATIO_LIMIT, "append_ratio_limit": APPEND_RATIO_LIMIT},
+            "families": {},
+            "driver_maxrss_mb": {"start": _rss_mb()},
+            "n_runs_per_tier": 2,
+        }
     ok_all = True
     spark = _make_session()  # first launch pins the 32g heap
 
     def flush():
-        payload["second_decade_green"] = bool(ok_all)
+        greens = [
+            f.get("family_green")
+            for f in payload["families"].values()
+            if "family_green" in f
+        ]
+        payload["second_decade_green"] = bool(ok_all) and all(greens)
         with open(path, "w") as fh:
             json.dump(payload, fh, indent=1)
 
@@ -498,10 +510,14 @@ def decades_all() -> int:
         )
         return chk
 
-    run_family(
-        "dedup_clusters_lsh", 3, (32, 64, 512),
-        _build_clusters_fixture, clusters_run, clusters_check,
-    )
+    if only in (None, "clusters"):
+        run_family(
+            "dedup_clusters_lsh", 3, (32, 64, 512),
+            _build_clusters_fixture, clusters_run, clusters_check,
+        )
+    if only == "clusters":
+        print("re-ran dedup_clusters_lsh decades; green:", ok_all, flush=True)
+        return 0 if ok_all else 1
 
     # --- pagerank_parts: disjoint graph copies (constant diameter) ---
     def pr_run(spark, fix):
@@ -599,6 +615,8 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    if "--decades-clusters" in sys.argv:
+        return decades_all(only="clusters")
     if "--decades" in sys.argv:
         return decades_all()
 

@@ -128,9 +128,10 @@ def main() -> int:
     # OOMed the shared heap (that crash IS the finding — recorded below).
     plan = [
         ("smj", {"conf": {"spark.sql.adaptive.shuffledHashJoinLocalMapThreshold": "0"}}),
-        ("smj_2", {"conf": {"spark.sql.adaptive.shuffledHashJoinLocalMapThreshold": "0"}}),
-        ("aqe_shj", {"conf": {"spark.sql.adaptive.shuffledHashJoinLocalMapThreshold": str(64 * 1024 * 1024)}}),
         ("hint_shj", {"hint": True}),
+        ("smj_2", {"conf": {"spark.sql.adaptive.shuffledHashJoinLocalMapThreshold": "0"}}),
+        ("hint_shj_2", {"hint": True}),
+        ("aqe_shj", {"conf": {"spark.sql.adaptive.shuffledHashJoinLocalMapThreshold": str(64 * 1024 * 1024)}}),
     ]
     for name, kw in plan:
         try:
