@@ -281,6 +281,62 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_mass_by_source",
+    oracle=(
+        "WITH cc AS (" + _CC_ORACLE + ") "
+        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(count(cc.doc_id) AS BIGINT) AS n_clustered, "
+        "CAST(coalesce(sum(CASE WHEN cc.cluster_id IS NOT NULL "
+        "AND cc.cluster_id <> d.doc_id THEN 1 END), 0) AS BIGINT) AS n_dup, "
+        "round(CAST(coalesce(sum(CASE WHEN cc.cluster_id IS NOT NULL "
+        "AND cc.cluster_id <> d.doc_id THEN 1 END), 0) AS DOUBLE) "
+        "/ count(*), 6) AS dup_frac "
+        "FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id "
+        "GROUP BY d.source"
+    ),
+)
+def dedup_mass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-mass report over the production fuzzy-dedup
+    clustering (new r08): for every ``source``, how many docs it
+    contributed, how many sit in a near-dup component (``n_clustered``),
+    how many would be DROPPED by survivor selection (``n_dup`` = cluster
+    members that are not the min-id representative), and the dropped
+    fraction at 6dp — the number a curation pipeline reads per crawl/
+    vendor before setting mixture weights (heavily-duplicated sources get
+    down-weighted BEFORE the expensive stages; cf. the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" per-source
+    analyses). Scale shape: the cluster map is |dup-docs|-sized — the
+    corpus-side join is one broadcast-or-shuffle hash join, then a
+    source-keyed partial+final aggregate; nothing new shuffles at corpus
+    width. The oracle recomputes the closure from the exact O(n²) edge
+    definition, so a green row re-proves the LSH pipeline's connectivity
+    AND the report arithmetic."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cc = dedup_clusters(spark, sf_dir).withColumnRenamed("doc_id", "cc_doc")
+    is_dup = F.col("cluster_id").isNotNull() & (
+        F.col("cluster_id") != docs["doc_id"]
+    )
+    return (
+        docs.join(cc, docs["doc_id"] == F.col("cc_doc"), "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("cc_doc").alias("n_clustered"),
+            F.coalesce(
+                F.sum(F.when(is_dup, 1)), F.lit(0)
+            ).cast("long").alias("n_dup"),
+            F.round(
+                F.coalesce(F.sum(F.when(is_dup, 1)), F.lit(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def _min_star(edges: DataFrame) -> DataFrame:
     """m(u) = min(u ∪ Γ(u)) for a symmetric edge list (src, dst)."""
     return (

@@ -633,3 +633,36 @@ def test_incremental_pairs_are_batch_incident_truth_edges(spark, sf_correct):
         assert (
             r["doc_a"] % INCREMENTAL_MOD == 0 or r["doc_b"] % INCREMENTAL_MOD == 0
         ), (r["doc_a"], r["doc_b"])
+
+
+def test_dedup_mass_by_source_oracle_and_twin(spark, sf_correct):
+    """New r08 key: per-source duplicate-mass report. Driver-style oracle
+    match plus a Python twin derived from the cluster map itself — the
+    report must be pure arithmetic over (cluster membership, survivor
+    rule), no independent data path."""
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "dedup_mass_by_source",
+        registry.QUERIES["dedup_mass_by_source"],
+        registry.ORACLES["dedup_mass_by_source"],
+    )
+    cc = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(spark, sf_correct).collect()
+    }
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet").collect()
+    want: dict = {}
+    for d in docs:
+        n, ncl, ndup = want.get(d.source, (0, 0, 0))
+        in_cc = d.doc_id in cc
+        is_dup = in_cc and cc[d.doc_id] != d.doc_id
+        want[d.source] = (n + 1, ncl + in_cc, ndup + is_dup)
+    got = registry.QUERIES["dedup_mass_by_source"](spark, sf_correct).collect()
+    assert {r.source for r in got} == set(want)
+    for r in got:
+        n, ncl, ndup = want[r.source]
+        assert (r.n_docs, r.n_clustered, r.n_dup) == (n, ncl, ndup)
+        assert r.dup_frac == round(ndup / n, 6)
