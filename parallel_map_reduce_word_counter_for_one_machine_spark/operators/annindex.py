@@ -507,8 +507,6 @@ def delete_from_ivfpq_index(
     delete, probe scan; ADVICE r07) — whether to roll a torn swap FORWARD
     from the staged dir or BACK from the aside copy. Torn-swap recovery is
     tested in tests/test_annindex.py::test_delete_swap_crash_recovery."""
-    import shutil
-
     codes_root = os.path.join(index_root, "codes")
     _heal_delete_swap(index_root)
     doomed = spark.createDataFrame(
@@ -529,13 +527,27 @@ def delete_from_ivfpq_index(
     )
     survivors = affected.join(F.broadcast(doomed), "vec_id", "left_anti")
     n_deleted = affected.count() - survivors.count()
-    # stage the rewritten partitions, then swap: original aside FIRST, so
-    # no point in time has zero copies of a cell's surviving codes
+    _stage_and_swap_cells(index_root, survivors, cells)
+    return {"deleted": int(n_deleted), "cells_rewritten": sorted(cells)}
+
+
+def _stage_and_swap_cells(index_root: str, replacement: DataFrame, cells) -> None:
+    """Crash-safe replacement of the given ``cell=<id>/`` partitions with
+    ``replacement``'s rows (must carry a ``cell`` column covering ONLY
+    those cells) — the staged-swap shared by delete and compaction: stage
+    the rewritten partitions, marker LAST (its presence certifies the
+    staged dir is complete, so a torn swap rolls FORWARD from it; absence
+    rolls BACK), then per cell rename the original ASIDE before moving
+    the staged partition in, and drop the aside copies only after every
+    swap landed — no point in time has zero copies of a cell's surviving
+    codes. Torn states heal at every index entry point
+    (``_heal_delete_swap``)."""
+    import shutil
+
+    codes_root = os.path.join(index_root, "codes")
     staged = os.path.join(index_root, "_codes_staged")
     oldroot = os.path.join(index_root, "_codes_old")
-    survivors.write.mode("overwrite").partitionBy("cell").parquet(staged)
-    # marker last: its presence certifies the staged dir is complete, so a
-    # torn swap rolls FORWARD from it; absence rolls BACK to the aside copy
+    replacement.write.mode("overwrite").partitionBy("cell").parquet(staged)
     open(os.path.join(staged, _STAGED_MARKER), "w").close()
     os.makedirs(oldroot, exist_ok=True)
     for c in cells:
@@ -547,7 +559,62 @@ def delete_from_ivfpq_index(
     # every swap landed — only now is it safe to drop the aside copies
     shutil.rmtree(oldroot)
     shutil.rmtree(staged, ignore_errors=True)
-    return {"deleted": int(n_deleted), "cells_rewritten": sorted(cells)}
+
+
+def _cell_file_census(index_root: str) -> dict[int, int]:
+    """{cell_id: number of parquet part files} — driver-side dir listing
+    of the hive layout, no job."""
+    codes_root = os.path.join(index_root, "codes")
+    out: dict[int, int] = {}
+    for name in os.listdir(codes_root):
+        if name.startswith("cell="):
+            d = os.path.join(codes_root, name)
+            out[int(name.split("=", 1)[1])] = sum(
+                1
+                for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+    return out
+
+
+def compact_ivfpq_index(
+    spark: SparkSession, index_root: str, max_files_per_cell: int = 1
+) -> dict:
+    """The FOURTH index lifecycle verb (build → append → delete →
+    COMPACT; new r08): every ``append_to_ivfpq_index`` lands the batch as
+    NEW part files inside the touched ``cell=<id>/`` partitions, so a
+    weekly-ingest index accumulates small files and every probe pays
+    per-file open/footer costs — the same decay Delta/Iceberg counter
+    with OPTIMIZE. Cells holding more than ``max_files_per_cell`` part
+    files are rewritten as one partition-worth of rows each (a
+    ``repartition(n, "cell")`` puts each cell's rows in exactly one task,
+    so the partitioned write emits ONE file per cell) through the SAME
+    crash-safe staged swap as delete — codebooks/centroids/stats frozen,
+    rows bit-identical, torn states heal at every entry point.
+
+    Returns {"cells_compacted", "files_before", "files_after"}. At 10 B
+    vectors the rewrite touches only over-threshold cells — maintenance
+    cost is proportional to accumulated append churn, never index size."""
+    _heal_delete_swap(index_root)
+    census = _cell_file_census(index_root)
+    cells = sorted(c for c, n in census.items() if n > max_files_per_cell)
+    files_before = sum(census.values())
+    if not cells:
+        return {
+            "cells_compacted": [],
+            "files_before": files_before,
+            "files_after": files_before,
+        }
+    codes_root = os.path.join(index_root, "codes")
+    affected = spark.read.parquet(codes_root).filter(F.col("cell").isin(cells))
+    _stage_and_swap_cells(
+        index_root, affected.repartition(len(cells), "cell"), cells
+    )
+    return {
+        "cells_compacted": cells,
+        "files_before": files_before,
+        "files_after": sum(_cell_file_census(index_root).values()),
+    }
 
 
 _STAGED_MARKER = "_STAGED_COMPLETE"
@@ -827,6 +894,71 @@ def similarity_topk_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFram
         spark, sf_dir, index_root=_appended_index_dir(spark, sf_dir)
     ).select("query_id", "cand_id")
     return _recall_verdict(exact, approx)
+
+
+_COMPACT_BATCH = 50
+_COMPACT_OFFSET = 50_000_000
+
+
+@query(
+    "ivfpq_compaction",
+    oracle=(
+        "SELECT CAST("
+        "(SELECT count(*) FROM embeddings WHERE "
+        "list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)"
+        " + (SELECT count(*) FROM "
+        f"(SELECT * FROM embeddings ORDER BY vec_id LIMIT {_COMPACT_BATCH}) t "
+        "WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)"
+        " AS BIGINT) AS n_vectors, "
+        "TRUE AS rows_preserved_ok, TRUE AS files_reduced_ok"
+    ),
+)
+def ivfpq_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked verdict for index COMPACTION (new r08 — the fourth
+    lifecycle verb): build a fresh index, append a re-keyed batch (which
+    necessarily lands as EXTRA part files inside the touched cells), run
+    ``compact_ivfpq_index``, and certify (1) the surviving row multiset —
+    (vec_id, cell, code) — is IDENTICAL before/after (distributed
+    exceptAll both ways over a pre-compaction localCheckpoint snapshot),
+    and (2) files genuinely shrank: at least one cell was multi-file
+    before, every compacted cell is single-file after. ``n_vectors`` is
+    the cross-engine anchor: the index holds exactly the encodable
+    (norm > 0) base corpus plus the encodable batch rows, recomputed
+    independently by DuckDB."""
+    root = tempfile.mkdtemp(prefix="pmrwc_compact_")
+    build_ivfpq_index(spark, sf_dir, root)
+    batch = (
+        _vectors(spark, sf_dir)
+        .orderBy("vec_id")
+        .limit(_COMPACT_BATCH)
+        .select(
+            (F.col("vec_id") + _COMPACT_OFFSET).alias("vec_id"), "v", "label"
+        )
+    )
+    append_to_ivfpq_index(spark, batch, root)
+    codes_root = os.path.join(root, "codes")
+    before = (
+        spark.read.parquet(codes_root)
+        .select("vec_id", "cell", "code")
+        .localCheckpoint()
+    )
+    census_before = _cell_file_census(root)
+    res = compact_ivfpq_index(spark, root)
+    after = spark.read.parquet(codes_root).select("vec_id", "cell", "code")
+    rows_preserved = (
+        before.exceptAll(after).limit(1).count() == 0
+        and after.exceptAll(before).limit(1).count() == 0
+    )
+    census_after = _cell_file_census(root)
+    files_reduced = (
+        any(n > 1 for n in census_before.values())
+        and res["files_after"] < res["files_before"]
+        and all(n <= 1 for n in census_after.values())
+    )
+    return spark.createDataFrame(
+        [(after.count(), bool(rows_preserved), bool(files_reduced))],
+        "n_vectors BIGINT, rows_preserved_ok BOOLEAN, files_reduced_ok BOOLEAN",
+    )
 
 
 def stream_append_to_index(

@@ -475,3 +475,88 @@ def test_write_driver_table_atomic_overwrite(tmp_path):
     assert pq.read_table(path).column("x").to_pylist() == [7]
     assert not os.path.exists(path + "._tmp")
     assert not os.path.exists(path + "._old")
+
+
+def test_compaction_merges_append_files_and_preserves_rows(spark, sf_correct):
+    """r08 lifecycle verb #4: the registered verdict must match its
+    DuckDB oracle, and the underlying compaction must merge multi-file
+    cells to one file each with a bit-identical row multiset."""
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "ivfpq_compaction",
+        registry.QUERIES["ivfpq_compaction"],
+        registry.ORACLES["ivfpq_compaction"],
+    )
+    row = registry.QUERIES["ivfpq_compaction"](spark, sf_correct).collect()[0]
+    assert row.rows_preserved_ok and row.files_reduced_ok
+
+
+def test_compaction_torn_swap_heals_at_entry(spark, sf_dir, tmp_path):
+    """A compaction torn mid-swap must heal exactly like a torn delete
+    (same staged-swap machinery): construct the mid-crash state from a
+    REAL compaction's staged dir, then drive it through the probe-scan
+    entry point and a fresh compaction — rows identical to the untorn
+    outcome, no aside/staged residue."""
+    import shutil
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.annindex import (
+        _STAGED_MARKER,
+        _cell_file_census,
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        probed_codes_scan,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.similarity import (
+        _vectors,
+    )
+
+    root = str(tmp_path / "compact_torn_idx")
+    build_ivfpq_index(spark, sf_dir, root, vecs=_vectors(spark, sf_dir))
+    batch = _vectors(spark, sf_dir).limit(40).select(
+        (F.col("vec_id") + 70_000_000).alias("vec_id"), "v", "label"
+    )
+    append_to_ivfpq_index(spark, batch, root)
+    codes_root = os.path.join(root, "codes")
+    want = sorted(
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(codes_root).select("vec_id", "cell").collect()
+    )
+    census = _cell_file_census(root)
+    multi = sorted(c for c, n in census.items() if n > 1)
+    assert multi, "append must create multi-file cells for this fixture"
+
+    # construct the torn state: stage the compacted partitions (marker
+    # last, as the real swap does), rename ONE cell aside, crash before
+    # its staged partition moves in
+    staged = os.path.join(root, "_codes_staged")
+    oldroot = os.path.join(root, "_codes_old")
+    affected = spark.read.parquet(codes_root).filter(F.col("cell").isin(multi))
+    affected.select("vec_id", "cell", "code", "qerr").repartition(
+        len(multi), "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(staged)
+    open(os.path.join(staged, _STAGED_MARKER), "w").close()
+    os.makedirs(oldroot)
+    torn_cell = multi[0]
+    os.rename(
+        os.path.join(codes_root, f"cell={torn_cell}"),
+        os.path.join(oldroot, f"cell={torn_cell}"),
+    )
+
+    # a probe heals first, so the scan sees the complete cell
+    got_cell = {
+        r.vec_id
+        for r in probed_codes_scan(spark, root, [torn_cell]).select("vec_id").collect()
+    }
+    assert got_cell == {v for v, c in want if c == torn_cell}
+    # a follow-up compaction completes the job; rows identical throughout
+    compact_ivfpq_index(spark, root)
+    got = sorted(
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(codes_root).select("vec_id", "cell").collect()
+    )
+    assert got == want
+    assert all(n <= 1 for n in _cell_file_census(root).values())
+    assert not os.path.exists(oldroot) and not os.path.exists(staged)
+    shutil.rmtree(root, ignore_errors=True)
