@@ -560,3 +560,23 @@ def test_compaction_torn_swap_heals_at_entry(spark, sf_dir, tmp_path):
     assert all(n <= 1 for n in _cell_file_census(root).values())
     assert not os.path.exists(oldroot) and not os.path.exists(staged)
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_delete_verdict_matches_oracle(spark, sf_correct):
+    """r08 continuation: the registered ``ivfpq_delete`` verdict must
+    match its DuckDB oracle (n_vectors / n_deleted recomputed
+    independently as encodable-corpus minus encodable-doomed), and every
+    in-verdict certification — deleted ids absent, survivors
+    bit-identical, unclaimed cells untouched bytes — must hold."""
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "ivfpq_delete",
+        registry.QUERIES["ivfpq_delete"],
+        registry.ORACLES["ivfpq_delete"],
+    )
+    row = registry.QUERIES["ivfpq_delete"](spark, sf_correct).collect()[0]
+    assert row.deleted_absent_ok
+    assert row.survivors_intact_ok
+    assert row.untouched_cells_ok
+    assert row.n_deleted > 0
