@@ -114,7 +114,13 @@ def load_all() -> None:
     )
     from .functions import udfs  # noqa: F401
     from .streaming import dedupstream, joins, tumbling  # noqa: F401
-    from .sources import bucketed, compaction, evolution, partitioned  # noqa: F401
+    from .sources import (  # noqa: F401
+        bucketed,
+        compaction,
+        evolution,
+        formats,
+        partitioned,
+    )
     from .operators import (  # noqa: F401
         relational,
         relational2,
