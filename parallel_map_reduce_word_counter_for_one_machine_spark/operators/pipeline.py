@@ -154,6 +154,17 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_of(doc_id_col) -> "F.Column":
+    """The train/val/test CASE expression as a pure function of the doc id
+    — shared by ``dataset_split`` and every consumer that needs a split
+    label WITHOUT a join (membership is recomputable anywhere from the
+    key alone, which is the whole point of hash splitting)."""
+    h2 = F.substring(F.md5(doc_id_col.cast("string")), 1, 2)
+    return (
+        F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test")
+    )
+
+
 @query(
     "dataset_split",
     oracle=(
@@ -173,14 +184,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth (new docs never move old ones between splits), and is
     recomputable by any engine."""
     d = load_table(spark, sf_dir, "documents")
-    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    return d.select(
-        "doc_id",
-        F.when(h2 < "e6", "train")
-        .when(h2 < "f3", "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+    return d.select("doc_id", split_of(F.col("doc_id")).alias("split"))
 
 
 MIN_TOKENS = 5  # quality gate for the composite pipeline
@@ -605,5 +609,87 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
             "n_users",
             (F.col("n_rows") >= K_ANON).alias("released"),
+        )
+    )
+
+
+_SPLIT_CASE_SQL = (
+    "CASE WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 2) < 'e6' THEN 'train' "
+    "WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 2) < 'f3' THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+def _split_leakage_oracle() -> str:
+    from .dedup import _SHINGLE_TRUTH_SQL, VERDICT_RECALL_J
+
+    return (
+        f"WITH hi AS (SELECT * FROM ({_SHINGLE_TRUTH_SQL}) t "
+        f"WHERE jaccard >= {VERDICT_RECALL_J}), "
+        "lab AS (SELECT "
+        f"least({_SPLIT_CASE_SQL.format(col='doc_a')}, "
+        f"{_SPLIT_CASE_SQL.format(col='doc_b')}) AS split_lo, "
+        f"greatest({_SPLIT_CASE_SQL.format(col='doc_a')}, "
+        f"{_SPLIT_CASE_SQL.format(col='doc_b')}) AS split_hi, "
+        "doc_a, doc_b FROM hi) "
+        "SELECT split_lo, split_hi, "
+        "CAST(count(DISTINCT (doc_a, doc_b)) AS BIGINT) AS n_pairs, "
+        "CAST(count(DISTINCT d) AS BIGINT) AS n_docs "
+        "FROM lab, LATERAL unnest([doc_a, doc_b]) AS u(d) "
+        "GROUP BY split_lo, split_hi"
+    )
+
+
+@query("split_leakage_report", oracle=_split_leakage_oracle())
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval LEAKAGE audit: near-duplicate pairs that straddle the
+    dataset split — the report run after ``dataset_split`` and before any
+    benchmark number is trusted, because a val/test doc with a near-dup in
+    train inflates eval exactly like verbatim contamination (the dedup
+    papers' canonical train-test leakage failure). Per unordered split
+    combination: how many near-dup pairs land there and how many distinct
+    docs they involve; rows with ``split_lo <> split_hi`` are the leaks
+    (the fix is re-homing or dropping the eval-side doc).
+
+    The registered verdict restricts to the J ≥ VERDICT_RECALL_J band,
+    where the banded-LSH listing provably equals the exact all-pairs truth
+    on this corpus (per-pair miss probability ≤ 2.8e-4, and
+    ``dedup_minhash_lsh``'s recall_ok re-proves totality every round) —
+    so DuckDB can recompute the whole report independently. The
+    production form runs on the full verified listing at the operating
+    threshold.
+
+    Scale shape: the pair listing is the banded-LSH pipeline (linear);
+    split labels are PURE FUNCTIONS of each endpoint id — two map-side
+    CASE expressions, NO join against an assignment table — and the
+    report is one partial-aggregable groupBy over |pairs| rows. Nothing
+    here grows faster than the near-dup pair count itself."""
+    from .dedup import VERDICT_RECALL_J, minhash_lsh_pairs
+
+    hi = minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= VERDICT_RECALL_J
+    )
+    lab = hi.select(
+        F.least(
+            split_of(F.col("doc_a")), split_of(F.col("doc_b"))
+        ).alias("split_lo"),
+        F.greatest(
+            split_of(F.col("doc_a")), split_of(F.col("doc_b"))
+        ).alias("split_hi"),
+        "doc_a",
+        "doc_b",
+    )
+    return (
+        lab.select(
+            "split_lo",
+            "split_hi",
+            "doc_a",
+            "doc_b",
+            F.explode(F.array("doc_a", "doc_b")).alias("d"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(
+            F.countDistinct(F.struct("doc_a", "doc_b")).alias("n_pairs"),
+            F.countDistinct("d").alias("n_docs"),
         )
     )

@@ -666,3 +666,36 @@ def test_dedup_mass_by_source_oracle_and_twin(spark, sf_correct):
         n, ncl, ndup = want[r.source]
         assert (r.n_docs, r.n_clustered, r.n_dup) == (n, ncl, ndup)
         assert r.dup_frac == round(ndup / n, 6)
+
+
+def test_split_leakage_report_matches_oracle_and_truth(spark, sf_correct):
+    """The leakage report must match DuckDB's independent recomputation
+    (exact all-pairs truth × split CASE), and its pair total must equal
+    the high-band (J ≥ VERDICT_RECALL_J) LSH listing size — the band where
+    recall is provably total, which is what makes the report oracle-able."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.dedup import (
+        VERDICT_RECALL_J,
+        minhash_lsh_pairs,
+    )
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "split_leakage_report",
+        registry.QUERIES["split_leakage_report"],
+        registry.ORACLES["split_leakage_report"],
+    )
+    rows = registry.QUERIES["split_leakage_report"](spark, sf_correct).collect()
+    assert rows, "sf0.01 corpus has high-J near-dup pairs"
+    valid = {"train", "val", "test"}
+    assert all(r.split_lo in valid and r.split_hi in valid for r in rows)
+    assert all(r.split_lo <= r.split_hi for r in rows)
+    # docs per combination: ≤ 2 endpoints per pair, ≥ enough to form pairs
+    assert all(1 < r.n_docs <= 2 * r.n_pairs for r in rows)
+    n_hi = (
+        minhash_lsh_pairs(spark, sf_correct)
+        .filter(F.col("jaccard") >= VERDICT_RECALL_J)
+        .count()
+    )
+    assert sum(r.n_pairs for r in rows) == n_hi
