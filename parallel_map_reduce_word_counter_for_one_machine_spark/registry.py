@@ -113,7 +113,7 @@ def load_all() -> None:
         bpetrain,
     )
     from .functions import udfs  # noqa: F401
-    from .streaming import dedupstream, joins, tumbling  # noqa: F401
+    from .streaming import dedupstream, joins, latedata, tumbling  # noqa: F401
     from .sources import (  # noqa: F401
         bucketed,
         compaction,

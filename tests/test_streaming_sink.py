@@ -455,3 +455,50 @@ def test_time_travel_reads_retained_versions_until_vacuumed(
     assert sorted(map(tuple, read_version(spark, state, 1).collect())) == v1
     with pytest.raises(ValueError, match="not retained"):
         read_version(spark, state, 0)
+
+
+def test_late_data_drop_matches_oracle_and_actually_drops(spark, sf_correct):
+    """The append-mode watermark key must match DuckDB's two-rule
+    reconstruction (no-cohort counts, finalized windows only) AND the
+    drop must be REAL: the withheld first-hour cohort is non-empty, its
+    window is absent from the emitted relation, and total emitted events
+    equal the non-cohort finalized-window population — not the corpus."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming import (
+        latedata,  # noqa: F401 — registers the key
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "stream_late_data_drop",
+        registry.QUERIES["stream_late_data_drop"],
+        registry.ORACLES["stream_late_data_drop"],
+    )
+    evs = load_table(spark, sf_correct, "events")
+    b = evs.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.max("ts").alias("tmax"),
+    ).collect()[0]
+    cohort_end = b.t0 + __import__("datetime").timedelta(hours=1)
+    n_cohort = evs.filter(F.col("ts") < F.lit(cohort_end)).count()
+    assert n_cohort > 0, "experiment needs a non-empty late cohort"
+    emitted = registry.QUERIES["stream_late_data_drop"](spark, sf_correct)
+    rows = emitted.collect()
+    t0_ms = int(b.t0.timestamp() * 1000)
+    assert all(r.window_start_ms != t0_ms for r in rows), (
+        "the late cohort's window must never be emitted"
+    )
+    # emitted total = all events minus the cohort minus unfinalized tail
+    import datetime
+
+    wm = b.tmax - datetime.timedelta(hours=1)
+    n_expected = evs.filter(
+        (F.col("ts") >= F.lit(cohort_end))
+        & (F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR") <= F.lit(wm))
+    ).count()
+    assert sum(r.n_events for r in rows) == n_expected
