@@ -693,3 +693,44 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("d").alias("n_docs"),
         )
     )
+
+
+def _cluster_safe_oracle() -> str:
+    from .graphdedup import _CC_ORACLE
+
+    key = "coalesce(cc.cluster_id, d.doc_id)"
+    return (
+        f"WITH cc AS ({_CC_ORACLE}) "
+        f"SELECT d.doc_id, {_SPLIT_CASE_SQL.format(col=key)} AS split "
+        "FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id"
+    )
+
+
+@query("dataset_split_cluster_safe", oracle=_cluster_safe_oracle())
+def dataset_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIX for what ``split_leakage_report`` detects: hash-split by
+    the near-dup CLUSTER representative instead of the doc id, so a whole
+    near-dup component lands in one split by construction — no verified
+    near-dup pair can ever straddle train/eval (Lee et al.'s dedup paper
+    prescribes exactly this cluster-level assignment). Docs outside any
+    cluster hash their own id, so for the (vast) unclustered majority the
+    assignment is IDENTICAL to ``dataset_split`` — adopting the safe
+    split re-homes only near-dup docs.
+
+    Scale shape: one left join of the corpus against the |dup-docs|-sized
+    cluster map (AQE broadcasts it when it fits), then the same pure-
+    function CASE — no new shuffle at corpus width, and the property
+    survives incremental growth exactly as far as cluster ids do (an
+    incremental run that merges two clusters re-homes the merged
+    component; dedup_clusters_incremental already certifies those ids).
+
+    The oracle recomputes the split from the exact recursive-CTE closure,
+    so a green row re-proves LSH connectivity AND the assignment rule."""
+    from .graphdedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    cc = dedup_clusters(spark, sf_dir).withColumnRenamed("doc_id", "cc_doc")
+    key = F.coalesce(F.col("cluster_id"), docs["doc_id"])
+    return docs.join(cc, docs["doc_id"] == F.col("cc_doc"), "left").select(
+        docs["doc_id"], split_of(key).alias("split")
+    )

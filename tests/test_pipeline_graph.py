@@ -699,3 +699,74 @@ def test_split_leakage_report_matches_oracle_and_truth(spark, sf_correct):
         .count()
     )
     assert sum(r.n_pairs for r in rows) == n_hi
+
+
+def test_cluster_safe_split_eliminates_leakage(spark, sf_correct):
+    """dataset_split_cluster_safe must match its closure oracle, must
+    assign every verified near-dup pair's endpoints to ONE split (zero
+    leakage under the clustering's own edge set — the property
+    dataset_split violates on this corpus), and must keep every
+    UNclustered doc on its original dataset_split assignment."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.dedup import (
+        lsh_verified_pairs,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.pipeline import (
+        dataset_split,
+        dataset_split_cluster_safe,
+    )
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "dataset_split_cluster_safe",
+        registry.QUERIES["dataset_split_cluster_safe"],
+        registry.ORACLES["dataset_split_cluster_safe"],
+    )
+    safe = dataset_split_cluster_safe(spark, sf_correct)
+    pairs = lsh_verified_pairs(spark, sf_correct).select("doc_a", "doc_b")
+    sa = safe.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    sb = safe.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    straddling = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddling == 0
+    # the naive split DOES leak on this corpus — the fix is non-vacuous
+    naive = dataset_split(spark, sf_correct)
+    na = naive.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    nb = naive.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    naive_leaks = (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert naive_leaks > 0
+    # unclustered docs: identical assignment to the naive split
+    clustered = cluster_docs(spark, sf_correct)
+    moved = (
+        safe.join(naive.withColumnRenamed("split", "naive_split"), "doc_id")
+        .filter(F.col("split") != F.col("naive_split"))
+        .join(clustered, "doc_id", "left_anti")
+        .count()
+    )
+    assert moved == 0
+
+
+def cluster_docs(spark, sf_dir):
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.graphdedup import (
+        dedup_clusters,
+    )
+
+    return dedup_clusters(spark, sf_dir).select("doc_id")
