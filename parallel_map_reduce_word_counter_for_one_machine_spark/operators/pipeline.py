@@ -734,3 +734,94 @@ def dataset_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(cc, docs["doc_id"] == F.col("cc_doc"), "left").select(
         docs["doc_id"], split_of(key).alias("split")
     )
+
+
+_SHINGLE_SETS_SQL = (
+    "SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(len(w) - 1, 1)), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM ("
+    "SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w "
+    "FROM documents) s"
+)
+
+
+@query(
+    "eval_contamination_scores",
+    oracle=(
+        f"WITH sh AS ({_SHINGLE_SETS_SQL}), "
+        f"sp AS (SELECT doc_id, {_SPLIT_CASE_SQL.format(col='doc_id')} "
+        "AS split FROM documents), "
+        "ev AS (SELECT sh.doc_id, sp.split, unnest(sh.shingles) AS g, "
+        "len(sh.shingles) AS n_shingles "
+        "FROM sh JOIN sp USING (doc_id) WHERE sp.split <> 'train' "
+        "AND len(sh.shingles) > 0), "
+        "tr AS (SELECT unnest(sh.shingles) AS g FROM sh JOIN sp "
+        "USING (doc_id) WHERE sp.split = 'train'), "
+        "hits AS (SELECT ev.doc_id, count(DISTINCT ev.g) AS n_overlap "
+        "FROM ev JOIN tr USING (g) GROUP BY ev.doc_id), "
+        "base AS (SELECT DISTINCT doc_id, split, n_shingles FROM ev) "
+        "SELECT base.doc_id, base.split, "
+        "CAST(base.n_shingles AS BIGINT) AS n_shingles, "
+        "CAST(coalesce(hits.n_overlap, 0) AS BIGINT) AS n_overlap, "
+        "round(CAST(coalesce(hits.n_overlap, 0) AS DOUBLE) "
+        "/ base.n_shingles, 6) AS contamination_frac "
+        "FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id"
+    ),
+)
+def eval_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVAL-doc contamination fraction against the train split — the
+    reverse direction of ``decontaminate`` (which flags TRAIN docs against
+    a small benchmark set): for every val/test doc under the real
+    ``dataset_split``, what fraction of its word 3-gram shingles appears
+    anywhere in train. This is the overlap statistic eval reports quote
+    per benchmark doc (the GPT-3-style "dirty at N-gram overlap"
+    accounting), and with 0 < frac < 1 it grades PARTIAL contamination
+    the boolean key cannot.
+
+    Plan shape for 100 TB — the asymmetry flips versus ``decontaminate``:
+    here the EVAL side is small (≈10% of the corpus; a real eval suite is
+    MBs), so the eval (doc, shingle) relation is the broadcast side and
+    the train shingles STREAM past it un-deduplicated — no corpus-wide
+    distinct, no corpus shuffle; the only exchange carries matched
+    (eval_doc, shingle) pairs into a per-doc count-distinct. Eval docs
+    shorter than the shingle width are excluded (no denominator), and
+    zero-overlap eval docs are kept at frac 0 — the report must show
+    clean docs, not just dirty ones."""
+    from .dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        split_of(F.col("doc_id")).alias("split"),
+        _shingles().alias("shingles"),
+    )
+    ev = (
+        sh.filter((F.col("split") != "train") & (F.size("shingles") > 0))
+        .select(
+            "doc_id",
+            "split",
+            F.size("shingles").cast("long").alias("n_shingles"),
+            F.explode("shingles").alias("g"),
+        )
+    )
+    train_g = (
+        sh.filter(F.col("split") == "train")
+        .select(F.explode("shingles").alias("g"))
+    )
+    hits = (
+        train_g.join(F.broadcast(ev.select("doc_id", "g")), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_overlap"))
+    )
+    base = ev.select("doc_id", "split", "n_shingles").distinct()
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "split",
+        "n_shingles",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        F.round(
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+            / F.col("n_shingles"),
+            6,
+        ).alias("contamination_frac"),
+    )

@@ -770,3 +770,26 @@ def cluster_docs(spark, sf_dir):
     )
 
     return dedup_clusters(spark, sf_dir).select("doc_id")
+
+
+def test_eval_contamination_scores_invariants(spark, sf_correct):
+    """Oracle match plus score-domain invariants: only eval-split docs,
+    overlap never exceeds the doc's shingle count, fraction in [0, 1]
+    and equal to n_overlap/n_shingles at 6dp."""
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "eval_contamination_scores",
+        registry.QUERIES["eval_contamination_scores"],
+        registry.ORACLES["eval_contamination_scores"],
+    )
+    rows = registry.QUERIES["eval_contamination_scores"](
+        spark, sf_correct
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.split in ("val", "test")
+        assert 0 <= r.n_overlap <= r.n_shingles
+        assert abs(r.contamination_frac - round(r.n_overlap / r.n_shingles, 6)) < 1e-9
