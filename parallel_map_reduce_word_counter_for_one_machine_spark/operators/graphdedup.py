@@ -420,3 +420,105 @@ def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+@query(
+    "forget_source",
+    oracle=(
+        "WITH cc AS (" + _CC_ORACLE + "), "
+        "d AS (SELECT min(source) AS s FROM documents), "
+        "doomed AS (SELECT doc_id FROM documents, d WHERE source = d.s), "
+        "per AS (SELECT cc.cluster_id, count(*) AS n_members, "
+        "sum(CASE WHEN doomed.doc_id IS NOT NULL THEN 1 ELSE 0 END) "
+        "AS n_doomed FROM cc LEFT JOIN doomed ON cc.doc_id = doomed.doc_id "
+        "GROUP BY cc.cluster_id) "
+        "SELECT (SELECT s FROM d) AS source, "
+        "CAST((SELECT count(*) FROM doomed) AS BIGINT) AS n_docs_removed, "
+        "CAST(sum(CASE WHEN n_doomed > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_clusters_affected, "
+        "CAST(sum(CASE WHEN cluster_id IN (SELECT doc_id FROM doomed) "
+        "AND n_members - n_doomed >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_survivors_reelected, "
+        "CAST(sum(CASE WHEN n_doomed > 0 AND n_members - n_doomed <= 1 "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters_dissolved "
+        "FROM per"
+    ),
+)
+def forget_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten AUDIT: before erasing a source (vendor
+    takedown, licensing lapse, GDPR bulk request), report how the
+    deletion propagates through DERIVED dedup state — the part of erasure
+    that naive row deletes silently corrupt. For the doomed source
+    (deterministically min(source), standing in for the request):
+
+    - ``n_docs_removed`` — its corpus rows.
+    - ``n_clusters_affected`` — near-dup components losing ≥1 member.
+    - ``n_survivors_reelected`` — components whose CANONICAL
+      REPRESENTATIVE (cluster_id = min member id) is doomed while ≥2
+      members survive: every downstream table keyed on the old survivor
+      id (survivor listings, cluster maps, cluster-safe split
+      assignments) must be re-pointed, or erasure leaves dangling keys.
+    - ``n_clusters_dissolved`` — components with ≤1 survivor: no longer
+      near-dup clusters at all; their remaining doc re-enters the corpus
+      as a singleton.
+
+    Scale shape: the cluster map is |dup-docs|-sized; the doomed set is
+    one source's slice (joined by id, AQE-broadcast when small); one
+    per-cluster partial aggregate and one final 1-row rollup. Nothing
+    corpus-wide shuffles. The oracle recomputes everything from the
+    exact recursive-CTE closure, so a green row certifies the survivor
+    re-election arithmetic against ground truth, not against our own
+    clustering."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.agg(F.min("source").alias("s"))
+    doomed = (
+        docs.join(F.broadcast(m), docs["source"] == F.col("s"))
+        .select("doc_id")
+        .withColumn("is_doomed", F.lit(1))
+    )
+    cc = dedup_clusters(spark, sf_dir)
+    # no broadcast hint on the doomed slice: a single source can be
+    # arbitrarily large at corpus scale (the r03 rule) — AQE promotes
+    # the join when the slice actually fits
+    per = (
+        cc.join(doomed, "doc_id", "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.coalesce(F.sum("is_doomed"), F.lit(0)).alias("n_doomed"),
+        )
+    )
+    doomed_ids = doomed.select(F.col("doc_id").alias("cluster_id")).distinct()
+    per = per.join(
+        doomed_ids.withColumn("survivor_doomed", F.lit(1)), "cluster_id", "left"
+    )
+    n_removed = doomed.count()  # bounded: one count job
+    src = m.collect()[0].s  # bounded: one 1-row aggregate
+    return (
+        per.agg(
+            F.sum(F.when(F.col("n_doomed") > 0, 1).otherwise(0)).alias(
+                "n_clusters_affected"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("survivor_doomed") == 1)
+                    & (F.col("n_members") - F.col("n_doomed") >= 2),
+                    1,
+                ).otherwise(0)
+            ).alias("n_survivors_reelected"),
+            F.sum(
+                F.when(
+                    (F.col("n_doomed") > 0)
+                    & (F.col("n_members") - F.col("n_doomed") <= 1),
+                    1,
+                ).otherwise(0)
+            ).alias("n_clusters_dissolved"),
+        )
+        .select(
+            F.lit(src).alias("source"),
+            F.lit(n_removed).cast("long").alias("n_docs_removed"),
+            F.col("n_clusters_affected").cast("long"),
+            F.col("n_survivors_reelected").cast("long"),
+            F.col("n_clusters_dissolved").cast("long"),
+        )
+    )

@@ -779,11 +779,14 @@ def eval_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boolean key cannot.
 
     Plan shape for 100 TB — the asymmetry flips versus ``decontaminate``:
-    here the EVAL side is small (≈10% of the corpus; a real eval suite is
-    MBs), so the eval (doc, shingle) relation is the broadcast side and
-    the train shingles STREAM past it un-deduplicated — no corpus-wide
-    distinct, no corpus shuffle; the only exchange carries matched
-    (eval_doc, shingle) pairs into a per-doc count-distinct. Eval docs
+    the eval (doc, shingle) relation is the SMALL side and the train
+    shingles STREAM past it un-deduplicated — no corpus-wide distinct;
+    the only exchange carries matched (eval_doc, shingle) pairs into a
+    per-doc count-distinct. NO hard F.broadcast hint: a true benchmark
+    suite is MBs and AQE will broadcast it at runtime, but this
+    registered form evals ~10% of the corpus, which at 100 TB must take
+    the shuffle-hash path — a forced broadcast there is the r03
+    driver-OOM anti-pattern (same rule as minhash_lsh_pairs). Eval docs
     shorter than the shingle width are excluded (no denominator), and
     zero-overlap eval docs are kept at frac 0 — the report must show
     clean docs, not just dirty ones."""
@@ -809,7 +812,7 @@ def eval_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("shingles").alias("g"))
     )
     hits = (
-        train_g.join(F.broadcast(ev.select("doc_id", "g")), "g")
+        train_g.join(ev.select("doc_id", "g"), "g")
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_overlap"))
     )
@@ -824,4 +827,83 @@ def eval_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_shingles"),
             6,
         ).alias("contamination_frac"),
+    )
+
+
+@query(
+    "packing_fragmentation_report",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens "
+        "FROM documents), "
+        "c AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+        "), 0) AS BIGINT) AS start_tok FROM t WHERE n_tokens > 0), "
+        "spans AS (SELECT doc_id, n_tokens, start_tok, "
+        f"start_tok // {CTX_TOKENS} AS w0, "
+        f"(start_tok + n_tokens - 1) // {CTX_TOKENS} AS w1 FROM c), "
+        "dw AS (SELECT doc_id, n_tokens, start_tok, w0, u.w FROM spans, "
+        "LATERAL unnest(generate_series(w0, w1)) AS u(w)) "
+        "SELECT w AS window_id, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CASE WHEN w = w0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_starting, "
+        "CAST(sum(CASE WHEN start_tok + n_tokens > "
+        f"(w + 1) * {CTX_TOKENS} THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_crossing_out, "
+        f"CAST(sum(least(start_tok + n_tokens, (w + 1) * {CTX_TOKENS}) "
+        f"- greatest(start_tok, w * {CTX_TOKENS})) AS BIGINT) "
+        "AS n_tokens_filled "
+        "FROM dw GROUP BY w"
+    ),
+)
+def packing_fragmentation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-context-window audit of the concat-and-chunk layout: how many
+    docs touch each window, how many start there, how many CROSS its
+    right boundary (the fragmented docs whose continuation lands in the
+    next window — the cross-document-attention contamination packing
+    papers fret about), and the filled token count (CTX for every window
+    but the ragged last one — concatenation leaves no padding). This is
+    the report that justifies — or refutes — switching to a best-fit
+    packer: high n_crossing_out at the operating CTX is the evidence.
+
+    Scale shape: ``pack_sequences``'s two-level prefix sum, then each doc
+    explodes into the O(n_tokens/CTX) windows it touches (almost always
+    1–2 rows) and one partial-aggregable groupBy on window_id. The
+    explode multiplies rows by ~⌈doc_len/CTX⌉ — bounded by total corpus
+    tokens / CTX, i.e. the output's own size."""
+    p = pack_sequences(spark, sf_dir)
+    dw = p.select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        F.col("window_id").alias("w0"),
+        F.explode(
+            F.sequence(
+                F.col("window_id"),
+                F.col("window_id") + F.col("n_windows") - 1,
+            )
+        ).alias("w"),
+    )
+    ctx = F.lit(CTX_TOKENS).cast("long")
+    return (
+        dw.groupBy(F.col("w").alias("window_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("w") == F.col("w0"), 1).otherwise(0)
+            ).alias("n_starting"),
+            F.sum(
+                F.when(
+                    F.col("start_tok") + F.col("n_tokens")
+                    > (F.col("w") + 1) * ctx,
+                    1,
+                ).otherwise(0)
+            ).alias("n_crossing_out"),
+            F.sum(
+                F.least(
+                    F.col("start_tok") + F.col("n_tokens"), (F.col("w") + 1) * ctx
+                )
+                - F.greatest(F.col("start_tok"), F.col("w") * ctx)
+            ).alias("n_tokens_filled"),
+        )
     )

@@ -793,3 +793,93 @@ def test_eval_contamination_scores_invariants(spark, sf_correct):
         assert r.split in ("val", "test")
         assert 0 <= r.n_overlap <= r.n_shingles
         assert abs(r.contamination_frac - round(r.n_overlap / r.n_shingles, 6)) < 1e-9
+
+
+def test_packing_fragmentation_report_invariants(spark, sf_correct):
+    """Oracle match + conservation laws: every window but the last is
+    exactly full (concatenation leaves no padding), window token fills
+    sum to the packed corpus total, starting docs sum to the packed doc
+    count, and a doc crossing out of window w is one of window w+1's
+    docs."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.pipeline import (
+        CTX_TOKENS,
+        pack_sequences,
+    )
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "packing_fragmentation_report",
+        registry.QUERIES["packing_fragmentation_report"],
+        registry.ORACLES["packing_fragmentation_report"],
+    )
+    rows = {
+        r.window_id: r
+        for r in registry.QUERIES["packing_fragmentation_report"](
+            spark, sf_correct
+        ).collect()
+    }
+    last = max(rows)
+    for w, r in rows.items():
+        if w != last:
+            assert r.n_tokens_filled == CTX_TOKENS, (w, r.n_tokens_filled)
+        assert 0 <= r.n_crossing_out <= r.n_docs
+        assert 0 <= r.n_starting <= r.n_docs
+    p = pack_sequences(spark, sf_correct)
+    agg = p.agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tot")
+    ).collect()[0]
+    assert sum(r.n_starting for r in rows.values()) == agg.n_docs
+    assert sum(r.n_tokens_filled for r in rows.values()) == agg.tot
+    # crossing-out docs continue into the next window
+    for w in sorted(rows)[:-1]:
+        if rows[w].n_crossing_out:
+            assert w + 1 in rows
+            # continuations are non-starting members of the next window
+            assert (
+                rows[w + 1].n_docs - rows[w + 1].n_starting
+                == rows[w].n_crossing_out
+            )
+
+
+def test_forget_source_matches_python_twin(spark, sf_correct):
+    """Oracle match + a collected-cluster-map twin recomputation of all
+    three cluster columns, plus ordering sanity (re-elections and
+    dissolutions are each subsets of affected clusters)."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.graphdedup import (
+        dedup_clusters,
+        forget_source,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "forget_source",
+        registry.QUERIES["forget_source"],
+        registry.ORACLES["forget_source"],
+    )
+    row = forget_source(spark, sf_correct).collect()[0]
+    docs = load_table(spark, sf_correct, "documents")
+    src = docs.agg(F.min("source")).collect()[0][0]
+    doomed = {
+        r.doc_id for r in docs.filter(F.col("source") == src).collect()
+    }
+    clusters: dict[int, set[int]] = {}
+    for r in dedup_clusters(spark, sf_correct).collect():
+        clusters.setdefault(r.cluster_id, set()).add(r.doc_id)
+    affected = {c for c, m in clusters.items() if m & doomed}
+    reelected = {
+        c for c, m in clusters.items() if c in doomed and len(m - doomed) >= 2
+    }
+    dissolved = {c for c, m in clusters.items() if m & doomed and len(m - doomed) <= 1}
+    assert row.source == src
+    assert row.n_docs_removed == len(doomed)
+    assert row.n_clusters_affected == len(affected)
+    assert row.n_survivors_reelected == len(reelected)
+    assert row.n_clusters_dissolved == len(dissolved)
+    assert reelected <= affected and dissolved <= affected

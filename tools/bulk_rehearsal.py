@@ -610,6 +610,126 @@ def decades_all(only: str | None = None) -> int:
     return 0 if ok_all else 1
 
 
+def ivfpq_third_decade() -> int:
+    """Round-8 continuation: a THIRD measured decade (x1000 = 20 M
+    vectors) for the ONE family whose I/O profile fits this box's disk
+    budget. The other three are excluded by ARITHMETIC, not optimism —
+    BULK_r8's measured x100 shuffle writes are 34.2 GB (clusters) and
+    20.6 GB (pagerank), so their x1000 tiers would write ~342 GB / ~206 GB
+    of shuffle against ~80 GB free disk; BPE train at x1000 (500 M docs)
+    is wall-budget-bound (2 × ~35 min extrapolated). IVFPQ build shuffles
+    ~nothing (driver-trained codebooks, map-side encode, partitioned
+    write), so its third decade is the one that's honest to run.
+
+    Protocol mirrors ``decades_all``: fresh context per tier, n=2 runs
+    (min), REST I/O deltas, the SAME 2 k append at each tier. x100 is
+    RE-MEASURED in this session (not read from the file) so the x1000
+    ratio compares like with like — box drift between sessions was the
+    round-7 chunking-anomaly lesson. Splices ``x100_fresh``/``x1000``
+    tiers plus ``third_decade`` verdicts into BULK_r8.json's ivfpq family
+    and records the excluded families' disk arithmetic alongside."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators import (
+        annindex as A,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    registry.load_all()
+    path = os.path.join(REPO, "BULK_r8.json")
+    payload = json.load(open(path))
+    fam = payload["families"]["ivfpq_build_decades"]
+
+    def free_gb() -> float:
+        st = os.statvfs("/tmp")
+        return round(st.f_bavail * st.f_frsize / 1e9, 1)
+
+    fam["third_decade_excluded"] = {
+        "dedup_clusters_lsh": "x1000 shuffle ~342 GB (10x measured x100 34.2 GB) vs free disk",
+        "pagerank_parts": "x1000 shuffle ~206 GB (10x measured x100 20.6 GB) vs free disk",
+        "tokenizer_bpe_train": "x1000 wall ~2x35 min extrapolated; budget spent on ivfpq",
+        "free_disk_gb_at_decision": free_gb(),
+    }
+
+    spark = _make_session()
+    _idx_n = [100]
+    prev_best = None
+    append_anchor = [None]
+    ok = True
+    for tier, copies, parts in (("x100_fresh", 1000, 256), ("x1000", 10000, 512)):
+        spark.stop()
+        spark = _make_session(shuffle_partitions=parts)
+        fix = _build_vec_fixture(spark, f"ivfpq_{tier}", copies)
+        meter = StageMeter(spark)
+
+        def run():
+            root = os.path.join(FIXROOT, f"idx_3dec_{_idx_n[0]}")
+            _idx_n[0] += 1
+            A.build_ivfpq_index(spark, fix, root)
+            return root
+
+        root, times = _timed(run, n=2)
+        io = meter.delta()
+        batch = (
+            load_table(spark, "/root/testdata/sf0.1", "embeddings")
+            .select(
+                (F.col("vec_id") + 999 * OFF).alias("vec_id"),
+                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+                "label",
+            )
+            .localCheckpoint()
+        )
+        t0 = time.monotonic()
+        gate = A.append_to_ivfpq_index(spark, batch, root)
+        append_sec = round(time.monotonic() - t0, 3)
+        if append_anchor[0] is None:
+            append_anchor[0] = append_sec
+        aratio = round(append_sec / max(append_anchor[0], 1e-9), 2)
+        entry = {
+            "copies": copies,
+            "shuffle_partitions": parts,
+            "times_sec": times,
+            "best_sec": min(times),
+            "io": io,
+            "checks": {
+                "append_sec": append_sec,
+                "append_ratio_vs_x100_fresh": aratio,
+                "append_ratio_ok": aratio <= APPEND_RATIO_LIMIT,
+                "drift_gate_quiet_ok": not gate["retrain"],
+                "drift_ratio": round(gate["drift_ratio"], 4),
+            },
+            "free_disk_gb_after": free_gb(),
+        }
+        if prev_best is not None:
+            entry["wall_ratio_vs_prev_tier"] = round(min(times) / prev_best, 2)
+            entry["ratio_ok"] = entry["wall_ratio_vs_prev_tier"] <= RATIO_LIMIT
+            ok &= entry["ratio_ok"]
+        ok &= entry["checks"]["append_ratio_ok"]
+        ok &= entry["checks"]["drift_gate_quiet_ok"]
+        prev_best = min(times)
+        fam["tiers"][tier] = entry
+        print(
+            f"ivfpq {tier}: copies {copies} best {min(times):.1f}s "
+            f"ratio {entry.get('wall_ratio_vs_prev_tier', '-')} "
+            f"append {append_sec}s free_disk {entry['free_disk_gb_after']}GB",
+            flush=True,
+        )
+        with open(path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        # the x1000 fixture + indexes are tens of GB — drop them promptly
+        shutil.rmtree(os.path.join(FIXROOT, f"ivfpq_{tier}"), ignore_errors=True)
+        for i in range(100, _idx_n[0]):
+            shutil.rmtree(os.path.join(FIXROOT, f"idx_3dec_{i}"), ignore_errors=True)
+    fam["third_decade_green"] = bool(ok)
+    payload["third_decade_green_ivfpq"] = bool(ok)
+    with open(path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print("spliced ivfpq third decade into BULK_r8.json; green:", ok, flush=True)
+    return 0 if ok else 1
+
+
 def main() -> int:
     import importlib.util
 
@@ -617,6 +737,8 @@ def main() -> int:
 
     if "--decades-clusters" in sys.argv:
         return decades_all(only="clusters")
+    if "--ivfpq-x1000" in sys.argv:
+        return ivfpq_third_decade()
     if "--decades" in sys.argv:
         return decades_all()
 
