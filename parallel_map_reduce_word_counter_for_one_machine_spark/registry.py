@@ -111,6 +111,7 @@ def load_all() -> None:
         graph,
         selection,
         bpetrain,
+        textnorm,
     )
     from .functions import udfs  # noqa: F401
     from .streaming import dedupstream, joins, latedata, tumbling  # noqa: F401

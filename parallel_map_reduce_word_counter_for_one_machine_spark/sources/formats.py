@@ -191,3 +191,95 @@ def source_format_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "format STRING, n_rows BIGINT, sum_chars BIGINT, "
         "n_sources BIGINT, roundtrip_exact_ok BOOLEAN",
     )
+
+
+# Broken feed lines, classified by how permissive mode ACTUALLY treats
+# them (empirically pinned, not assumed): unparseable or type-mismatched
+# lines land in _corrupt_record (the type-mismatch row keeps its
+# parseable fields — replay value); a top-level ARRAY is valid JSON, so
+# it yields silent all-null rows that only a schema-validity gate
+# catches — the one case the corrupt column cannot see.
+_CORRUPT_LINES = [
+    '{"doc_id": 1, "text": "truncated',
+    "this is not json at all",
+    '{"doc_id": "not-a-number", "text": 7}',
+]
+_SILENT_LINES = ['[{"wrong": "shape"}]']  # → one all-null row
+
+
+@query(
+    "jsonl_corrupt_quarantine",
+    oracle=(
+        "SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_clean, "
+        f"CAST({len(_CORRUPT_LINES)} AS BIGINT) AS n_corrupt, "
+        f"CAST({len(_SILENT_LINES)} AS BIGINT) AS n_invalid, "
+        "CAST((SELECT sum(length(text)) FROM documents) AS BIGINT) "
+        "AS sum_chars, "
+        "TRUE AS clean_matches_ok, TRUE AS corrupt_raw_kept_ok"
+    ),
+)
+def jsonl_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of the permissive-JSONL quarantine policy
+    (``jsonio.read_jsonl`` + ``quarantine_split``): the documents corpus
+    is written as JSONL, a file of broken lines (truncated object,
+    non-JSON text, type-mismatched field, wrong top-level shape) is
+    dropped into the same directory — the daily reality of a scraped or
+    partner feed — and the permissive read must (1) recover every clean
+    row EXACTLY (distributed exceptAll both ways against the corpus),
+    (2) quarantine the unparseable/mistyped lines with their raw text
+    preserved in ``_corrupt_record`` for replay, (3) catch the one shape
+    the corrupt column CANNOT see — a top-level array parses as valid
+    JSON and yields silent all-null rows — with a schema-validity gate
+    (required keys non-null), and (4) never abort. ``n_clean``/
+    ``sum_chars`` are recomputed by DuckDB from the parquet, so the
+    anchor flows through the JSONL write → permissive read → two-tier
+    quarantine.
+
+    At scale this is the ingestion-time contract: clean stream feeds the
+    pipeline, corrupt + invalid streams land in replay tables, and these
+    counts are the dq gate a feed must pass. One write + one scan + one
+    co-partitioned exceptAll; nothing collects but the corrupt lines."""
+    from .jsonio import CORRUPT_COL, quarantine_split, read_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="pmrwc_quar_")
+    path = os.path.join(root, "feed")
+    docs.write.json(path)
+    with open(os.path.join(path, "zz_bad.json"), "w") as fh:
+        fh.write("\n".join(_CORRUPT_LINES + _SILENT_LINES) + "\n")
+    raw = read_jsonl(spark, path, _DOC_SCHEMA, mode="permissive")
+    parsed, bad = quarantine_split(raw)
+    # tier 2: schema-validity gate for parseable-but-degenerate rows
+    valid = F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    clean = parsed.filter(valid)
+    invalid_n = parsed.filter(~valid).count()
+    clean_ok = (
+        docs.exceptAll(clean).limit(1).count() == 0
+        and clean.exceptAll(docs).limit(1).count() == 0
+    )
+    # doc_id rides along: a scan referencing ONLY the corrupt column is
+    # rejected (QUERY_ONLY_CORRUPT_RECORD_COLUMN). Bounded: corrupt lines.
+    bad_rows = bad.select("doc_id", CORRUPT_COL).collect()
+    raw_kept = sorted(r[CORRUPT_COL] for r in bad_rows) == sorted(
+        _CORRUPT_LINES
+    )
+    agg = clean.agg(
+        F.count("*").alias("n"), F.sum(F.length("text")).alias("sc")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(agg.n),
+                len(bad_rows),
+                int(invalid_n),
+                int(agg.sc),
+                bool(clean_ok),
+                bool(raw_kept),
+            )
+        ],
+        "n_clean BIGINT, n_corrupt BIGINT, n_invalid BIGINT, "
+        "sum_chars BIGINT, clean_matches_ok BOOLEAN, "
+        "corrupt_raw_kept_ok BOOLEAN",
+    )

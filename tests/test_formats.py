@@ -66,3 +66,23 @@ def test_each_format_roundtrips_torture_batch(spark, tmp_path):
             for f in os.listdir(path)
             if not f.startswith(("_", "."))
         )
+
+
+def test_jsonl_quarantine_two_tiers(spark, sf_correct):
+    """Oracle match + the two-tier semantics pinned: unparseable and
+    type-mismatched lines are quarantined WITH raw text; a top-level
+    array — valid JSON the corrupt column cannot flag — is caught by the
+    validity gate; the clean stream is exactly the corpus."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "jsonl_corrupt_quarantine",
+        registry.QUERIES["jsonl_corrupt_quarantine"],
+        registry.ORACLES["jsonl_corrupt_quarantine"],
+    )
+    row = registry.QUERIES["jsonl_corrupt_quarantine"](spark, sf_correct).collect()[0]
+    assert row.clean_matches_ok and row.corrupt_raw_kept_ok
+    assert row.n_corrupt == 3 and row.n_invalid == 1
