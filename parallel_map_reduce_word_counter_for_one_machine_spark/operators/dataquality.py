@@ -240,3 +240,150 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(g, "g_rk")
         .select("doc_id", "source", "n_chars", "norm_len")
     )
+
+
+_VEC_DIM = 64
+_VEC_TORTURE_BASE = 30_000_000
+
+
+def _vec_torture_rows():
+    """(vec_id, v) torture vectors exercising every gate check: an
+    all-zero vector, a wrong-dimension vector, a NaN-poisoned vector, and
+    a DUPLICATE id. The synthetic table is clean (all checks would be
+    vacuous 0s without these)."""
+    zero = [0.0] * _VEC_DIM
+    short = [0.5] * (_VEC_DIM // 2)
+    nanv = [0.25] * _VEC_DIM
+    nanv[7] = float("nan")
+    normal = [0.125] * _VEC_DIM
+    return [
+        (_VEC_TORTURE_BASE + 0, zero),
+        (_VEC_TORTURE_BASE + 1, short),
+        (_VEC_TORTURE_BASE + 2, nanv),
+        (_VEC_TORTURE_BASE + 0, normal),  # duplicate id
+    ]
+
+
+def _vec_torture_sql() -> str:
+    def lst(xs):
+        vals = ", ".join(
+            "'NaN'::DOUBLE" if x != x else repr(float(x)) for x in xs
+        )
+        return f"[{vals}]::DOUBLE[]"
+
+    rows = ", ".join(
+        f"(CAST({i} AS BIGINT), {lst(v)})" for i, v in _vec_torture_rows()
+    )
+    return f"(VALUES {rows}) tv(vec_id, v)"
+
+
+@query(
+    "vector_dq_gate",
+    oracle=(
+        "WITH allv AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings "
+        f"UNION ALL SELECT vec_id, v FROM {_vec_torture_sql()}), "
+        "m AS (SELECT vec_id, v, len(v) AS dim, "
+        "len(list_filter(v, x -> isnan(x) OR NOT isfinite(x))) > 0 "
+        "AS nonfinite, list_inner_product(v, v) AS normsq FROM allv), "
+        "valid AS (SELECT * FROM m WHERE dim = "
+        f"{_VEC_DIM} AND NOT nonfinite) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_vectors, "
+        f"CAST(sum(CASE WHEN dim <> {_VEC_DIM} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_bad_dim, "
+        "CAST(sum(CASE WHEN NOT nonfinite AND normsq = 0 THEN 1 ELSE 0 "
+        "END) AS BIGINT) AS n_zero_norm, "
+        "CAST(sum(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_nonfinite, "
+        "CAST(count(*) - count(DISTINCT vec_id) AS BIGINT) AS n_dup_ids, "
+        "round((SELECT quantile_cont(normsq, 0.5) FROM valid), 6) "
+        "AS normsq_p50, "
+        "round((SELECT quantile_cont(normsq, 0.99) FROM valid), 6) "
+        "AS normsq_p99, "
+        f"(sum(CASE WHEN dim <> {_VEC_DIM} THEN 1 ELSE 0 END) = 0 "
+        "AND sum(CASE WHEN nonfinite THEN 1 ELSE 0 END) = 0 "
+        "AND count(*) = count(DISTINCT vec_id)) AS gate_pass "
+        "FROM m"
+    ),
+)
+def vector_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest gate for the VECTOR table — the checks an embedding store
+    runs before vectors are allowed anywhere near index build or
+    similarity math, where they would otherwise fail silently (a NaN
+    poisons every cosine it touches; a wrong-dim vector crashes a kernel
+    or — worse — broadcasts; a duplicate id makes upserts ambiguous; a
+    zero vector has no direction and must be excluded from cosine pools,
+    which is exactly the ``norm > 0`` rule the IVFPQ build applies).
+    Reports counts per defect class + the norm² p50/p99 of valid rows
+    (the drift statistic the append gate watches) + the overall verdict.
+    A torture batch (zero / wrong-dim / NaN / duplicate-id vectors) is
+    unioned in by BOTH engines, so every defect class is exercised and
+    the gate verdict is a deterministic FALSE — the gate demonstrably
+    fires.
+
+    Scale shape: one linear scan, all checks inside a single partial+
+    final aggregate (count/sum/count-distinct); the two percentiles are
+    exact (sort-based) over the valid rows — swap for approx_percentile
+    at real corpus scale, noted here because the oracle needs the exact
+    form."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    torture = spark.createDataFrame(
+        _vec_torture_rows(), "vec_id LONG, v ARRAY<DOUBLE>"
+    )
+    allv = emb.unionByName(torture)
+    dim_ok = F.size("v") == _VEC_DIM
+    nonfinite = F.exists(
+        "v", lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    normsq = F.aggregate(
+        "v", F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    m = allv.select(
+        "vec_id",
+        dim_ok.alias("dim_ok"),
+        nonfinite.alias("nonfinite"),
+        normsq.alias("normsq"),
+    )
+    valid = m.filter(F.col("dim_ok") & ~F.col("nonfinite"))
+    pct = valid.agg(
+        F.round(F.expr("percentile(normsq, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(normsq, 0.99)"), 6).alias("p99"),
+    )
+    return (
+        m.agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.when(~F.col("dim_ok"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bad_dim"),
+            F.sum(
+                F.when(~F.col("nonfinite") & (F.col("normsq") == 0), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_zero_norm"),
+            F.sum(F.when(F.col("nonfinite"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nonfinite"),
+            (F.count("*") - F.countDistinct("vec_id"))
+            .cast("long")
+            .alias("n_dup_ids"),
+        )
+        .crossJoin(pct)  # 1 row × 1 row
+        .select(
+            "n_vectors",
+            "n_bad_dim",
+            "n_zero_norm",
+            "n_nonfinite",
+            "n_dup_ids",
+            F.col("p50").alias("normsq_p50"),
+            F.col("p99").alias("normsq_p99"),
+            (
+                (F.col("n_bad_dim") == 0)
+                & (F.col("n_nonfinite") == 0)
+                & (F.col("n_dup_ids") == 0)
+            ).alias("gate_pass"),
+        )
+    )

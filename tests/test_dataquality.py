@@ -106,3 +106,26 @@ def test_quantile_normalize_vs_python(spark, sf_dir):
     for src, xs in by_src.items():
         seq = [got[d][2] for d, _, _ in sorted(xs, key=lambda t: (t[2], t[0]))]
         assert seq == sorted(seq)
+
+
+def test_vector_dq_gate_fires_on_every_defect_class(spark, sf_correct):
+    """Oracle match + each torture defect detected exactly once and the
+    gate verdict demonstrably FALSE on the poisoned feed; percentile
+    anchors agree across engines at 6dp."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "vector_dq_gate",
+        registry.QUERIES["vector_dq_gate"],
+        registry.ORACLES["vector_dq_gate"],
+    )
+    row = registry.QUERIES["vector_dq_gate"](spark, sf_correct).collect()[0]
+    assert row.n_bad_dim == 1
+    assert row.n_zero_norm == 1
+    assert row.n_nonfinite == 1
+    assert row.n_dup_ids == 1
+    assert not row.gate_pass
+    assert 0 < row.normsq_p50 <= row.normsq_p99
