@@ -522,3 +522,77 @@ def forget_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_clusters_dissolved").cast("long"),
         )
     )
+
+
+@query(
+    "source_sampling_plan",
+    oracle=(
+        "WITH cc AS (" + _CC_ORACLE + "), "
+        "t AS (SELECT doc_id, source, "
+        "len(list_filter(string_split(text, ' '), w -> w <> '')) AS toks "
+        "FROM documents), "
+        "g AS (SELECT t.source, CAST(sum(t.toks) AS BIGINT) AS n_tokens, "
+        "CAST(coalesce(sum(CASE WHEN cc.cluster_id IS NOT NULL AND "
+        "cc.cluster_id <> t.doc_id THEN t.toks END), 0) AS BIGINT) "
+        "AS dup_tokens FROM t LEFT JOIN cc ON t.doc_id = cc.doc_id "
+        "GROUP BY t.source), "
+        "e AS (SELECT source, n_tokens, dup_tokens, "
+        "n_tokens - dup_tokens AS effective_tokens FROM g), "
+        "c AS (SELECT quantile_cont(effective_tokens, 0.5) AS cap FROM e) "
+        "SELECT source, n_tokens, dup_tokens, effective_tokens, "
+        "CAST(round(1e6 * least(1.0, c.cap / effective_tokens)) AS BIGINT) "
+        "AS keep_frac_e6 FROM e CROSS JOIN c"
+    ),
+)
+def source_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampling plan a curation run derives AFTER dedup analysis and
+    BEFORE mixing: per source, raw tokens, tokens sitting in would-be-
+    dropped near-dup cluster members (``dup_tokens`` — the mass
+    ``dedup_mass_by_source`` counts in docs, here in the unit budgets are
+    set in), the dedup-DISCOUNTED effective tokens, and a keep fraction
+    capping every source at the median effective size (the CCNet/
+    RefinedWeb "no source dominates" rule, applied to deduplicated mass
+    rather than raw page counts — a crawl that is 40% internal near-dups
+    should not buy mixing share with its duplicates). keep_frac is
+    fixed-point ×10⁶ (module float policy: a ratio of exact integer sums
+    is engine-stable only after fixing the quantum).
+
+    Scale shape: one corpus scan for token counts, one left join against
+    the |dup-docs|-sized cluster map (AQE broadcasts it when it fits),
+    one source-keyed partial+final aggregate, then a broadcast cross of
+    the 1-row median. The median is exact over |sources| rows — a
+    per-deployment constant, never corpus-sized. Oracle recomputes the
+    whole plan from the exact recursive-CTE closure, so a green row
+    certifies dedup connectivity AND the budget arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    t = docs.select("doc_id", "source", ntok.cast("long").alias("toks"))
+    cc = dedup_clusters(spark, sf_dir).withColumnRenamed("doc_id", "cc_doc")
+    is_dup = F.col("cluster_id").isNotNull() & (
+        F.col("cluster_id") != F.col("doc_id")
+    )
+    g = (
+        t.join(cc, t["doc_id"] == F.col("cc_doc"), "left")
+        .groupBy("source")
+        .agg(
+            F.sum("toks").cast("long").alias("n_tokens"),
+            F.coalesce(F.sum(F.when(is_dup, F.col("toks"))), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+        .withColumn(
+            "effective_tokens", F.col("n_tokens") - F.col("dup_tokens")
+        )
+    )
+    c = g.agg(F.expr("percentile(effective_tokens, 0.5)").alias("cap"))
+    return g.crossJoin(F.broadcast(c)).select(
+        "source",
+        "n_tokens",
+        "dup_tokens",
+        "effective_tokens",
+        F.round(
+            1e6 * F.least(F.lit(1.0), F.col("cap") / F.col("effective_tokens"))
+        )
+        .cast("long")
+        .alias("keep_frac_e6"),
+    )

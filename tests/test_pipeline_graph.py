@@ -883,3 +883,44 @@ def test_forget_source_matches_python_twin(spark, sf_correct):
     assert row.n_survivors_reelected == len(reelected)
     assert row.n_clusters_dissolved == len(dissolved)
     assert reelected <= affected and dissolved <= affected
+
+
+def test_source_sampling_plan_arithmetic(spark, sf_correct):
+    """Oracle match + budget arithmetic: effective = raw − dup, keep
+    fraction capped at 1.0 with ~half the sources at the cap (median
+    rule), and the dup token mass agrees with a recomputation from the
+    cluster map."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.graphdedup import (
+        dedup_clusters,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "source_sampling_plan",
+        registry.QUERIES["source_sampling_plan"],
+        registry.ORACLES["source_sampling_plan"],
+    )
+    rows = registry.QUERIES["source_sampling_plan"](spark, sf_correct).collect()
+    assert rows
+    for r in rows:
+        assert r.effective_tokens == r.n_tokens - r.dup_tokens
+        assert 0 < r.keep_frac_e6 <= 1_000_000
+    at_cap = sum(1 for r in rows if r.keep_frac_e6 == 1_000_000)
+    assert at_cap >= len(rows) // 2  # median cap keeps ~half uncapped
+    # dup token mass from the cluster map directly
+    docs = {
+        r.doc_id: (r.source, len([w for w in r.text.split(" ") if w]))
+        for r in load_table(spark, sf_correct, "documents").collect()
+    }
+    dup_by_src: dict[str, int] = {}
+    for r in dedup_clusters(spark, sf_correct).collect():
+        if r.cluster_id != r.doc_id:
+            src, toks = docs[r.doc_id]
+            dup_by_src[src] = dup_by_src.get(src, 0) + toks
+    for r in rows:
+        assert r.dup_tokens == dup_by_src.get(r.source, 0)
