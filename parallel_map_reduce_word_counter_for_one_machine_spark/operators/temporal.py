@@ -322,3 +322,66 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+_MS_DAY = 86_400_000
+
+
+@query(
+    "events_gap_fill",
+    oracle=(
+        "WITH e AS (SELECT user_id, epoch_ms(ts) // "
+        f"{_MS_DAY} AS d, value FROM events), "
+        "b AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM e "
+        "GROUP BY user_id), "
+        "spine AS (SELECT user_id, u.d FROM b, "
+        "LATERAL unnest(generate_series(d0, d1)) AS u(d)), "
+        "agg AS (SELECT user_id, d, CAST(count(*) AS BIGINT) AS n, "
+        "round(sum(value), 2) AS sv FROM e GROUP BY user_id, d) "
+        "SELECT spine.user_id, "
+        f"CAST(spine.d * {_MS_DAY} AS BIGINT) AS day_ms, "
+        "CAST(coalesce(agg.n, 0) AS BIGINT) AS n_events, "
+        "coalesce(agg.sv, 0.0) AS sum_value, "
+        "agg.user_id IS NULL AS is_gap "
+        "FROM spine LEFT JOIN agg ON spine.user_id = agg.user_id "
+        "AND spine.d = agg.d"
+    ),
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user DAILY series with explicit gap rows — the
+    regularization step before any window/LOCF/anomaly pass that assumes
+    one row per bucket (``events_locf`` carries values FORWARD over
+    existing rows; this materializes the missing buckets those passes
+    silently skip). Each user's spine runs from their first to their last
+    active day; absent days appear with n_events = 0 and ``is_gap`` set.
+
+    Scale shape: one aggregate for per-user bounds (2 longs/user), one
+    ``sequence``+``explode`` to build the spine — output-sized, no
+    cross join — and one co-partitioned left join against the daily
+    aggregate (both sides hash on user_id). Spine cardinality =
+    Σ(user active span in days): bounded by the calendar × user count,
+    independent of event volume — the join's build side SHRINKS relative
+    to the corpus as event density grows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_millis("ts") / F.lit(_MS_DAY))
+        .cast("long")
+        .alias("d"),
+        "value",
+    )
+    b = e.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = b.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    agg = e.groupBy("user_id", "d").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv")
+    )
+    return spine.join(agg, ["user_id", "d"], "left").select(
+        "user_id",
+        (F.col("d") * _MS_DAY).cast("long").alias("day_ms"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+        F.col("n").isNull().alias("is_gap"),
+    )

@@ -231,3 +231,36 @@ def test_ohlc_vs_python(spark, sf_dir):
     assert got == expected
     for o, h, l, c, _ in got.values():
         assert l <= o <= h and l <= c <= h
+
+
+def test_events_gap_fill_densifies(spark, sf_correct):
+    """Oracle match + density invariants: per user, exactly one row per
+    day between first and last activity, gap rows carry zeros, non-gap
+    rows reproduce the plain daily aggregate."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "events_gap_fill",
+        registry.QUERIES["events_gap_fill"],
+        registry.ORACLES["events_gap_fill"],
+    )
+    rows = registry.QUERIES["events_gap_fill"](spark, sf_correct).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    day = 86_400_000
+    n_gaps = 0
+    for u, rs in by_user.items():
+        ds = sorted(r.day_ms for r in rs)
+        assert ds == list(range(ds[0], ds[-1] + day, day)), f"user {u} not dense"
+        for r in rs:
+            if r.is_gap:
+                n_gaps += 1
+                assert r.n_events == 0 and r.sum_value == 0.0
+            else:
+                assert r.n_events > 0
+    assert n_gaps > 0  # the corpus genuinely has inactive days
