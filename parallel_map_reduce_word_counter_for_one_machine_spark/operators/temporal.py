@@ -385,3 +385,74 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+ASOF_TOL_MS = 86_400_000  # 24 h — the staleness bound
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=(
+        # ASOF picks the LATEST click ≤ ts; if that one is older than the
+        # tolerance every earlier candidate is older still, so post-hoc
+        # NULLing the pair is exactly merge_asof(tolerance=...) semantics.
+        "SELECT purchase_id, user_id, purchase_ms, "
+        f"CASE WHEN purchase_ms - click_ms <= {ASOF_TOL_MS} "
+        "THEN click_id END AS click_id, "
+        f"CASE WHEN purchase_ms - click_ms <= {ASOF_TOL_MS} "
+        "THEN click_ms END AS click_ms FROM ("
+        "SELECT p.event_id AS purchase_id, p.user_id, "
+        "epoch_ms(p.ts) AS purchase_ms, c.event_id AS click_id, "
+        "epoch_ms(c.ts) AS click_ms "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts)"
+    ),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND (pandas ``merge_asof``'s
+    ``tolerance``): the user's latest click at-or-before each purchase,
+    but only if it happened within 24 h — an attribution window, a sensor
+    reading too old to trust, a quote past its validity. The bound moves
+    INTO the join predicate, which matters at scale: candidates older
+    than the tolerance never enter the per-purchase window state, so a
+    user with years of history contributes only their last-24 h rows per
+    probe instead of their whole past (the unbounded as-of's window reads
+    everything ≤ ts and keeps rank-1).
+
+    DuckDB has no tolerance argument, so the oracle post-filters the
+    plain ASOF result — sound because as-of picks the LATEST candidate:
+    if that is stale, every other candidate is staler."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    tol = F.expr(f"INTERVAL {ASOF_TOL_MS // 1000} SECONDS")
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (p.p_ts >= c.c_ts)
+        & (c.c_ts >= p.p_ts - tol),  # the bound prunes candidates early
+        "left",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc_nulls_last("c_ts"), F.desc_nulls_last("click_id")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.unix_millis("p_ts").alias("purchase_ms"),
+            "click_id",
+            F.unix_millis("c_ts").alias("click_ms"),
+        )
+    )

@@ -264,3 +264,42 @@ def test_events_gap_fill_densifies(spark, sf_correct):
             else:
                 assert r.n_events > 0
     assert n_gaps > 0  # the corpus genuinely has inactive days
+
+
+def test_join_asof_tolerance_semantics(spark, sf_correct):
+    """Oracle match + the bound's semantics vs the unbounded as-of: same
+    row count (left join), matches are exactly the unbounded matches
+    within 24h, stale matches become NULL (never an OLDER substitute)."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.temporal import (
+        ASOF_TOL_MS,
+        join_asof,
+        join_asof_tolerance,
+    )
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "join_asof_tolerance",
+        registry.QUERIES["join_asof_tolerance"],
+        registry.ORACLES["join_asof_tolerance"],
+    )
+    unbounded = {
+        r.purchase_id: r for r in join_asof(spark, sf_correct).collect()
+    }
+    bounded = {
+        r.purchase_id: r
+        for r in join_asof_tolerance(spark, sf_correct).collect()
+    }
+    assert set(bounded) == set(unbounded)
+    n_nulled = 0
+    for pid, b in bounded.items():
+        u = unbounded[pid]
+        if u.click_ms is not None and u.purchase_ms - u.click_ms <= ASOF_TOL_MS:
+            assert b.click_id == u.click_id  # within bound: identical match
+        else:
+            assert b.click_id is None  # stale or absent: NULL, no substitute
+            if u.click_ms is not None:
+                n_nulled += 1
+    assert n_nulled > 0  # the bound genuinely fires on this corpus
