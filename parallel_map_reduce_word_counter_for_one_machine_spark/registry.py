@@ -114,7 +114,14 @@ def load_all() -> None:
         textnorm,
     )
     from .functions import udfs  # noqa: F401
-    from .streaming import dedupstream, joins, latedata, tumbling  # noqa: F401
+    from .streaming import (  # noqa: F401
+        dedupstream,
+        joins,
+        latedata,
+        scd2sink,
+        stateful,
+        tumbling,
+    )
     from .sources import (  # noqa: F401
         bucketed,
         compaction,

@@ -144,3 +144,82 @@ def run_stream_scd2(
     )
     drain(q)
     return latest_committed_state(spark, state_root)
+
+
+_N_SLICES = 5
+
+
+def stage_event_slices(spark: SparkSession, sf_dir: str) -> str:
+    """Cut the events table into ``_N_SLICES`` event-time range slices and
+    stage them as one parquet file each with ascending mtimes — the
+    change-log layout ``run_stream_scd2`` consumes (file source delivers
+    oldest-mtime first, one file per micro-batch). Bounds are equal
+    divisions of [min ts, max ts] — the merge theorem (tested under
+    random cuts in tests/test_scd2_stream.py) makes the final dimension
+    independent of WHERE the cut lands, so the simple deterministic cut
+    is enough."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..sources.tables import load_table
+
+    evs = load_table(spark, sf_dir, "events")
+    b = evs.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1")).collect()[0]
+    span = (b.t1 - b.t0) / _N_SLICES
+    staged = tempfile.mkdtemp(prefix="pmrwc_scd2stage_")
+    now = _time.time() - 1000
+    for i in range(_N_SLICES):
+        lo = b.t0 + span * i
+        s = evs.filter(F.col("ts") >= F.lit(lo)) if i else evs
+        if i < _N_SLICES - 1:
+            s = s.filter(F.col("ts") < F.lit(b.t0 + span * (i + 1)))
+        tmp = os.path.join(staged, f"_w{i}")
+        s.repartition(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        dst = os.path.join(staged, f"slice{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    return staged
+
+
+from ..registry import query  # noqa: E402  (registry has no back-import)
+
+
+@query(
+    "stream_scd2_real",
+    oracle=(
+        # identical to dim_scd2_build's oracle: the REAL stream over any
+        # event-time-ordered cut must land on the batch dimension.
+        "WITH o AS (SELECT user_id, ts, event_id, value, "
+        "lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS prev FROM events), "
+        "ch AS (SELECT user_id, ts, event_id, value FROM o "
+        "WHERE prev IS NULL OR value <> prev) "
+        "SELECT user_id, epoch_ms(ts) AS valid_from_ms, "
+        "epoch_ms(lead(ts) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id)) AS valid_to_ms, value "
+        "FROM ch"
+    ),
+)
+def stream_scd2_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated face of the STREAMING SCD2 sink (until now covered by
+    unit tests only, like delete was): the events change log arrives as
+    five mtime-ordered micro-batches through ``run_stream_scd2`` —
+    foreachBatch, marker-ledger commits, replay idempotence — and the
+    FINAL COMMITTED STATE must equal the batch ``dim_scd2_build`` oracle
+    row-for-row. A green row certifies the whole sink protocol (merge
+    function, version ledger, crash-marker ordering) lands on the
+    declarative answer, not just that the merge function is right in
+    isolation."""
+    import tempfile
+
+    staged = stage_event_slices(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="pmrwc_scd2real_")
+    name = "scd2_real_" + str(abs(hash((sf_dir, "scd2"))) % 10**8)
+    final = run_stream_scd2(spark, staged, root, name)
+    return final.select("user_id", "valid_from_ms", "valid_to_ms", "value")

@@ -98,3 +98,29 @@ def run_stateful_user_totals(
         .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
         .select("user_id", "s.n_events", "s.sum_value")
     )
+
+
+from ..registry import query  # noqa: E402  (registry has no back-import)
+
+
+@query(
+    "stream_stateful_totals",
+    oracle=(
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+        "round(sum(value), 2) AS sum_value FROM events GROUP BY user_id"
+    ),
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated face of the ``applyInPandasWithState`` operator (until
+    now unit-test-only): the per-user running counter streamed over the
+    events file source, final state per user taken from the update-mode
+    sink's last emission (n_events is strictly growing, so the struct
+    argmax is the final row). Must equal the plain batch aggregate DuckDB
+    recomputes — proving the custom state machine (init, per-batch
+    update, emission) conserves counts and sums across micro-batches, not
+    just within one."""
+    name = "stateful_totals_" + str(abs(hash((sf_dir, "tot"))) % 10**8)
+    final = run_stateful_user_totals(spark, sf_dir, name)
+    return final.select(
+        "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
+    )

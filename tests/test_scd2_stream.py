@@ -174,3 +174,17 @@ def test_merge_theorem_under_random_cuts(spark, sf_dir, tmp_path):
         assert got == expected
 
     run()
+
+
+def test_registered_stream_scd2_matches_oracle(spark, sf_correct):
+    """The driver-gated key: five mtime-ordered micro-batches through the
+    marker-ledger sink must land on the batch dimension oracle."""
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "stream_scd2_real",
+        registry.QUERIES["stream_scd2_real"],
+        registry.ORACLES["stream_scd2_real"],
+    )

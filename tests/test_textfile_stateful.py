@@ -134,3 +134,22 @@ def test_tws_equals_batch_when_protobuf_present(spark, sf_dir):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_registered_stateful_totals_matches_oracle(spark, sf_correct):
+    """The driver-gated key: applyInPandasWithState running totals must
+    conserve counts and sums across micro-batches (batch-aggregate
+    oracle)."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming import (
+        stateful,  # noqa: F401 — registers the key
+    )
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "stream_stateful_totals",
+        registry.QUERIES["stream_stateful_totals"],
+        registry.ORACLES["stream_stateful_totals"],
+    )
