@@ -1777,6 +1777,19 @@ def dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
       join flips it).
     - ``recall_ok``: every truth doc with a HIGH-J witness (≥ 0.8, where
       the band math makes a miss ~impossible) is flagged."""
+    flags = fuzzy_gate_flags(spark, sf_dir).localCheckpoint()
+    flagged = flags.filter(F.col("dup_of_corpus")).select("doc_id")
+    n_incoming = flags.agg(F.count("*").cast("long").alias("n_incoming"))
+    return _gate_verdict_vs_truth(spark, sf_dir, flagged, n_incoming)
+
+
+def _gate_verdict_vs_truth(
+    spark: SparkSession, sf_dir: str, flagged: DataFrame, n_incoming: DataFrame
+) -> DataFrame:
+    """Shared verdict builder for BOTH fuzzy-gate faces (batch listing and
+    the real stream): exact incoming×corpus truth, then the four-column
+    (n_incoming, n_dup_truth, precision_ok, recall_ok) relation the
+    ``_GATE_VERDICT_ORACLE`` recomputes."""
     docs = _fan_out_small_input(load_table(spark, sf_dir, "documents"))
     sets = docs.select(
         "doc_id",
@@ -1801,10 +1814,6 @@ def dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("j").alias("max_j"))
         .localCheckpoint()
     )
-    flags = fuzzy_gate_flags(spark, sf_dir).localCheckpoint()
-    flagged = flags.filter(F.col("dup_of_corpus")).select("doc_id")
-
-    n_incoming = flags.agg(F.count("*").cast("long").alias("n_incoming"))
     n_dup_truth = truth.agg(F.count("*").cast("long").alias("n_dup_truth"))
     n_false = (
         flagged.join(truth, "doc_id", "left_anti")

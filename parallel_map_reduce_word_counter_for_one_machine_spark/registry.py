@@ -115,12 +115,15 @@ def load_all() -> None:
     )
     from .functions import udfs  # noqa: F401
     from .streaming import (  # noqa: F401
+        chunkstream,
         dedupstream,
+        fuzzygate,
         joins,
         latedata,
         scd2sink,
         stateful,
         tumbling,
+        upsertsink,
     )
     from .sources import (  # noqa: F401
         bucketed,

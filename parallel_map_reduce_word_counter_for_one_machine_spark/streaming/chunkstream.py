@@ -36,3 +36,24 @@ def run_stream_chunks(
     )
     drain(q)
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+from ..registry import ORACLES, query  # noqa: E402
+
+
+def _chunk_oracle() -> str:
+    # chunking registers before streaming modules in registry.load_all,
+    # so its oracle is present; composing it keeps the two faces
+    # drift-free by construction.
+    return ORACLES["chunk_documents"]
+
+
+@query("stream_chunk_documents", oracle=_chunk_oracle())
+def stream_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated face of STREAMING chunking: the document feed through
+    a real readStream must produce exactly the batch ``chunk_documents``
+    relation (same oracle verbatim — the two faces cannot drift).
+    Stateless map, append mode: the operational shape for chunking
+    documents as they land."""
+    name = "chunk_stream_" + str(abs(hash((sf_dir, "cs"))) % 10**8)
+    return run_stream_chunks(spark, sf_dir, name)

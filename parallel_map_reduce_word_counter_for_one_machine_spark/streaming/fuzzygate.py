@@ -117,3 +117,30 @@ def run_stream_fuzzy_gate(
     )
     drain(q)
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+from ..operators.dedup import (  # noqa: E402
+    _GATE_VERDICT_ORACLE,
+    _gate_verdict_vs_truth,
+)
+from ..registry import query  # noqa: E402
+
+
+@query("stream_fuzzy_gate", oracle=_GATE_VERDICT_ORACLE)
+def stream_fuzzy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated face of the STREAMING near-dup ingest gate (module
+    docstring): the incoming feed streams through signature → banded
+    probe → exact verify, and the drained match events must yield the
+    SAME verdict — precision against the exact incoming×corpus truth,
+    recall on high-J witnesses — as the batch gate, under the same
+    oracle. Proves the stream-static join composition loses no candidate
+    the batch listing finds."""
+    name = "fuzzy_gate_" + str(abs(hash((sf_dir, "fg"))) % 10**8)
+    events = run_stream_fuzzy_gate(spark, sf_dir, name).localCheckpoint()
+    flagged = events.select(F.col("in_id").alias("doc_id")).distinct()
+    n_incoming = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % INCREMENTAL_MOD == 0)
+        .agg(F.count("*").cast("long").alias("n_incoming"))
+    )
+    return _gate_verdict_vs_truth(spark, sf_dir, flagged, n_incoming)

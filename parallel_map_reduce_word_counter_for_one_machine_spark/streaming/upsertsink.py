@@ -302,3 +302,40 @@ def read_version(spark: SparkSession, state_root: str, version: int) -> DataFram
             f"(have {sorted(retained)}); vacuumed or never committed"
         )
     return spark.read.parquet(os.path.join(state_root, f"v{version}"))
+
+
+from ..registry import query  # noqa: E402  (registry has no back-import)
+
+
+@query(
+    "stream_upsert_real",
+    oracle=(
+        "WITH r AS (SELECT user_id, value, event_type, ts, event_id, "
+        "row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+        "SELECT user_id, value, event_type, epoch_ms(ts) AS last_ts_ms, "
+        "event_id AS last_event_id FROM r WHERE rn = 1"
+    ),
+)
+def stream_upsert_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated face of the versioned UPSERT sink (unit-test-only
+    until now, like the SCD2 sink): the events stream through the
+    foreachBatch marker-ledger upsert, and the FINAL COMMITTED VERSION
+    must hold exactly one row per user — the latest event under the full
+    (ts, event_id) total order — no matter how the source happened to
+    micro-batch. The oracle is the declarative last-row-per-key query, so
+    a green row certifies the reduce-then-merge protocol (batch
+    ``_latest_per_key`` → full-outer MERGE, marker last) conserves the
+    total order across commits."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="pmrwc_upsreal_")
+    name = "upsert_real_" + str(abs(hash((sf_dir, "up"))) % 10**8)
+    final = run_stream_upsert(spark, sf_dir, root, name)
+    return final.select(
+        "user_id",
+        "value",
+        "event_type",
+        F.unix_millis("last_ts").alias("last_ts_ms"),
+        "last_event_id",
+    )

@@ -336,3 +336,24 @@ def test_cdc_chunks_partition_the_token_stream_property(spark):
                     assert after.get((d_, cid)) == fp, (d_, cid, texts)
 
     check()
+
+
+def test_registered_stream_chunks_matches_oracle(spark, sf_correct):
+    """Driver-gated streaming chunker: identical relation (and oracle) as
+    the batch chunk_documents — the two faces share the oracle string."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming import (
+        chunkstream,  # noqa: F401 — registers the key
+    )
+    from .oracle import assert_matches_oracle
+
+    assert registry.ORACLES["stream_chunk_documents"] == registry.ORACLES[
+        "chunk_documents"
+    ]
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "stream_chunk_documents",
+        registry.QUERIES["stream_chunk_documents"],
+        registry.ORACLES["stream_chunk_documents"],
+    )

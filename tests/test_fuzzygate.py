@@ -65,3 +65,24 @@ def test_stream_gate_equals_batch_gate(spark, sf_correct):
     stream = {r.in_id for r in ev.select("in_id").distinct().collect()}
     assert batch == stream
     assert batch  # non-vacuous
+
+
+def test_registered_stream_gate_matches_oracle(spark, sf_correct):
+    """Driver-gated streaming gate: the drained event set must yield the
+    same precision/recall verdict as the batch gate, under the same
+    exact-truth oracle."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming import (
+        fuzzygate,  # noqa: F401 — registers the key
+    )
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "stream_fuzzy_gate",
+        registry.QUERIES["stream_fuzzy_gate"],
+        registry.ORACLES["stream_fuzzy_gate"],
+    )
+    row = registry.QUERIES["stream_fuzzy_gate"](spark, sf_correct).collect()[0]
+    assert row.precision_ok and row.recall_ok and row.n_dup_truth > 0

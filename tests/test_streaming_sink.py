@@ -502,3 +502,21 @@ def test_late_data_drop_matches_oracle_and_actually_drops(spark, sf_correct):
         & (F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR") <= F.lit(wm))
     ).count()
     assert sum(r.n_events for r in rows) == n_expected
+
+
+def test_registered_stream_upsert_matches_oracle(spark, sf_correct):
+    """Driver-gated upsert sink: final committed version == the
+    declarative last-row-per-key relation."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming import (
+        upsertsink,  # noqa: F401 — registers the key
+    )
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "stream_upsert_real",
+        registry.QUERIES["stream_upsert_real"],
+        registry.ORACLES["stream_upsert_real"],
+    )
