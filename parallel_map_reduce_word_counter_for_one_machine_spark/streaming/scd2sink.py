@@ -149,15 +149,36 @@ def run_stream_scd2(
 _N_SLICES = 5
 
 
+def slice_bounds_us(spark: SparkSession, sf_dir: str) -> list[int]:
+    """The ``_N_SLICES - 1`` cut points as epoch MICROSECONDS — pure
+    integer arithmetic (floor division), so any other engine derives the
+    identical cut from the same data: bound_k = t0 + ((t1-t0)·(k+1)) // N.
+    Integer-domain bounds are what make point-in-time reads of the
+    version ledger (``scd2_time_travel``) oracle-able — a float-rounded
+    bound could flip a boundary event between engines."""
+    from ..sources.tables import load_table
+
+    evs = load_table(spark, sf_dir, "events")
+    b = evs.agg(
+        F.unix_micros(F.min("ts")).alias("t0"),
+        F.unix_micros(F.max("ts")).alias("t1"),
+    ).collect()[0]  # bounded: one 2-long row
+    return [
+        b.t0 + ((b.t1 - b.t0) * (i + 1)) // _N_SLICES
+        for i in range(_N_SLICES - 1)
+    ]
+
+
 def stage_event_slices(spark: SparkSession, sf_dir: str) -> str:
     """Cut the events table into ``_N_SLICES`` event-time range slices and
     stage them as one parquet file each with ascending mtimes — the
     change-log layout ``run_stream_scd2`` consumes (file source delivers
-    oldest-mtime first, one file per micro-batch). Bounds are equal
-    divisions of [min ts, max ts] — the merge theorem (tested under
-    random cuts in tests/test_scd2_stream.py) makes the final dimension
-    independent of WHERE the cut lands, so the simple deterministic cut
-    is enough."""
+    oldest-mtime first, one file per micro-batch). Bounds come from
+    ``slice_bounds_us`` (equal integer-microsecond divisions of
+    [min ts, max ts]) — the merge theorem (tested under random cuts in
+    tests/test_scd2_stream.py) makes the FINAL dimension independent of
+    where the cut lands, and the integer bounds make the INTERMEDIATE
+    versions deterministic too (``scd2_time_travel``)."""
     import shutil
     import tempfile
     import time as _time
@@ -165,15 +186,14 @@ def stage_event_slices(spark: SparkSession, sf_dir: str) -> str:
     from ..sources.tables import load_table
 
     evs = load_table(spark, sf_dir, "events")
-    b = evs.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1")).collect()[0]
-    span = (b.t1 - b.t0) / _N_SLICES
+    bounds = slice_bounds_us(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
     staged = tempfile.mkdtemp(prefix="pmrwc_scd2stage_")
     now = _time.time() - 1000
     for i in range(_N_SLICES):
-        lo = b.t0 + span * i
-        s = evs.filter(F.col("ts") >= F.lit(lo)) if i else evs
+        s = evs.filter(us >= F.lit(bounds[i - 1])) if i else evs
         if i < _N_SLICES - 1:
-            s = s.filter(F.col("ts") < F.lit(b.t0 + span * (i + 1)))
+            s = s.filter(us < F.lit(bounds[i]))
         tmp = os.path.join(staged, f"_w{i}")
         s.repartition(1).write.parquet(tmp)
         part = next(
@@ -223,3 +243,53 @@ def stream_scd2_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "scd2_real_" + str(abs(hash((sf_dir, "scd2"))) % 10**8)
     final = run_stream_scd2(spark, staged, root, name)
     return final.select("user_id", "valid_from_ms", "valid_to_ms", "value")
+
+
+_TRAVEL_K = 3  # versions applied before the point-in-time read (v index 2)
+
+
+@query(
+    "scd2_time_travel",
+    oracle=(
+        # the dimension AS OF the third slice boundary: dim_scd2_build's
+        # oracle over exactly the first three slices' events, cut at the
+        # same integer-microsecond bound the stager derives.
+        "WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 "
+        "FROM events), "
+        f"cut AS (SELECT t0 + ((t1 - t0) * {_TRAVEL_K}) // 5 AS hi FROM b), "
+        "e AS (SELECT events.* FROM events, cut WHERE epoch_us(ts) < cut.hi), "
+        "o AS (SELECT user_id, ts, event_id, value, "
+        "lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS prev FROM e), "
+        "ch AS (SELECT user_id, ts, event_id, value FROM o "
+        "WHERE prev IS NULL OR value <> prev) "
+        "SELECT user_id, epoch_ms(ts) AS valid_from_ms, "
+        "epoch_ms(lead(ts) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id)) AS valid_to_ms, value "
+        "FROM ch"
+    ),
+)
+def scd2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the versioned SCD2 ledger: run the full 5-batch
+    stream, then read the COMMITTED VERSION as of batch ``_TRAVEL_K - 1``
+    (not the latest) — the "dimension as the warehouse saw it last
+    Tuesday" read every versioned sink exists to serve. Because the slice
+    bounds are integer-microsecond pure functions of the data
+    (``slice_bounds_us``), DuckDB reconstructs the SAME point in time by
+    cutting the change log at the same bound and building the dimension
+    declaratively — a green row certifies each intermediate version is a
+    CONSISTENT dimension snapshot, not just that the final state is
+    right. Versions are retention-managed by ``vacuum_versions`` (keeps
+    the ledger bounded; tested in test_streaming_sink)."""
+    import tempfile
+
+    from .upsertsink import committed_versions, read_version
+
+    staged = stage_event_slices(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="pmrwc_scd2tt_")
+    name = "scd2_tt_" + str(abs(hash((sf_dir, "tt"))) % 10**8)
+    run_stream_scd2(spark, staged, root, name)
+    versions = committed_versions(root)
+    assert len(versions) == _N_SLICES, versions
+    snap = read_version(spark, root, versions[_TRAVEL_K - 1])
+    return snap.select("user_id", "valid_from_ms", "valid_to_ms", "value")

@@ -188,3 +188,29 @@ def test_registered_stream_scd2_matches_oracle(spark, sf_correct):
         registry.QUERIES["stream_scd2_real"],
         registry.ORACLES["stream_scd2_real"],
     )
+
+
+def test_scd2_time_travel_snapshot_is_consistent(spark, sf_correct):
+    """The point-in-time key: version v2 (after 3 of 5 slices) must match
+    DuckDB's dimension built over exactly the first three slices; and the
+    snapshot must itself be a well-formed dimension (one open row per
+    user, no interval overlaps)."""
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "scd2_time_travel",
+        registry.QUERIES["scd2_time_travel"],
+        registry.ORACLES["scd2_time_travel"],
+    )
+    rows = registry.QUERIES["scd2_time_travel"](spark, sf_correct).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, rs in by_user.items():
+        opens = [r for r in rs if r.valid_to_ms is None]
+        assert len(opens) == 1, f"user {u}: {len(opens)} open rows"
+        ordered = sorted(rs, key=lambda r: r.valid_from_ms)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.valid_to_ms == b.valid_from_ms, f"user {u} gap/overlap"
