@@ -414,3 +414,52 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "iteration INT, left_sym STRING, right_sym STRING, pair_count BIGINT"
     )
+
+
+@query(
+    "tokenizer_bpe_roundtrip",
+    oracle=(
+        # Ground truth IS the corpus: decode(encode(x)) must reproduce
+        # every word exactly. Whitespace-run normalization is the one
+        # documented loss (split-on-space tokenization cannot see run
+        # lengths), so the target is the single-spaced word stream.
+        "SELECT doc_id, array_to_string(list_filter(string_split(text, ' '), "
+        "w -> w <> ''), ' ') AS decoded FROM documents "
+        "WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0"
+    ),
+)
+def tokenizer_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESSNESS proof for the whole tokenize path: encode the corpus
+    to positioned subword ids (``tokenizer_bpe_ids``), then DECODE —
+    concatenate each word's subwords in sub_pos order, join words in
+    word_pos order — and the result must equal the original text
+    word-for-word (the oracle is ``SELECT doc_id, text`` modulo
+    whitespace-run normalization, the one documented loss of
+    split-on-space tokenization). A tokenizer that drops a word (the
+    r07 pipe-delimiter bug's failure mode), mis-orders subwords, or
+    unescapes a symbol wrongly fails HERE against ground truth rather
+    than against our own encoder.
+
+    Scale shape: two ordered-array aggregations (sub_pos within word,
+    word_pos within doc), both partial-aggregable collect_list + sort —
+    each keyed one level above the exploded stream, so state per group is
+    one word / one doc, never the corpus."""
+    ids = tokenizer_bpe_ids(spark, sf_dir)
+    words = ids.groupBy("doc_id", "word_pos").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_pos", "subword"))),
+                lambda s: s.subword,
+            ),
+            "",
+        ).alias("word")
+    )
+    return words.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("word_pos", "word"))),
+                lambda s: s.word,
+            ),
+            " ",
+        ).alias("decoded")
+    )

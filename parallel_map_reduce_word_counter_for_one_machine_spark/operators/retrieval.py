@@ -362,3 +362,97 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rrf_score",
         )
     )
+
+
+def _ir_eval_oracle() -> str:
+    from .similarity import _TOPK_ORACLE, N_QUERIES, TOP_K
+
+    return (
+        f"WITH topk AS ({_TOPK_ORACLE}), "
+        "lab AS (SELECT vec_id, label FROM embeddings), "
+        "j AS (SELECT t.query_id, t.rk, "
+        "CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END AS rel "
+        "FROM topk t JOIN lab ql ON ql.vec_id = t.query_id "
+        "JOIN lab cl ON cl.vec_id = t.cand_id), "
+        "per AS (SELECT query_id, "
+        "max(CASE WHEN rel = 1 THEN 1.0 / rk ELSE 0 END) AS rr, "
+        "sum(rel) AS n_rel_topk FROM j GROUP BY query_id), "
+        "tot AS (SELECT q.vec_id AS query_id, count(*) AS n_rel_total "
+        "FROM lab q JOIN lab c ON c.vec_id <> q.vec_id "
+        "AND c.label = q.label "
+        f"WHERE q.vec_id < {N_QUERIES} GROUP BY q.vec_id) "
+        "SELECT per.query_id, round(per.rr, 6) AS rr, "
+        f"round(CAST(per.n_rel_topk AS DOUBLE) / {TOP_K}, 6) AS p_at_k, "
+        "round(CAST(per.n_rel_topk AS DOUBLE) "
+        "/ greatest(tot.n_rel_total, 1), 6) AS r_at_k "
+        "FROM per LEFT JOIN tot ON per.query_id = tot.query_id"
+    )
+
+
+@query("retrieval_eval_metrics", oracle=_ir_eval_oracle())
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation harness over the exact top-k: per query, reciprocal
+    rank of the first relevant hit, precision@k, and recall@k, with
+    relevance = SAME LABEL as the query vector (the pseudo-relevance
+    every labeled-embedding eval uses when graded judgments don't exist).
+    This is the measurement side of the retrieval stack — the numbers a
+    team watches when swapping BM25 weights, fusion constants, or ANN
+    probe settings; the ANN verdicts gate recall AGAINST this exact
+    baseline, this key gates the baseline's own arithmetic against an
+    independent engine.
+
+    Metrics are kept to exact RATIONALS (1/rank, counts/k) rounded at
+    6dp — nDCG is deliberately excluded because log2 is libm-dependent
+    across engines and the value hash would chase ulps, not bugs.
+
+    Scale shape: |Q|×k scored rows joined twice against the label
+    column (broadcast — labels are one slim column), one per-query
+    aggregate; the total-relevant side is a label-keyed count, shuffled
+    on label, never all-pairs."""
+    from .similarity import N_QUERIES, TOP_K, similarity_topk
+
+    topk = similarity_topk(spark, sf_dir).select("query_id", "cand_id", "rk")
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ql = lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "q_label"
+    )
+    cl = lab.withColumnRenamed("vec_id", "cand_id").withColumnRenamed(
+        "label", "c_label"
+    )
+    j = (
+        topk.join(F.broadcast(ql), "query_id")
+        .join(F.broadcast(cl), "cand_id")
+        .select(
+            "query_id",
+            "rk",
+            F.when(F.col("q_label") == F.col("c_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    per = j.groupBy("query_id").agg(
+        F.max(
+            F.when(F.col("rel") == 1, F.lit(1.0) / F.col("rk")).otherwise(0.0)
+        ).alias("rr"),
+        F.sum("rel").alias("n_rel_topk"),
+    )
+    tot = (
+        ql.filter(F.col("query_id") < N_QUERIES)
+        .join(
+            lab.withColumnRenamed("vec_id", "cand_id"),
+            F.col("label") == F.col("q_label"),
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_rel_total"))
+    )
+    return per.join(tot, "query_id", "left").select(
+        "query_id",
+        F.round("rr", 6).alias("rr"),
+        F.round(F.col("n_rel_topk").cast("double") / TOP_K, 6).alias("p_at_k"),
+        F.round(
+            F.col("n_rel_topk").cast("double")
+            / F.greatest(F.col("n_rel_total"), F.lit(1)),
+            6,
+        ).alias("r_at_k"),
+    )

@@ -311,3 +311,19 @@ def test_pipe_corpus_all_keys_match_oracle(spark, tmp_path, sf_dir):
         for r in registry.QUERIES["tokenizer_bpe_encode"](spark, d).collect()
     }
     assert got == {0: 5, 1: 4}
+
+
+def test_roundtrip_against_ground_truth(spark, sf_correct):
+    """decode(encode(corpus)) must equal the corpus word-for-word — the
+    oracle is the documents table itself (whitespace-run normalization is
+    the one documented loss)."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "tokenizer_bpe_roundtrip",
+        registry.QUERIES["tokenizer_bpe_roundtrip"],
+        registry.ORACLES["tokenizer_bpe_roundtrip"],
+    )

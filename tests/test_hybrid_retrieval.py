@@ -140,3 +140,27 @@ def test_hybrid_rrf_fuses_the_candidate_rankings(spark, sf_dir):
         for r in registry.QUERIES["hybrid_retrieval_rrf"](spark, sf_dir).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_retrieval_eval_metrics_domain(spark, sf_correct):
+    """Oracle match + metric-domain invariants: rr, p@k, r@k all in
+    [0, 1]; rr > 0 implies at least one relevant hit in the top-k
+    (p_at_k > 0); one row per query vector."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.similarity import (
+        N_QUERIES,
+    )
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "retrieval_eval_metrics",
+        registry.QUERIES["retrieval_eval_metrics"],
+        registry.ORACLES["retrieval_eval_metrics"],
+    )
+    rows = registry.QUERIES["retrieval_eval_metrics"](spark, sf_correct).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert 0 <= r.rr <= 1 and 0 <= r.p_at_k <= 1 and 0 <= r.r_at_k <= 1
+        assert (r.rr > 0) == (r.p_at_k > 0)
