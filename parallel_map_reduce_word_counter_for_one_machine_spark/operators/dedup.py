@@ -585,15 +585,22 @@ def _overcap_neighbor_pairs(
     )
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, sigs: DataFrame | None = None
+) -> DataFrame:
     """Near-dup pair LISTING: MinHash-LSH candidates verified by exact
     shingle Jaccard ≥ 0.5. Raw (unregistered) form — the driver-checked
     key is the ``dedup_minhash_lsh`` verdict below, which re-proves this
     listing against the exact all-pairs truth every round. Correctness vs
     brute force is also asserted in tests/test_dedup.py (recall on
-    high-similarity pairs)."""
+    high-similarity pairs).
+
+    ``sigs`` lets a caller supply a PERSISTED signature table (the
+    production two-stage layout — ``dedup_minhash_persisted``); None
+    computes signatures in-query (the fused form)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    if sigs is None:
+        sigs = minhash_signatures(docs)
     # NO broadcast hint on the candidate list: it grows O(N · bands) with
     # the corpus, so a hard-coded F.broadcast is a driver-OOM at 100×
     # (VERDICT r03). AQE promotes the join to broadcast at runtime when the
@@ -656,7 +663,9 @@ _SHINGLE_TRUTH_SQL = (
 VERDICT_RECALL_J = 0.8
 
 
-def _minhash_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_verdict(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """One-row verdict re-proving the ``minhash_lsh_pairs`` listing against
     the exact all-pairs shingle-Jaccard truth (the simhash/IVF verdict
     pattern — VERDICT r03 item 4): the truth side is computed in-query
@@ -690,7 +699,8 @@ def _minhash_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .localCheckpoint()
     )
-    pairs = minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    if pairs is None:
+        pairs = minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
     n_truth = truth.agg(F.count("*").alias("n_truth"))
     n_false = (
         pairs.join(truth, ["doc_a", "doc_b"], "left_anti")
@@ -1943,3 +1953,39 @@ def dedup_spans_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_text"),
         )
     )
+
+
+@query("dedup_minhash_persisted", oracle=_MINHASH_VERDICT_ORACLE)
+def dedup_minhash_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TWO-STAGE production layout of the MinHash pipeline, driver-
+    gated: signatures are WRITTEN to a parquet table and the LSH
+    candidate/verify stages consume the table from disk — the restart
+    point SCALE.md prescribes for multi-stage dedup runs at 100 TB
+    (recompute-from-lineage across stage boundaries is exactly what a
+    checkpointed signature table exists to avoid). The verdict proves
+    two things under one oracle: (1) the persisted-signature pair
+    listing is IDENTICAL to the fused in-query listing (distributed
+    exceptAll both ways — a signature that doesn't round-trip through
+    parquet, e.g. via a type widening, fails here), and (2) the listing
+    still clears the exact-truth precision/recall bars (the standard
+    minhash verdict, recomputed by DuckDB)."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="pmrwc_sigtab_"), "signatures")
+    minhash_signatures(docs).write.parquet(path)
+    persisted_sigs = spark.read.parquet(path)
+    pairs_persisted = minhash_lsh_pairs(
+        spark, sf_dir, sigs=persisted_sigs
+    ).localCheckpoint()
+    pairs_fused = minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    same = (
+        pairs_persisted.exceptAll(pairs_fused).limit(1).count() == 0
+        and pairs_fused.exceptAll(pairs_persisted).limit(1).count() == 0
+    )
+    if not same:  # fail loudly: the verdict must not paper over a diff
+        raise AssertionError(
+            "persisted-signature pair listing diverged from the fused form"
+        )
+    return _minhash_verdict(spark, sf_dir, pairs=pairs_persisted)

@@ -703,3 +703,21 @@ def test_array_verify_path_unique_pairs_and_exact_closure(spark, tmp_path):
         for r in dedup_clusters_exact(spark, d).collect()
     }
     assert got == want
+
+
+def test_persisted_signature_pipeline(spark, sf_correct):
+    """The two-stage (persisted signature table) layout must match its
+    oracle, and the in-key exceptAll guard means a pass already implies
+    listing identity with the fused form."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "dedup_minhash_persisted",
+        registry.QUERIES["dedup_minhash_persisted"],
+        registry.ORACLES["dedup_minhash_persisted"],
+    )
+    row = registry.QUERIES["dedup_minhash_persisted"](spark, sf_correct).collect()[0]
+    assert row.precision_ok and row.recall_ok and row.n_truth > 0
