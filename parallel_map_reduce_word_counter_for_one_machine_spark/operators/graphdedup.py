@@ -596,3 +596,53 @@ def source_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("keep_frac_e6"),
     )
+
+
+@query(
+    "graph_degree_stats",
+    oracle=(
+        "WITH pairs AS (" + ORACLES["dedup_ngram_jaccard"] + "), "
+        "edges AS (SELECT doc_a AS node FROM pairs "
+        "UNION ALL SELECT doc_b FROM pairs), "
+        "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM edges "
+        "GROUP BY node) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_nodes, "
+        "CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges, "
+        "CAST(max(d) AS BIGINT) AS max_degree, "
+        "round(quantile_cont(d, 0.5), 6) AS degree_p50, "
+        "round(quantile_cont(d, 0.99), 6) AS degree_p99 "
+        "FROM deg"
+    ),
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape report for the near-dup pair GRAPH — the numbers that size
+    every knob downstream of pair generation: ``max_degree`` bounds the
+    candidate fan-out a single hub document induces (the justification —
+    or indictment — of CLUSTER_MAX_BUCKET), the p50/p99 degree spread
+    says whether components are chains or stars (chains need more
+    propagation rounds, stars collapse in one), and n_edges/n_nodes is
+    the density the closure's per-round shuffle scales with. Run per
+    corpus before committing LSH parameters.
+
+    This is a TUNING-TIME analysis over the EXACT pair listing
+    (``dedup_ngram_jaccard`` — the ground-truth edge definition), run on
+    a sample the way ``tools/lsh_sweep.py`` is: the production LSH
+    listing deliberately collapses exact-dup groups to representatives
+    and caps buckets, so its degrees are the POST-mitigation numbers —
+    this report measures the PRE-mitigation graph those mitigations are
+    sized against. Degrees are one partial-aggregable count over the
+    exploded endpoint stream; percentiles are exact over the dup-doc
+    node set (swap for approx_percentile on a huge sample)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).localCheckpoint()
+    nodes = pairs.select(F.col("doc_a").alias("node")).unionAll(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").alias("d"))
+    n_edges = pairs.count()  # bounded: one scalar
+    return deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.max("d").cast("long").alias("max_degree"),
+        F.round(F.expr("percentile(d, 0.5)"), 6).alias("degree_p50"),
+        F.round(F.expr("percentile(d, 0.99)"), 6).alias("degree_p99"),
+    ).select("n_nodes", "n_edges", "max_degree", "degree_p50", "degree_p99")

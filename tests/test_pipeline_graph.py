@@ -924,3 +924,30 @@ def test_source_sampling_plan_arithmetic(spark, sf_correct):
             dup_by_src[src] = dup_by_src.get(src, 0) + toks
     for r in rows:
         assert r.dup_tokens == dup_by_src.get(r.source, 0)
+
+
+def test_graph_degree_stats_twin(spark, sf_correct):
+    """Oracle match + python twin from the collected exact pair listing."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "graph_degree_stats",
+        registry.QUERIES["graph_degree_stats"],
+        registry.ORACLES["graph_degree_stats"],
+    )
+    row = registry.QUERIES["graph_degree_stats"](spark, sf_correct).collect()[0]
+    deg: dict[int, int] = {}
+    n_edges = 0
+    for r in dedup_ngram_jaccard(spark, sf_correct).collect():
+        n_edges += 1
+        deg[r.doc_a] = deg.get(r.doc_a, 0) + 1
+        deg[r.doc_b] = deg.get(r.doc_b, 0) + 1
+    assert row.n_nodes == len(deg)
+    assert row.n_edges == n_edges
+    assert row.max_degree == max(deg.values())
+    assert row.degree_p50 <= row.degree_p99 <= row.max_degree
