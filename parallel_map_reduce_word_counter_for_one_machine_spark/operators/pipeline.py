@@ -907,3 +907,96 @@ def packing_fragmentation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_tokens_filled"),
         )
     )
+
+
+_PAD_BATCH = 32  # sequences per training batch
+
+
+@query(
+    "batch_padding_report",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "len(list_filter(string_split(text, ' '), w -> w <> '')) AS n "
+        "FROM documents), "
+        "byid AS (SELECT n, (row_number() OVER (ORDER BY doc_id) - 1) "
+        f"// {_PAD_BATCH} AS b FROM t), "
+        "bysz AS (SELECT n, (row_number() OVER (ORDER BY n, doc_id) - 1) "
+        f"// {_PAD_BATCH} AS b FROM t), "
+        "w1 AS (SELECT CAST(sum(mx - n) AS BIGINT) AS waste, "
+        "CAST(sum(mx) AS BIGINT) AS padded FROM "
+        "(SELECT n, max(n) OVER (PARTITION BY b) AS mx FROM byid)), "
+        "w2 AS (SELECT CAST(sum(mx - n) AS BIGINT) AS waste, "
+        "CAST(sum(mx) AS BIGINT) AS padded FROM "
+        "(SELECT n, max(n) OVER (PARTITION BY b) AS mx FROM bysz)) "
+        "SELECT (SELECT CAST(sum(n) AS BIGINT) FROM t) AS real_tokens, "
+        "w1.waste AS waste_arrival, w2.waste AS waste_sorted, "
+        "round(CAST(w1.waste AS DOUBLE) / w1.padded, 6) "
+        "AS waste_frac_arrival, "
+        "round(CAST(w2.waste AS DOUBLE) / w2.padded, 6) "
+        "AS waste_frac_sorted "
+        "FROM w1, w2"
+    ),
+)
+def batch_padding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dynamic-batching justification report: padding waste when
+    sequences are batched ``_PAD_BATCH`` at a time and padded to the
+    batch max, under ARRIVAL order (doc_id) versus LENGTH-SORTED order —
+    the measurement behind every bucketed-batching / smart-batching
+    decision (sorting places like-length sequences together, so the
+    batch max hugs each member). Emits total real tokens, absolute waste
+    under both orders, and waste as a fraction of padded volume; the gap
+    between the two fractions is the training-throughput money left on
+    the table by naive batching.
+
+    Scale shape: one token-count scan, then per-order a global
+    row_number (the two-level distributed rank at real scale —
+    ``rank.global_rank``; the plain window here keeps the oracle
+    one-to-one) and a batch-keyed window max — both partial-aggregable
+    after the rank. Waste math is exact integers; fractions fixed at
+    6dp."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    t = d.select("doc_id", toks.cast("long").alias("n"))
+
+    def waste(order_cols):
+        w = Window.orderBy(*order_cols)
+        b = t.select(
+            "n",
+            ((F.row_number().over(w) - 1) / _PAD_BATCH)
+            .cast("long")
+            .alias("b"),
+        )
+        mx = b.select(
+            "n", F.max("n").over(Window.partitionBy("b")).alias("mx")
+        )
+        return mx.agg(
+            F.sum(F.col("mx") - F.col("n")).cast("long").alias("waste"),
+            F.sum("mx").cast("long").alias("padded"),
+        )
+
+    w1 = waste([F.col("doc_id")]).select(
+        F.col("waste").alias("waste_arrival"),
+        F.col("padded").alias("padded_arrival"),
+    )
+    w2 = waste([F.col("n"), F.col("doc_id")]).select(
+        F.col("waste").alias("waste_sorted"),
+        F.col("padded").alias("padded_sorted"),
+    )
+    real = t.agg(F.sum("n").cast("long").alias("real_tokens"))
+    return (
+        real.crossJoin(w1)
+        .crossJoin(w2)
+        .select(
+            "real_tokens",
+            "waste_arrival",
+            "waste_sorted",
+            F.round(
+                F.col("waste_arrival").cast("double") / F.col("padded_arrival"),
+                6,
+            ).alias("waste_frac_arrival"),
+            F.round(
+                F.col("waste_sorted").cast("double") / F.col("padded_sorted"),
+                6,
+            ).alias("waste_frac_sorted"),
+        )
+    )

@@ -951,3 +951,22 @@ def test_graph_degree_stats_twin(spark, sf_correct):
     assert row.n_edges == n_edges
     assert row.max_degree == max(deg.values())
     assert row.degree_p50 <= row.degree_p99 <= row.max_degree
+
+
+def test_batch_padding_report_sorted_beats_arrival(spark, sf_correct):
+    """Oracle match + the report's reason to exist: length-sorted
+    batching must waste no more than arrival-order batching, and both
+    waste fractions sit in [0, 1)."""
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "batch_padding_report",
+        registry.QUERIES["batch_padding_report"],
+        registry.ORACLES["batch_padding_report"],
+    )
+    row = registry.QUERIES["batch_padding_report"](spark, sf_correct).collect()[0]
+    assert row.waste_sorted <= row.waste_arrival
+    assert 0 <= row.waste_frac_sorted <= row.waste_frac_arrival < 1
+    assert row.real_tokens > 0
