@@ -1000,3 +1000,85 @@ def batch_padding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_frac_sorted"),
         )
     )
+
+
+# Luhn-valid / Luhn-broken 16-digit pair for the checksum-gated PII key
+# (derived once; both engines receive them as literals).
+_CARD_VALID = "4532015112830366"
+_CARD_INVALID = "4532015112830361"
+
+_LUHN_LAMBDA_SPARK = (
+    "filter(regexp_extract_all(text, '[0-9]{16}', 0), m -> "
+    "aggregate(sequence(1, 16), 0, (acc, i) -> "
+    "acc + (CASE WHEN i % 2 = 1 "
+    "THEN CAST(substring(reverse(m), i, 1) AS INT) "
+    "ELSE CASE WHEN CAST(substring(reverse(m), i, 1) AS INT) * 2 > 9 "
+    "THEN CAST(substring(reverse(m), i, 1) AS INT) * 2 - 9 "
+    "ELSE CAST(substring(reverse(m), i, 1) AS INT) * 2 END END)) "
+    "% 10 = 0)"
+)
+
+_LUHN_LAMBDA_DUCK = (
+    "list_filter(regexp_extract_all(text, '[0-9]{16}'), m -> "
+    "list_sum(list_transform(range(1, 17), i -> "
+    "CASE WHEN i % 2 = 1 THEN CAST(substr(reverse(m), i, 1) AS INT) "
+    "ELSE CASE WHEN CAST(substr(reverse(m), i, 1) AS INT) * 2 > 9 "
+    "THEN CAST(substr(reverse(m), i, 1) AS INT) * 2 - 9 "
+    "ELSE CAST(substr(reverse(m), i, 1) AS INT) * 2 END END)) "
+    "% 10 = 0)"
+)
+
+
+@query(
+    "pii_scrub_luhn",
+    oracle=(
+        "WITH withpii AS (SELECT doc_id, text || ' ref "
+        f"{_CARD_INVALID}' || CASE WHEN doc_id % 2 = 0 THEN "
+        f"' card {_CARD_VALID}' ELSE '' END AS text FROM documents), "
+        f"v AS (SELECT doc_id, text, {_LUHN_LAMBDA_DUCK} AS valid "
+        "FROM withpii) "
+        "SELECT doc_id, CASE WHEN len(valid) > 0 "
+        "THEN replace(text, valid[1], '<CARD>') ELSE text END AS clean_text, "
+        "CAST(len(valid) AS BIGINT) AS n_cards FROM v"
+    ),
+)
+def pii_scrub_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKSUM-GATED card redaction — the production nuance plain regex
+    PII scrubbing gets wrong: a 16-digit run is only redacted when it
+    passes the Luhn check, so order ids, hashes, and timestamps that
+    merely LOOK like card numbers survive (false redactions destroy
+    training text) while every real PAN is caught. Both engines inject a
+    Luhn-valid and a Luhn-broken 16-digit constant (the corpus has
+    neither; even docs get the valid one, so n_cards alternates 1/0 and
+    the no-redaction path is exercised on half the rows), then validate
+    the EXTRACTED matches with the same digit-doubling arithmetic —
+    entirely in the JVM/RE2 lambda domain, no Python.
+
+    Scale shape: per-row regex extract + a 16-step integer fold per
+    match — linear scan inside whole-stage codegen, zero shuffles, same
+    class as ``pii_scrub``. At most one valid card per row here; a
+    general multi-PAN document would fold replace over the valid list."""
+    d = load_table(spark, sf_dir, "documents")
+    withpii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(f" ref {_CARD_INVALID}"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(f" card {_CARD_VALID}")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    v = withpii.select(
+        "doc_id", "text", F.expr(_LUHN_LAMBDA_SPARK).alias("valid")
+    )
+    return v.select(
+        "doc_id",
+        F.when(
+            F.size("valid") > 0,
+            F.expr("replace(text, element_at(valid, 1), '<CARD>')"),
+        )
+        .otherwise(F.col("text"))
+        .alias("clean_text"),
+        F.size("valid").cast("long").alias("n_cards"),
+    )

@@ -970,3 +970,30 @@ def test_batch_padding_report_sorted_beats_arrival(spark, sf_correct):
     assert row.waste_sorted <= row.waste_arrival
     assert 0 <= row.waste_frac_sorted <= row.waste_frac_arrival < 1
     assert row.real_tokens > 0
+
+
+def test_pii_scrub_luhn_gates_on_checksum(spark, sf_correct):
+    """Oracle match + the gate's point: the Luhn-valid injection is
+    redacted on even docs, the Luhn-broken one survives on EVERY doc
+    (no false redaction), and n_cards alternates 1/0 by parity."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.pipeline import (
+        _CARD_INVALID,
+        _CARD_VALID,
+    )
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "pii_scrub_luhn",
+        registry.QUERIES["pii_scrub_luhn"],
+        registry.ORACLES["pii_scrub_luhn"],
+    )
+    rows = registry.QUERIES["pii_scrub_luhn"](spark, sf_correct).collect()
+    for r in rows:
+        assert _CARD_INVALID in r.clean_text  # lookalike survives
+        assert _CARD_VALID not in r.clean_text  # real PAN never survives
+        if r.doc_id % 2 == 0:
+            assert r.n_cards == 1 and "<CARD>" in r.clean_text
+        else:
+            assert r.n_cards == 0 and "<CARD>" not in r.clean_text
