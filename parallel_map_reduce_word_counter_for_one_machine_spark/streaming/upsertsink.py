@@ -339,3 +339,67 @@ def stream_upsert_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("last_ts").alias("last_ts_ms"),
         "last_event_id",
     )
+
+
+@query(
+    "sink_vacuum_retention",
+    oracle=(
+        # after vacuum the LATEST version must still be the declarative
+        # last-row-per-key relation — retention must never touch the table
+        "WITH r AS (SELECT user_id, value, event_type, ts, event_id, "
+        "row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+        "SELECT user_id, value, event_type, epoch_ms(ts) AS last_ts_ms, "
+        "event_id AS last_event_id, TRUE AS horizon_enforced_ok, "
+        "TRUE AS markers_survive_ok FROM r WHERE rn = 1"
+    ),
+)
+def sink_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION verb for the versioned sink (the VACUUM in the
+    build/commit/travel/vacuum lifecycle): run the upsert stream, vacuum
+    to ``keep_last=2``, and certify (1) the LATEST state is untouched —
+    still exactly the declarative last-row-per-key relation DuckDB
+    recomputes, (2) the horizon is enforced — vacuumed versions are gone
+    from disk and ``read_version`` refuses them, while the two retained
+    ones still read, and (3) the replay LEDGER survives — every
+    ``_applied`` marker still present, because a marker whose version was
+    reclaimed still proves its batch was applied (deleting it would let a
+    replayed batch re-apply against newer state). Rides per row so the
+    driver hashes retention flags together with the data."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="pmrwc_vac_")
+    name = "vacuum_" + str(abs(hash((sf_dir, "vac"))) % 10**8)
+    run_stream_upsert(spark, sf_dir, root, name)
+    committed_before = committed_versions(root)
+    markers_before = sorted(
+        f for f in os.listdir(root) if f.startswith("_applied_")
+    )
+    removed = vacuum_versions(root, keep_last=2)
+    kept = committed_before[-2:]
+    horizon_ok = (
+        sorted(list_versions(root)) == sorted(kept)
+        and all(not os.path.isdir(os.path.join(root, f"v{v}")) for v in removed)
+    )
+    for v in removed:  # travel to a reclaimed version must refuse
+        try:
+            read_version(spark, root, v)
+            horizon_ok = False
+        except ValueError:
+            pass
+    for v in kept:  # retained versions must still read
+        read_version(spark, root, v).limit(1).count()
+    markers_after = sorted(
+        f for f in os.listdir(root) if f.startswith("_applied_")
+    )
+    markers_ok = markers_after == markers_before and len(markers_before) > 0
+    final = latest_committed_state(spark, root)
+    return final.select(
+        "user_id",
+        "value",
+        "event_type",
+        F.unix_millis("last_ts").alias("last_ts_ms"),
+        "last_event_id",
+        F.lit(bool(horizon_ok)).alias("horizon_enforced_ok"),
+        F.lit(bool(markers_ok)).alias("markers_survive_ok"),
+    )

@@ -520,3 +520,23 @@ def test_registered_stream_upsert_matches_oracle(spark, sf_correct):
         registry.QUERIES["stream_upsert_real"],
         registry.ORACLES["stream_upsert_real"],
     )
+
+
+def test_registered_vacuum_retention(spark, sf_correct):
+    """Retention verb: latest state intact under the batch oracle, the
+    horizon enforced, the replay ledger untouched."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+    from parallel_map_reduce_word_counter_for_one_machine_spark.streaming import (
+        upsertsink,  # noqa: F401 — registers the key
+    )
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "sink_vacuum_retention",
+        registry.QUERIES["sink_vacuum_retention"],
+        registry.ORACLES["sink_vacuum_retention"],
+    )
+    rows = registry.QUERIES["sink_vacuum_retention"](spark, sf_correct).collect()
+    assert all(r.horizon_enforced_ok and r.markers_survive_ok for r in rows)
