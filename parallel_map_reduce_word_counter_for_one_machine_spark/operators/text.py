@@ -18,8 +18,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from ..registry import query
+from ..registry import ORACLES, query
 from ..sources.tables import load_table
 
 # BPE-ish pretokenizer: letter runs, digit runs, single non-alnum symbols.
@@ -1009,4 +1010,48 @@ def lm_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_bigrams"),
             F.round(F.avg(lp), 4).alias("avg_logscore"),
         )
+    )
+
+
+@query(
+    "lang_agreement_report",
+    oracle=(
+        "WITH p AS (" + ORACLES["lang_id"] + ") "
+        "SELECT lang AS declared, pred_lang AS predicted, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "round(CAST(count(*) AS DOUBLE) / sum(count(*)) "
+        "OVER (PARTITION BY lang), 6) AS frac_of_declared "
+        "FROM p GROUP BY lang, pred_lang"
+    ),
+)
+def lang_agreement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA VALIDATION: the confusion table between each document's
+    DECLARED language tag and the content-derived ``lang_id`` prediction —
+    the audit a pipeline runs before trusting upstream metadata for
+    mixture weighting or routing (a partner feed whose 'en' tag is 30%
+    mislabeled quietly poisons every per-language decision downstream).
+    Per (declared, predicted) cell: doc count and the cell's share of its
+    declared row (the row-normalized confusion matrix). Off-diagonal
+    mass localizes WHICH tag is unreliable; the 'unknown' column is the
+    stopword model's own abstention rate.
+
+    Scale shape: the lang_id scoring is a linear JVM set-intersection
+    scan; the report is one partial-aggregable groupBy over (declared,
+    predicted) — |langs|² cells out — plus a window over that tiny cell
+    table. Oracle composes the registered lang_id oracle verbatim, so
+    the two keys cannot drift."""
+    p = lang_id(spark, sf_dir).select(
+        F.col("lang").alias("declared"), F.col("pred_lang").alias("predicted")
+    )
+    cells = p.groupBy("declared", "predicted").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("declared")
+    return cells.select(
+        "declared",
+        "predicted",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("frac_of_declared"),
     )

@@ -164,3 +164,33 @@ def test_dsir_weights_favor_target_signature_tokens(spark, sf_correct):
     assert means[True] > means[False], means
     rows = w.collect()
     assert all((r.avg_llr > 0) == r.selected for r in rows)
+
+
+def test_lang_agreement_report_is_confusion_matrix(spark, sf_correct):
+    """Oracle match + confusion-matrix laws: cell counts sum to the
+    corpus, fractions sum to ~1 per declared row, every cell consistent
+    with a collected lang_id recomputation."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.text import (
+        lang_id,
+    )
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "lang_agreement_report",
+        registry.QUERIES["lang_agreement_report"],
+        registry.ORACLES["lang_agreement_report"],
+    )
+    rows = registry.QUERIES["lang_agreement_report"](spark, sf_correct).collect()
+    cells = {(r.declared, r.predicted): r.n_docs for r in rows}
+    truth: dict[tuple, int] = {}
+    for r in lang_id(spark, sf_correct).collect():
+        truth[(r.lang, r.pred_lang)] = truth.get((r.lang, r.pred_lang), 0) + 1
+    assert cells == truth
+    by_declared: dict[str, float] = {}
+    for r in rows:
+        by_declared[r.declared] = by_declared.get(r.declared, 0.0) + r.frac_of_declared
+    for lang, s in by_declared.items():
+        assert abs(s - 1.0) < 1e-4, (lang, s)
