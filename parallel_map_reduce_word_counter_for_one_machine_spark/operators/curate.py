@@ -126,3 +126,77 @@ def source_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.filter(dist <= 1).select(
         "src_a", "src_b", dist.cast("long").alias("dist")
     )
+
+
+@query(
+    "curate_funnel_report",
+    oracle=(
+        "WITH scored AS ("
+        "  SELECT doc_id, text, "
+        "    len(list_filter(string_split(text,' '), w -> w <> '')) AS n_tokens, "
+        "    CAST(len(list_distinct(list_filter(string_split(text,' '), w -> w <> ''))) AS DOUBLE)"
+        "      / NULLIF(len(list_filter(string_split(text,' '), w -> w <> '')), 0) AS ttr "
+        "  FROM documents), "
+        "kept AS (SELECT * FROM scored WHERE n_tokens >= 20 AND ttr >= 0.3), "
+        "surv AS (SELECT min(doc_id) AS keep_id FROM kept GROUP BY md5(text)) "
+        "SELECT CAST((SELECT count(*) FROM scored) AS BIGINT) AS n_input, "
+        "CAST((SELECT count(*) FROM scored WHERE n_tokens < 20) AS BIGINT) "
+        "AS n_dropped_length, "
+        "CAST((SELECT count(*) FROM scored WHERE n_tokens >= 20 "
+        "AND (ttr IS NULL OR ttr < 0.3)) AS BIGINT) AS n_dropped_ttr, "
+        "CAST((SELECT count(*) FROM kept) - (SELECT count(*) FROM surv) "
+        "AS BIGINT) AS n_dropped_dup, "
+        "CAST((SELECT count(*) FROM surv) AS BIGINT) AS n_output, "
+        "round(CAST((SELECT count(*) FROM surv) AS DOUBLE) "
+        "/ (SELECT count(*) FROM scored), 6) AS yield_frac"
+    ),
+)
+def curate_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUNNEL over ``curate_corpus``'s stages — the chart every
+    curation writeup leads with: input docs, drops per gate (length,
+    type-token ratio, exact dedup), final output, end-to-end yield. A
+    gate ordering or predicate drift between this report and the corpus
+    key would desynchronize their oracles, so the stage predicates here
+    are copies OF the registered curate_corpus oracle's CTEs — the driver
+    re-proves both against the same definitions every round. Drop
+    classes are disjoint and ordered (length first, then ttr among
+    length-survivors, then dup among gate-survivors): the report's
+    columns sum exactly to n_input.
+
+    Scale shape: one scored scan, counts as partial aggregates, the dup
+    stage one content-hash groupBy — the same shapes as the underlying
+    pipeline, emitting six numbers."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    n_tokens = F.size(toks)
+    ttr = F.when(
+        n_tokens > 0, F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    )
+    scored = d.select(
+        "doc_id", "text", n_tokens.alias("n_tokens"), ttr.alias("ttr")
+    ).localCheckpoint()
+    kept = scored.filter(
+        (F.col("n_tokens") >= MIN_TOKENS) & (F.col("ttr") >= MIN_TTR)
+    )
+    n_input = scored.count()
+    n_len = scored.filter(F.col("n_tokens") < MIN_TOKENS).count()
+    n_ttr = scored.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("ttr").isNull() | (F.col("ttr") < MIN_TTR))
+    ).count()
+    n_kept = kept.count()
+    n_out = kept.groupBy(F.md5("text")).count().count()
+    return spark.createDataFrame(
+        [
+            (
+                n_input,
+                n_len,
+                n_ttr,
+                n_kept - n_out,
+                n_out,
+                round(n_out / n_input, 6),
+            )
+        ],
+        "n_input BIGINT, n_dropped_length BIGINT, n_dropped_ttr BIGINT, "
+        "n_dropped_dup BIGINT, n_output BIGINT, yield_frac DOUBLE",
+    )

@@ -168,3 +168,25 @@ def test_deletion_blocking_complete_property(spark):
         assert got == want, (sorted(got), sorted(want), vocab)
 
     check()
+
+
+def test_curate_funnel_conserves_and_matches_corpus(spark, sf_correct):
+    """Oracle match + conservation: drop classes partition the input
+    exactly, and n_output equals the registered curate_corpus row count."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "curate_funnel_report",
+        registry.QUERIES["curate_funnel_report"],
+        registry.ORACLES["curate_funnel_report"],
+    )
+    row = registry.QUERIES["curate_funnel_report"](spark, sf_correct).collect()[0]
+    assert (
+        row.n_dropped_length + row.n_dropped_ttr + row.n_dropped_dup + row.n_output
+        == row.n_input
+    )
+    n_corpus = registry.QUERIES["curate_corpus"](spark, sf_correct).count()
+    assert row.n_output == n_corpus
