@@ -258,3 +258,36 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_part").alias("n"),
         F.round(F.sum("qty_part"), 2).alias("sum_qty"),
     )
+
+
+@query(
+    "window_cume_dist",
+    oracle=(
+        "SELECT event_id, event_type, "
+        "round(cume_dist() OVER (PARTITION BY event_type "
+        "ORDER BY value, event_id), 6) AS cd, "
+        "round(percent_rank() OVER (PARTITION BY event_type "
+        "ORDER BY value, event_id), 6) AS pr "
+        "FROM events"
+    ),
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distribution ranks — ``cume_dist`` (share of the group at
+    or below this row) and ``percent_rank``, partitioned by event_type
+    with a total order: the percentile-calibration idiom that turns a raw
+    score column into a within-group percentile (how quality scores get
+    calibrated per source before a global threshold is applied). Completes
+    the window battery: rank/ntile/lag/lead/range-frame/running are
+    registered, these were the two distribution functions missing.
+
+    Scale shape: one exchange on the partition key, each group streams
+    through its sort independently — identical physical shape to
+    window_rank; both functions are exact rationals (k/n), rounded 6dp."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )

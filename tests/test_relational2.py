@@ -108,3 +108,32 @@ def test_try_funcs_null_on_error_semantics(spark, sf_correct):
     assert out.filter(F.col("parsed").isNull()).count() > 0
     assert out.filter(F.col("parsed") == 12).count() > 0
     out.unpersist()
+
+
+def test_window_cume_dist_domain(spark, sf_correct):
+    """Oracle match + distribution-function laws: cd in (0,1] with the
+    max of every group exactly 1; pr in [0,1] with the min of every
+    group exactly 0; pr < cd row-wise (k-1)/(n-1) < k/n for n > 1."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "window_cume_dist",
+        registry.QUERIES["window_cume_dist"],
+        registry.ORACLES["window_cume_dist"],
+    )
+    rows = registry.QUERIES["window_cume_dist"](spark, sf_correct).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        assert max(r.cd for r in rs) == 1.0
+        assert min(r.pr for r in rs) == 0.0
+        for r in rs:
+            assert 0 < r.cd <= 1 and 0 <= r.pr <= 1
+            if len(rs) > 1:
+                # exact pr < cd, but both are ROUNDED at 6dp and can
+                # collapse to equal for large groups
+                assert r.pr <= r.cd
