@@ -389,6 +389,12 @@ def main() -> None:
     # broke the driver's parse and the record survived only in `tail`).
     # Everything — including the JVM, which inherits fd 1 at launch — is
     # redirected to stderr; the final JSON goes to the saved real stdout.
+    # AND (VERDICT r08 item 1) the driver keeps only a 2,000-char TAIL of
+    # stdout — r08's sole-line fix still recorded "parsed": null because
+    # the full payload was ~6.7 kB. stdout now carries a compact summary
+    # (hard-guarded < 1,900 chars); the full detail (per-run times, cold
+    # firsts, canary/loadavg forensics) goes to BENCH_detail_last.json
+    # next to this script and to stderr.
     real_stdout = os.dup(1)
     os.dup2(2, 1)
 
@@ -407,40 +413,67 @@ def main() -> None:
 
     total = round(sum(best["times"].values()), 3)
     box_factor = best["canary_min"] / CANARY_REF_FLOOR
-    payload = json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": best["times"],
-                "queries_cold_first_run": best["cold"],
-                "queries_runs": best["runs"],
-                "queries_box_normalized": {
-                    k: round(v / box_factor, 3) for k, v in best["times"].items()
-                },
-                "box_factor": round(box_factor, 3),
-                "box_ref_floor": CANARY_REF_FLOOR,
-                "n_runs": N_RUNS,
-                "sf": float(sf),
-                "canary": {
-                    "query": "word_count",
-                    "runs": best["canary_runs"],
-                    "per_query": best["canary_before"],
-                    "loadavg_per_query": best["loadavg_per_query"],
-                    "suspect_queries": best["suspect_queries"],
-                    "min": best["canary_min"],
-                    "tail": "second_half",
-                    "spread": best["canary_spread"],
-                    "spread_metric": "outlier_frac",
-                    "outlier_x": CANARY_OUTLIER_X,
-                    "spread_limit": CANARY_OUTLIER_FRAC_LIMIT,
-                    "contended": best["contended"],
-                    "loadavg_1min": best["loadavg_1min"],
-                    "n_passes": len(passes),
-                    "all_pass_spreads": [p["canary_spread"] for p in passes],
-                },
-            }
-        )
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": best["times"],
+        "queries_cold_first_run": best["cold"],
+        "queries_runs": best["runs"],
+        "queries_box_normalized": {
+            k: round(v / box_factor, 3) for k, v in best["times"].items()
+        },
+        "box_factor": round(box_factor, 3),
+        "box_ref_floor": CANARY_REF_FLOOR,
+        "n_runs": N_RUNS,
+        "sf": float(sf),
+        "canary": {
+            "query": "word_count",
+            "runs": best["canary_runs"],
+            "per_query": best["canary_before"],
+            "loadavg_per_query": best["loadavg_per_query"],
+            "suspect_queries": best["suspect_queries"],
+            "min": best["canary_min"],
+            "tail": "second_half",
+            "spread": best["canary_spread"],
+            "spread_metric": "outlier_frac",
+            "outlier_x": CANARY_OUTLIER_X,
+            "spread_limit": CANARY_OUTLIER_FRAC_LIMIT,
+            "contended": best["contended"],
+            "loadavg_1min": best["loadavg_1min"],
+            "n_passes": len(passes),
+            "all_pass_spreads": [p["canary_spread"] for p in passes],
+        },
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail_last.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(detail), file=sys.stderr)
+
+    # Compact stdout summary. The driver keeps a 2,000-char stdout tail;
+    # optional fields are dropped in order until the line fits with margin.
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": best["times"],
+        "sf": float(sf),
+        "box_factor": round(box_factor, 3),
+        "n_runs": N_RUNS,
+        "contended": best["contended"],
+        "suspect_queries": best["suspect_queries"],
+        "detail": "BENCH_detail_last.json",
+    }
+    payload = json.dumps(compact)
+    for droppable in ("detail", "suspect_queries", "contended", "n_runs"):
+        if len(payload) < 1900:
+            break
+        compact.pop(droppable, None)
+        payload = json.dumps(compact)
+    assert len(payload) < 1900, f"bench summary line too long: {len(payload)}"
     os.write(real_stdout, (payload + "\n").encode())
     os.close(real_stdout)
 
