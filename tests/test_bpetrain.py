@@ -133,6 +133,108 @@ def test_adversarial_adjacent_and_overlap_shapes(spark):
     assert train_bpe(words, 6) == _py_bpe(wc.items(), 6)
 
 
+def test_batched_trainer_is_exact_and_saves_passes(spark, sf_dir):
+    """VERDICT r08 item 2: the batched trainer must (a) emit merges
+    bit-identical to sequential greedy (the Python twin) and (b) learn
+    the corpus's merges in FEWER vocabulary passes than merges — the
+    de-sequencing that removes the 50k-sequential-jobs structure."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators import (
+        bpetrain,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    wc = Counter()
+    for r in docs:
+        for w in r.text.split(" "):
+            if w:
+                wc[w] += 1
+    words = spark.createDataFrame(list(wc.items()), "word STRING, c BIGINT")
+    got = train_bpe(words, 12)
+    assert got == _py_bpe(wc.items(), 12)
+    stats = bpetrain.LAST_TRAIN_STATS
+    assert stats["merges"] == 12
+    assert stats["passes"] < 12, stats
+    assert sum(stats["batch_sizes"]) == 12
+
+
+def test_batch_prefix_degenerates_safely_on_overlapping_front(spark):
+    """When the top pairs share symbols (a run-heavy corpus: every front
+    pair touches 'a'), the provably-exact prefix must collapse toward
+    batch=1 rather than emit a wrong merge — sequential equivalence on
+    exactly the shape where naive batching breaks. Ties included ('ba'
+    vs 'ca' counts equal) to exercise the lex tie-break inside a pass."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators import (
+        bpetrain,
+    )
+
+    wc = {
+        "aaaa": 50,  # (a,a) dominates; its merge rewrites the run
+        "baca": 30,  # (b,a) and (c,a) tie at 30 and touch 'a'
+        "ba": 1,
+        "ca": 1,
+        "de": 2,  # disjoint low-count pair — must NOT jump the queue
+    }
+    words = spark.createDataFrame(list(wc.items()), "word STRING, c BIGINT")
+    assert train_bpe(words, 6) == _py_bpe(wc.items(), 6)
+    assert bpetrain.LAST_TRAIN_STATS["merges"] == len(
+        _py_bpe(wc.items(), 6)
+    )
+
+
+def test_batch_prefix_unit_bounds():
+    """_safe_batch_prefix unit shapes: overlap stops the prefix; a
+    danger-bound tie stops it (ties are unsafe — a merge-created pair's
+    lex position is unknowable); a disjoint clear front batches."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.bpetrain import (
+        _safe_batch_prefix,
+    )
+
+    # overlap: second candidate shares 'b' with the first
+    rows = [
+        {"a": "a", "b": "b", "pc": 100},
+        {"a": "b", "b": "c", "pc": 90},
+    ]
+    assert _safe_batch_prefix(rows, 6, complete=True) == [("a", "b", 100)]
+
+    # danger tie: (q,x)=90 means merging (x,a) can create (q,xa) pairs
+    # with count up to 90; the next candidate (c,d) also counts 90 (and
+    # ranks before (q,x) only by lex) — 90 ≤ 90 is unsafe, stop at one.
+    # With no such adjacency (previous shape) the pair WOULD batch.
+    rows = [
+        {"a": "x", "b": "a", "pc": 100},
+        {"a": "c", "b": "d", "pc": 90},
+        {"a": "q", "b": "x", "pc": 90},
+    ]
+    assert _safe_batch_prefix(rows, 6, complete=True) == [("x", "a", 100)]
+
+    # disjoint, steeply falling front: all batch (danger of each merge is
+    # bounded by adjacency counts below the next candidate)
+    rows = [
+        {"a": "a", "b": "b", "pc": 100},
+        {"a": "c", "b": "d", "pc": 40},
+        {"a": "e", "b": "f", "pc": 10},
+    ]
+    got = _safe_batch_prefix(rows, 6, complete=True)
+    # merge (a,b): new pairs bounded by other (•,a)/(b,•) counts = 0
+    # floor... with complete table and no adjacent entries the danger is
+    # min(100, max(0,0,0)) + 0 = 0 < 40 — so (c,d) and then (e,f) batch
+    assert got == [("a", "b", 100), ("c", "d", 40), ("e", "f", 10)]
+
+    # budget respected
+    assert _safe_batch_prefix(rows, 2, complete=True) == [
+        ("a", "b", 100),
+        ("c", "d", 40),
+    ]
+
+    # incomplete table: floor = last pc; (c,d)'s 40 ≤ floor-driven danger
+    # (min(100, floor=40) + 40 = 80) — must stop after the first
+    rows2 = [
+        {"a": "a", "b": "b", "pc": 100},
+        {"a": "c", "b": "d", "pc": 40},
+    ]
+    assert _safe_batch_prefix(rows2, 6, complete=False) == [("a", "b", 100)]
+
+
 def test_exhausts_gracefully(spark):
     """Fewer possible merges than requested: stop when fully merged."""
     wc = {"ab": 5}
