@@ -255,6 +255,28 @@ def _fan_out_small_input(df: DataFrame) -> DataFrame:
     return df
 
 
+# Hard ceiling on the pair product any EXACT-truth arm may compare
+# (VERDICT r08 item 6). The O(n²) truth relations in this module are
+# sf-bounded VERIFIERS — the verdict side of a key, never the production
+# path (that is always the banded/LSH listing). The guard turns a
+# mistaken production-scale invocation into an immediate named error
+# instead of a quadratic job. 1e8 pairs ≈ sf1-scale documents (~50k
+# docs²) — an order of magnitude above every driver/test corpus, two
+# below anything production.
+TRUTH_ARM_MAX_PAIRS = 100_000_000
+
+
+def _assert_truth_arm_scale(n_left: int, n_right: int, what: str) -> None:
+    """Refuse to run an exact all-pairs truth arm past test scale."""
+    if n_left * n_right > TRUTH_ARM_MAX_PAIRS:
+        raise ValueError(
+            f"{what}: exact-truth arm would compare {n_left}x{n_right} "
+            f"pairs (> cap {TRUTH_ARM_MAX_PAIRS}). This arm is an "
+            "sf-bounded verifier; at scale run the banded/LSH production "
+            "listing instead."
+        )
+
+
 # Cap on docs considered per LSH bucket: a degenerate bucket (e.g. empty
 # shingle sets all hashing identically) would otherwise emit O(bucket²)
 # pairs. Capped buckets keep their MAX_BUCKET smallest doc_ids — truncation
@@ -685,6 +707,8 @@ def _minhash_verdict(
         "n", F.size("sh")
     )
     sets = sets.localCheckpoint()  # consumed by both truth sides
+    n_docs = sets.count()
+    _assert_truth_arm_scale(n_docs, n_docs, "minhash verdict")
     a, b = sets.alias("a"), sets.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.col("a.n") + F.col("b.n") - inter
@@ -1153,6 +1177,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = docs.select("doc_id", simhash_column(tok_hashes).alias("fp")).localCheckpoint()
     pairs = simhash_pairs(spark, sf_dir).localCheckpoint()
 
+    n_docs = fps.count()
+    _assert_truth_arm_scale(n_docs, n_docs, "simhash verdict")
     a, b = fps.alias("a"), fps.alias("b")
     truth_h = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     truth = a.join(
@@ -1211,6 +1237,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.select(
         "doc_id", F.array_distinct(_tokens()).alias("toks")
     ).withColumn("n", F.size("toks"))
+    n_docs = docs.count()  # cheap parquet count-star
+    _assert_truth_arm_scale(n_docs, n_docs, "dedup_ngram_jaccard")
     a, b = s.alias("a"), s.alias("b")
     # 0.8 = this query's threshold (filter below + the oracle SQL literal),
     # NOT the module-wide JACCARD_THRESHOLD (0.5, the LSH verify point).
@@ -1799,7 +1827,9 @@ def _gate_verdict_vs_truth(
     """Shared verdict builder for BOTH fuzzy-gate faces (batch listing and
     the real stream): exact incoming×corpus truth, then the four-column
     (n_incoming, n_dup_truth, precision_ok, recall_ok) relation the
-    ``_GATE_VERDICT_ORACLE`` recomputes."""
+    ``_GATE_VERDICT_ORACLE`` recomputes. The truth arm is guarded by
+    ``_assert_truth_arm_scale`` — sf-bounded by contract, never shipped
+    as a production path."""
     docs = _fan_out_small_input(load_table(spark, sf_dir, "documents"))
     sets = docs.select(
         "doc_id",
@@ -1808,6 +1838,7 @@ def _gate_verdict_vs_truth(
     ).localCheckpoint()
     inc = sets.filter(F.col("doc_id") % INCREMENTAL_MOD == 0).alias("i")
     corp = sets.filter(F.col("doc_id") % INCREMENTAL_MOD != 0).alias("c")
+    _assert_truth_arm_scale(inc.count(), corp.count(), "fuzzy-gate verdict")
     inter = F.size(F.array_intersect(F.col("i.sh"), F.col("c.sh")))
     union = F.col("i.n") + F.col("c.n") - inter
     jac = F.when(union > 0, inter.cast("double") / union)

@@ -721,3 +721,26 @@ def test_persisted_signature_pipeline(spark, sf_correct):
     )
     row = registry.QUERIES["dedup_minhash_persisted"](spark, sf_correct).collect()[0]
     assert row.precision_ok and row.recall_ok and row.n_truth > 0
+
+
+def test_truth_arm_scale_guard(spark, sf_correct, monkeypatch):
+    """VERDICT r08 item 6: the exact O(n²) truth arms are sf-bounded
+    verifiers. The guard must refuse a pair product over the cap with a
+    named error — so a future production invocation fails instantly
+    instead of launching a quadratic job."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators import (
+        dedup as dd,
+    )
+
+    # unit: under / over the cap
+    dd._assert_truth_arm_scale(10, 10, "unit")
+    with pytest.raises(ValueError, match="sf-bounded verifier"):
+        dd._assert_truth_arm_scale(20_000, 20_000, "unit")
+
+    # integration: drop the cap below the sf corpus and every guarded
+    # truth arm must refuse before running its join
+    monkeypatch.setattr(dd, "TRUTH_ARM_MAX_PAIRS", 10)
+    with pytest.raises(ValueError, match="dedup_ngram_jaccard"):
+        registry.QUERIES["dedup_ngram_jaccard"](spark, sf_correct).collect()
+    with pytest.raises(ValueError, match="fuzzy-gate verdict"):
+        registry.QUERIES["dedup_incremental_fuzzy"](spark, sf_correct).collect()
