@@ -49,6 +49,18 @@ PINNED = [
     "pq_topk_listing",
     "ivfpq_pruned_listing",
     "ivfpq_kmeans_listing",
+    # VERDICT r08 item 5: the two heaviest iterative families' load-bearing
+    # shapes. Deriving these plans RUNS the checkpointed iterations at
+    # sf0.01 (a few seconds each — the exception to the cheap-to-plan rule
+    # above, accepted because these are the plans the second-decade fixes
+    # live in): lsh_verified_pairs pins the clusters' edge path (one shared
+    # doc_a exchange, checkpointed rep table — a second exchange or a
+    # corpus re-scan flips the counters), dedup_clusters_lsh the final
+    # label/window stage, pagerank_parts the per-iteration contribution
+    # shape (broadcast adjacency, one groupBy(dst) exchange per round).
+    "lsh_verified_pairs",
+    "dedup_clusters_lsh",
+    "pagerank_parts",
 ]
 
 # Node classes whose count IS the scale property. "Exchange hash/range/

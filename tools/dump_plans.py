@@ -28,6 +28,7 @@ HEADLINE = [
     "tfidf",
     "minhash_lsh_pairs",  # the production listing (registered key is the verdict)
     "dedup_clusters_lsh",
+    "lsh_verified_pairs",  # the clusters' edge listing (r08 single-doc_a-exchange shape)
     "join_bucketed",
     "similarity_topk",
     "stream_tumbling_agg",
@@ -299,6 +300,13 @@ NOTES = {
     "only the label table + cluster_size window — the iterative rounds ran "
     "as bounded edge-set shuffles over localCheckpoint'd frames (no O(n²) "
     "anywhere in the lineage; closure ≡ exact truth by the CTE oracle)",
+    "lsh_verified_pairs": "the clusters' production edge listing (r08 "
+    "second-decade shape, pinned by test_plan_drift): checkpointed "
+    "collapsed-rep table feeds star edges + signatures + both verify "
+    "sides from Scan ExistingRDD (no corpus re-read per subtree), and the "
+    "candidate stream's cross-band dedupe shares ONE doc_a hash exchange "
+    "with verify join 1 (subset-clustering rule) — a reappearing second "
+    "exchange or a parquet re-scan flips the pinned counters",
     "join_bucketed": "ZERO Exchange: both sides scan pre-bucketed files "
     "whose bucket spec satisfies the join distribution requirement",
     "similarity_topk": "broadcast of the query vectors; corpus scanned once; "
