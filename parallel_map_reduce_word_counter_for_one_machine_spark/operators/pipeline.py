@@ -1082,3 +1082,222 @@ def pii_scrub_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("clean_text"),
         F.size("valid").cast("long").alias("n_cards"),
     )
+
+
+# --- Bloom-filter decontamination -------------------------------------------
+
+# 2^16-bit filter (1,024 64-bit words = 8 KB shipped in the plan) with k=2
+# md5-slice hash functions. Small on purpose: at sf0.01 the eval shingle set
+# loads the filter enough that FALSE POSITIVES actually occur, so the
+# bloom-vs-exact accounting below is non-vacuous. A production filter sizes
+# m/n for the target FP rate; the mechanics are identical.
+BLOOM_M_BITS = 1 << 16
+BLOOM_K = 2
+
+# POW2[j] = the bit-j mask as a SIGNED 64-bit word (two's complement for
+# j=63) — bit tests below are (word & POW2[j]) != 0, no shift-by-column
+# needed (pyspark's shiftright only takes a Python-int shift amount).
+_POW2_MASKS = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
+
+
+def _bloom_pos(g, i: int) -> "F.Column":
+    """Hash i of shingle ``g`` → bit position in [0, BLOOM_M_BITS).
+    Disjoint 12-hex-digit md5 slices (48 bits each — exact in BIGINT in
+    both engines; the DuckDB mirror is ('0x' || substr(md5(g), ...))::BIGINT)."""
+    return (
+        F.conv(F.substring(F.md5(g), 1 + 12 * i, 12), 16, 10).cast("long")
+        % BLOOM_M_BITS
+    )
+
+
+def _bloom_pos_sql(i: int) -> str:
+    return f"('0x' || substr(md5(g), {1 + 12 * i}, 12))::BIGINT % {BLOOM_M_BITS}"
+
+
+@query(
+    "decontaminate_bloom",
+    oracle=(
+        # The oracle has no bitset — it models the filter as the SET of bit
+        # positions the eval shingles turn on (that union IS the bloom
+        # filter), and a train shingle is a bloom hit iff every one of its
+        # k positions is in that set. Bit-for-bit the same predicate the
+        # Spark side evaluates against the broadcast word array.
+        "WITH sh AS (SELECT doc_id, list_distinct(list_transform("
+        "range(1, greatest(len(w) - 1, 1)), "
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM ("
+        "SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w "
+        "FROM documents) s), "
+        f"ev AS (SELECT DISTINCT unnest(shingles) AS g FROM sh "
+        f"WHERE doc_id % {DECONTAM_EVAL_MOD} = 0), "
+        f"evpos AS (SELECT DISTINCT {_bloom_pos_sql(0)} AS p FROM ev "
+        f"UNION SELECT DISTINCT {_bloom_pos_sql(1)} FROM ev), "
+        f"tg AS (SELECT doc_id, unnest(shingles) AS g FROM sh "
+        f"WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0), "
+        f"bh AS (SELECT doc_id, count(*) AS n FROM tg "
+        f"WHERE {_bloom_pos_sql(0)} IN (SELECT p FROM evpos) "
+        f"AND {_bloom_pos_sql(1)} IN (SELECT p FROM evpos) GROUP BY doc_id), "
+        "ex AS (SELECT tg.doc_id, count(*) AS n FROM tg "
+        "JOIN ev ON tg.g = ev.g GROUP BY tg.doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(bh.n, 0) AS BIGINT) AS n_bloom_hits, "
+        "coalesce(bh.n, 0) > 0 AS bloom_contaminated, "
+        "coalesce(ex.n, 0) > 0 AS exact_contaminated, "
+        "coalesce(bh.n, 0) > 0 AND coalesce(ex.n, 0) = 0 AS bloom_false_positive "
+        "FROM documents d LEFT JOIN bh ON d.doc_id = bh.doc_id "
+        "LEFT JOIN ex ON d.doc_id = ex.doc_id "
+        f"WHERE d.doc_id % {DECONTAM_EVAL_MOD} <> 0"
+    ),
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a BROADCAST BLOOM FILTER instead of a broadcast
+    join: the eval suite's shingle set is folded into an 8 KB bit array
+    shipped inside the plan, and the train-side membership test is a pure
+    per-row JVM expression — array lookup + bitmask — inside whole-stage
+    codegen. Alongside the bloom verdict, the exact broadcast-join check
+    runs on the same shingle stream, so the output records exactly which
+    docs are bloom FALSE POSITIVES (bloom can never miss — no false
+    negatives by construction — and the driver oracle re-proves both).
+
+    Why this exists next to ``decontaminate``: at 100 TB the broadcast-join
+    decontaminator ships the full eval shingle STRING set to every executor
+    and hash-probes per shingle; the bloom path ships m/8 bytes TOTAL
+    (constant in eval-set size once sized) and does two arithmetic probes —
+    the standard first-pass gate, with the exact join demoted to a rescue
+    pass over the ~FP-rate-sized survivor stream.
+
+    The only driver-side step is collecting the DISTINCT bit positions of
+    the eval shingles — bounded by BLOOM_M_BITS (65,536 rows) BY
+    CONSTRUCTION, the cap-bounded-collect doctrine (annindex.py:94)."""
+    from .dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles().alias("shingles"))
+    ev = (
+        sh.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    pos_rows = (
+        ev.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("g"), i) for i in range(BLOOM_K)])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_M_BITS // 64)
+    for r in pos_rows:
+        words[r.p // 64] |= 1 << (r.p % 64)
+    # signed two's complement: bit 63 set ⇒ the Python int exceeds LongType
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bits = F.array(*[F.lit(w).cast("long") for w in words])
+    pow2 = F.array(*[F.lit(m).cast("long") for m in _POW2_MASKS])
+
+    def _is_set(p):
+        word = F.element_at(bits, (p / 64).cast("int") + 1)
+        mask = F.element_at(pow2, (p % 64).cast("int") + 1)
+        return word.bitwiseAND(mask) != 0
+
+    train = sh.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+    tg = train.select("doc_id", F.explode("shingles").alias("g"))
+    bh = (
+        tg.filter(
+            _is_set(_bloom_pos(F.col("g"), 0)) & _is_set(_bloom_pos(F.col("g"), 1))
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bloom"))
+    )
+    ex = (
+        tg.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return (
+        train.select("doc_id")
+        .join(bh, "doc_id", "left")
+        .join(ex, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bloom", F.lit(0)).cast("long").alias("n_bloom_hits"),
+            (F.coalesce("n_bloom", F.lit(0)) > 0).alias("bloom_contaminated"),
+            (F.coalesce("n_exact", F.lit(0)) > 0).alias("exact_contaminated"),
+            (
+                (F.coalesce("n_bloom", F.lit(0)) > 0)
+                & (F.coalesce("n_exact", F.lit(0)) == 0)
+            ).alias("bloom_false_positive"),
+        )
+    )
+
+
+# --- Corpus snapshot diff ----------------------------------------------------
+
+# Deterministic "next crawl" derivation: drop every doc_id % 17 == 3
+# (expired pages), append ' rev2' to every doc_id % 13 == 4 (edited pages),
+# and add a fresh doc (id + CRAWL_ID_OFF) for every doc_id % 11 == 5 (new
+# pages). Both engines derive v2 from the same v1 parquet, so the diff is
+# fully differential-testable.
+CRAWL_ID_OFF = 50_000_000
+
+
+@query(
+    "corpus_version_diff",
+    oracle=(
+        "WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents), "
+        "v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 13 = 4 "
+        "THEN text || ' rev2' ELSE text END) AS fp "
+        "FROM documents WHERE doc_id % 17 <> 3 "
+        "UNION ALL "
+        f"SELECT doc_id + {CRAWL_ID_OFF}, md5(text || ' fresh-crawl') "
+        "FROM documents WHERE doc_id % 11 = 5) "
+        "SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, "
+        "CASE WHEN v1.doc_id IS NULL THEN 'added' "
+        "WHEN v2.doc_id IS NULL THEN 'removed' "
+        "ELSE 'changed' END AS status "
+        "FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id "
+        "WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.fp <> v2.fp"
+    ),
+)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions (crawl N vs crawl N+1):
+    every doc_id classified added / removed / changed, with unchanged docs
+    — the overwhelming majority of a real recrawl — NEVER leaving the scan.
+
+    Scale shape: both sides are projected to (doc_id, md5-fingerprint)
+    BEFORE the full-outer join, so the exchange carries 8+32 bytes per doc,
+    never document text; the join is a plain hash full-outer on doc_id
+    (AQE-broadcastable when one crawl is an incremental slice), and the
+    unchanged mass is dropped by a post-join predicate on the two
+    fingerprints — one shuffle of fingerprints, total. This is the gate a
+    100 TB incremental-ingest pipeline runs FIRST, so every downstream
+    stage (dedup, quality, index append) touches only the diff."""
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.select("doc_id", F.md5("text").alias("fp"))
+    v2 = (
+        d.filter(F.col("doc_id") % 17 != 3)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 13 == 4, F.concat(F.col("text"), F.lit(" rev2"))
+                ).otherwise(F.col("text"))
+            ).alias("fp"),
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 11 == 5).select(
+                (F.col("doc_id") + CRAWL_ID_OFF).alias("doc_id"),
+                F.md5(F.concat(F.col("text"), F.lit(" fresh-crawl"))).alias("fp"),
+            )
+        )
+    )
+    j = v1.alias("a").join(v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full")
+    return j.filter(
+        F.col("a.doc_id").isNull()
+        | F.col("b.doc_id").isNull()
+        | (F.col("a.fp") != F.col("b.fp"))
+    ).select(
+        F.coalesce("a.doc_id", "b.doc_id").alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

@@ -1055,3 +1055,95 @@ def lang_agreement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
         ).alias("frac_of_declared"),
     )
+
+
+# --- Positional phrase search ------------------------------------------------
+
+
+@query(
+    "phrase_search",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), w -> w <> '') AS w "
+        "FROM documents), "
+        "tri AS (SELECT doc_id, unnest(list_transform("
+        "range(1, greatest(len(w) - 1, 1)), "
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM t), "
+        "top AS (SELECT g FROM (SELECT g, count(*) AS c FROM tri GROUP BY g "
+        "ORDER BY c DESC, g ASC LIMIT 1)) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches, "
+        "(SELECT g FROM top) AS phrase "
+        "FROM tri WHERE g = (SELECT g FROM top) GROUP BY doc_id"
+    ),
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase query answered from POSITIONAL posting lists — the
+    inverted-index operation ``inverted_index`` (text.py:431) builds toward:
+    all (doc, position) pairs where the corpus's most frequent trigram
+    occurs verbatim, counted per doc.
+
+    Two stages, deliberately asymmetric in shape:
+
+    1. PHRASE SELECTION (offline analytics): trigram counts in the array
+       domain (one linear transform, one corpus-token-sized groupBy — the
+       word_count shuffle shape), argmax by (count DESC, phrase ASC)
+       collected as ONE row (bounded collect, the bpetrain.py argmax
+       doctrine).
+    2. PHRASE MATCH (the online query): the positional postings relation
+       (word, doc_id, pos) is filtered to the phrase's THREE terms BEFORE
+       any join — in a term-partitioned index layout this is partition
+       pruning, i.e. query cost scales with the three posting lists, not
+       the corpus — then the lists intersect on (doc_id, pos+offset) with
+       two co-partitioned equi-joins. On 100 TB the posting lists of a
+       phrase's terms are the only bytes read.
+
+    The driver oracle recomputes both stages (argmax tie-break included)
+    from the trigram relation alone, so the posting-join path must agree
+    with the direct n-gram count for every doc."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.filter(_words(), lambda w: w != "").alias("w")
+    )
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda i: F.array_join(F.slice(F.col("w"), i, 3), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    top = (
+        tri.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("g"))
+        .limit(1)
+        .collect()
+    )
+    phrase = top[0].g if top else ""
+    terms = phrase.split(" ") if phrase else []
+    if len(terms) != 3:  # degenerate corpus: no trigram anywhere
+        return spark.createDataFrame(
+            [], "doc_id BIGINT, n_matches BIGINT, phrase STRING"
+        )
+
+    postings = toks.select(
+        "doc_id", F.posexplode("w").alias("pos", "word")
+    ).filter(F.col("word").isin(terms))
+    p0 = postings.filter(F.col("word") == terms[0]).select("doc_id", "pos")
+    p1 = postings.filter(F.col("word") == terms[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    p2 = postings.filter(F.col("word") == terms[2]).select(
+        "doc_id", (F.col("pos") - 2).alias("pos")
+    )
+    return (
+        p0.join(p1, ["doc_id", "pos"])
+        .join(p2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+        .select("doc_id", "n_matches", F.lit(phrase).alias("phrase"))
+    )

@@ -190,3 +190,91 @@ def test_curate_funnel_conserves_and_matches_corpus(spark, sf_correct):
     )
     n_corpus = registry.QUERIES["curate_corpus"](spark, sf_correct).count()
     assert row.n_output == n_corpus
+
+
+# --- decontaminate_bloom ------------------------------------------------------
+
+
+def test_decontaminate_bloom_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "decontaminate_bloom",
+        registry.QUERIES["decontaminate_bloom"],
+        registry.ORACLES["decontaminate_bloom"],
+    )
+
+
+def test_bloom_never_misses(spark, sf_correct):
+    """Bloom filters admit false positives, never false negatives: every
+    exactly-contaminated doc must also be bloom-contaminated, and its bloom
+    hit count must dominate the exact count."""
+    from pyspark.sql import functions as F
+
+    out = registry.QUERIES["decontaminate_bloom"](spark, sf_correct).cache()
+    assert (
+        out.filter(F.col("exact_contaminated") & ~F.col("bloom_contaminated")).count()
+        == 0
+    )
+    # the FP accounting is non-vacuous at the driver's sf: the 8 KB filter
+    # is sized so sf0.01's eval shingle load actually produces collisions
+    assert out.filter("bloom_false_positive").count() >= 1
+    out.unpersist()
+
+
+def test_bloom_membership_is_joinless(spark, sf_correct):
+    """The bloom arm's membership test is a pure per-row expression against
+    the broadcast bit array: exactly ONE join keyed on the shingle column
+    (the exact-check rescue arm) — the bloom hit count reaches the output
+    through doc_id-keyed reassembly joins, never a second shingle probe."""
+    out = registry.QUERIES["decontaminate_bloom"](spark, sf_correct)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    g_joins = [ln for ln in plan.splitlines() if "Join [g#" in ln]
+    assert len(g_joins) == 1
+
+
+# --- corpus_version_diff ------------------------------------------------------
+
+
+def test_corpus_version_diff_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "corpus_version_diff",
+        registry.QUERIES["corpus_version_diff"],
+        registry.ORACLES["corpus_version_diff"],
+    )
+
+
+def test_corpus_version_diff_counts(spark, sf_correct):
+    """Statuses reproduce the deterministic crawl derivation exactly: one
+    'removed' per expired id, one 'changed' per surviving edited id, one
+    'added' per fresh id — and NO 'unchanged' rows ever leave the operator."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_correct, "documents").cache()
+    out = registry.QUERIES["corpus_version_diff"](spark, sf_correct)
+    got = {r.status: r.n for r in out.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    n_removed = docs.filter(F.col("doc_id") % 17 == 3).count()
+    n_changed = docs.filter(
+        (F.col("doc_id") % 13 == 4) & (F.col("doc_id") % 17 != 3)
+    ).count()
+    n_added = docs.filter(F.col("doc_id") % 11 == 5).count()
+    docs.unpersist()
+    assert got.get("removed", 0) == n_removed
+    assert got.get("changed", 0) == n_changed
+    assert got.get("added", 0) == n_added
+    assert set(got) <= {"removed", "changed", "added"}
+
+
+def test_corpus_version_diff_joins_fingerprints_not_text(spark, sf_correct):
+    """The full-outer exchange must carry (doc_id, fp) only — document text
+    is projected away before the join."""
+    out = registry.QUERIES["corpus_version_diff"](spark, sf_correct)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the join output attributes: no `text` column may survive into the join
+    join_lines = [
+        ln for ln in plan.splitlines() if "Join" in ln and "doc_id" in ln
+    ]
+    assert join_lines, "expected a join on doc_id in the executed plan"
+    assert all("text" not in ln for ln in join_lines)

@@ -194,3 +194,61 @@ def test_lang_agreement_report_is_confusion_matrix(spark, sf_correct):
         by_declared[r.declared] = by_declared.get(r.declared, 0.0) + r.frac_of_declared
     for lang, s in by_declared.items():
         assert abs(s - 1.0) < 1e-4, (lang, s)
+
+
+# --- phrase_search ------------------------------------------------------------
+
+
+def test_phrase_search_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "phrase_search",
+        registry.QUERIES["phrase_search"],
+        registry.ORACLES["phrase_search"],
+    )
+
+
+def test_phrase_search_counts_equal_direct_ngram_scan(spark, sf_correct):
+    """The posting-list intersection must agree with a direct trigram scan:
+    sum of per-doc matches == corpus-wide occurrence count of the phrase,
+    and the phrase is the trigram argmax under (count DESC, phrase ASC)."""
+    from pyspark.sql import functions as F
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    out = registry.QUERIES["phrase_search"](spark, sf_correct).cache()
+    phrase = out.select("phrase").first().phrase
+    d = load_table(spark, sf_correct, "documents")
+    toks = d.select(F.filter(F.split("text", " "), lambda w: w != "").alias("w"))
+    tri = toks.select(
+        F.explode(
+            F.when(
+                F.size("w") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda i: F.array_join(F.slice(F.col("w"), i, 3), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g")
+    ).cache()
+    counts = tri.groupBy("g").agg(F.count("*").alias("c"))
+    top = counts.orderBy(F.desc("c"), F.asc("g")).first()
+    assert top.g == phrase
+    direct = tri.filter(F.col("g") == phrase).count()
+    got = out.agg(F.sum("n_matches")).first()[0]
+    tri.unpersist()
+    out.unpersist()
+    assert got == direct
+    assert top.c == direct
+
+
+def test_phrase_search_prunes_terms_before_join(spark, sf_correct):
+    """Query cost must scale with the phrase terms' posting lists: the
+    term filter (word IN phrase-terms) sits below every join in the plan."""
+    out = registry.QUERIES["phrase_search"](spark, sf_correct)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan
+    # posexplode feeds a Filter on `word` before any join input is built
+    assert "word#" in plan and "Filter" in plan

@@ -730,6 +730,145 @@ def ivfpq_third_decade() -> int:
     return 0 if ok else 1
 
 
+def bpe_decades_r9() -> int:
+    """Round 9 (VERDICT r08 items 2+4): the BPE family's FULL decade
+    ladder — base/x10/x100 RE-MEASURED against the de-sequenced
+    multi-merge trainer (so the ratio comparison vs BULK_r8's 4.41×/decade
+    is like-with-like within one session), plus the previously
+    budget-excluded x1000 tier (500 M docs, ~58 GB parquet fixture — fits
+    the ~80 GB free-disk budget, unlike clusters/pagerank whose x1000
+    shuffle arithmetic excludes them; each tier's fixture is deleted
+    before the next is built so only one lives at a time).
+
+    Per tier: fresh context (tier-scaled shuffle partitions), n=2 runs
+    (min), REST shuffle/input bytes, free-disk watermark, and the
+    trainer's own LAST_TRAIN_STATS — vocabulary-pass count and proven
+    batch sizes — recording that the batched trainer reaches the same 6
+    merges in FEWER vocabulary passes than the r08 one-merge-per-pass
+    loop (the r08 item-2 done criterion). Merge tables must be identical
+    across all four tiers (verbatim replication keeps the vocabulary
+    constant, so counts scale by N and every argmax is preserved).
+    Writes BULK_r9.json progressively, one flush per tier."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark import registry
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators import (
+        bpetrain,
+    )
+
+    registry.load_all()
+    qs = registry.QUERIES
+    path = os.path.join(REPO, "BULK_r9.json")
+
+    def free_gb() -> float:
+        st = os.statvfs("/tmp")
+        return round(st.f_bavail * st.f_frsize / 1e9, 1)
+
+    payload = {
+        "gate": {"ratio_limit": RATIO_LIMIT, "r08_ratio_to_beat": 4.41},
+        "n_runs_per_tier": 2,
+        "trainer": (
+            "r9 multi-merge batched trainer (bpetrain.py:_safe_batch_prefix); "
+            "passes/batch_sizes per run from LAST_TRAIN_STATS"
+        ),
+        "families": {"tokenizer_bpe_train_decades": {"tiers": {}}},
+        "third_decade_excluded": {
+            "dedup_clusters_lsh": (
+                "x1000 shuffle ~342 GB (10x BULK_r8 measured x100 34.2 GB) vs free disk"
+            ),
+            "pagerank_parts": (
+                "x1000 shuffle ~206 GB (10x BULK_r8 measured x100 20.6 GB) vs free disk"
+            ),
+            "free_disk_gb_at_decision": free_gb(),
+        },
+        "driver_maxrss_mb": {"start": _rss_mb()},
+    }
+    fam = payload["families"]["tokenizer_bpe_train_decades"]
+    spark = _make_session()  # first launch pins the 32g heap
+    prev_best = None
+    base_merges = None
+    fam_ok = True
+    for tier, copies, parts in (
+        ("base", 100, 32),
+        ("x10", 1000, 64),
+        ("x100", 10000, 256),
+        ("x1000", 100000, 512),
+    ):
+        # one fixture on disk at a time: the x1000 one is ~58 GB
+        shutil.rmtree(FIXROOT, ignore_errors=True)
+        spark.stop()
+        spark = _make_session(shuffle_partitions=parts)
+        t0 = time.monotonic()
+        fix = _build_bpe_fixture(spark, f"bpe9_{tier}", copies)
+        build_sec = round(time.monotonic() - t0, 1)
+        disk_after_build = free_gb()
+        meter = StageMeter(spark)
+        run_stats: list[dict] = []
+
+        def run():
+            res = qs["tokenizer_bpe_train"](spark, fix).localCheckpoint()
+            run_stats.append(
+                {
+                    "passes": bpetrain.LAST_TRAIN_STATS["passes"],
+                    "batch_sizes": list(bpetrain.LAST_TRAIN_STATS["batch_sizes"]),
+                }
+            )
+            return res
+
+        res, times = _timed(run, n=2)
+        io = meter.delta()
+        merges = sorted(
+            (r.iteration, r.left_sym, r.right_sym, r.pair_count // copies)
+            for r in res.collect()
+        )
+        if base_merges is None:
+            base_merges = merges
+        checks = {
+            "n_merges": len(merges),
+            # per-copy-normalized counts identical across tiers
+            "merges_identical_ok": merges == base_merges,
+            # the r08 item-2 criterion: strictly fewer vocabulary passes
+            # than merges (the r08 loop needed >= 1 pass PER merge)
+            "fewer_passes_than_merges_ok": all(
+                s["passes"] < len(merges) for s in run_stats
+            ),
+        }
+        entry = {
+            "copies": copies,
+            "shuffle_partitions": parts,
+            "fixture_build_sec": build_sec,
+            "times_sec": times,
+            "best_sec": min(times),
+            "io": io,
+            "train_stats_per_run": run_stats,
+            "checks": checks,
+            "free_disk_gb_after_build": disk_after_build,
+            "free_disk_gb_after": free_gb(),
+        }
+        if prev_best is not None:
+            entry["wall_ratio_vs_prev_tier"] = round(min(times) / prev_best, 2)
+            entry["ratio_ok"] = entry["wall_ratio_vs_prev_tier"] <= RATIO_LIMIT
+            fam_ok &= entry["ratio_ok"]
+        fam_ok &= checks["merges_identical_ok"]
+        fam_ok &= checks["fewer_passes_than_merges_ok"]
+        prev_best = min(times)
+        fam["tiers"][tier] = entry
+        payload["driver_maxrss_mb"][f"after_{tier}"] = _rss_mb()
+        fam["family_green"] = bool(fam_ok)
+        payload["third_decade_green_bpe"] = bool(fam_ok)
+        with open(path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(
+            f"bpe {tier}: copies {copies} build {build_sec}s best "
+            f"{min(times):.1f}s ratio {entry.get('wall_ratio_vs_prev_tier', '-')} "
+            f"passes {[s['passes'] for s in run_stats]} "
+            f"free_disk {entry['free_disk_gb_after']}GB checks "
+            f"{ {k: v for k, v in checks.items() if k.endswith('_ok')} }",
+            flush=True,
+        )
+    shutil.rmtree(FIXROOT, ignore_errors=True)
+    print("wrote BULK_r9.json; bpe decades green:", fam_ok, flush=True)
+    return 0 if fam_ok else 1
+
+
 def main() -> int:
     import importlib.util
 
@@ -739,6 +878,8 @@ def main() -> int:
         return decades_all(only="clusters")
     if "--ivfpq-x1000" in sys.argv:
         return ivfpq_third_decade()
+    if "--bpe-decades" in sys.argv:
+        return bpe_decades_r9()
     if "--decades" in sys.argv:
         return decades_all()
 
