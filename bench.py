@@ -76,6 +76,12 @@ BENCH_QUERIES = [
     # retrieval composite and the full tokenize step (train + id stream).
     "hybrid_retrieval",
     "tokenizer_bpe_ids",
+    # r09: the broadcast-bitset decontamination gate and the crawl diff —
+    # the two new keys whose 100 TB story is a PHYSICAL strategy (joinless
+    # membership; fingerprints-before-join), so their cost is worth
+    # tracking round-over-round.
+    "decontaminate_bloom",
+    "corpus_version_diff",
 ]
 
 

@@ -744,3 +744,69 @@ def test_truth_arm_scale_guard(spark, sf_correct, monkeypatch):
         registry.QUERIES["dedup_ngram_jaccard"](spark, sf_correct).collect()
     with pytest.raises(ValueError, match="fuzzy-gate verdict"):
         registry.QUERIES["dedup_incremental_fuzzy"](spark, sf_correct).collect()
+
+
+# --- dedup_containment --------------------------------------------------------
+
+
+def test_dedup_containment_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "dedup_containment",
+        registry.QUERIES["dedup_containment"],
+        registry.ORACLES["dedup_containment"],
+    )
+
+
+def test_containment_finds_embedded_doc_jaccard_misses(spark, sf_correct):
+    """The operator's reason to exist: a short doc verbatim-embedded in a
+    long one has containment 1.0 but Jaccard far below the LSH threshold.
+    Build exactly that pair in-memory and check the same logic (via the
+    oracle's semantics run on a registered-shape frame) finds it."""
+    from pyspark.sql import functions as F
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.dedup import (
+        CONTAIN_T,
+        _shingles,
+    )
+
+    # 12-token needle inside a 400-token haystack of unique filler tokens
+    needle = " ".join(f"needle{i}" for i in range(12))
+    filler = " ".join(f"filler{i}" for i in range(400))
+    df = spark.createDataFrame(
+        [(1, needle), (2, filler + " " + needle)], "doc_id LONG, text STRING"
+    )
+    sh = df.select("doc_id", _shingles().alias("s"))
+    a = sh.filter("doc_id = 1").select(F.col("s").alias("sa"))
+    b = sh.filter("doc_id = 2").select(F.col("s").alias("sb"))
+    row = a.crossJoin(b).select(
+        (F.size(F.array_intersect("sa", "sb")) / F.size("sa")).alias("contain"),
+        (
+            F.size(F.array_intersect("sa", "sb"))
+            / F.size(F.array_union("sa", "sb"))
+        ).alias("jaccard"),
+    ).first()
+    assert row.contain >= CONTAIN_T  # containment sees it
+    assert row.jaccard < 0.05  # Jaccard-LSH never would
+
+
+def test_containment_candidates_bounded_by_df_cap(spark, sf_correct):
+    """No blocking shingle may fan out more than CONTAIN_DF_CAP² ordered
+    pairs; stopword-grade shingles (df > cap) must generate nothing."""
+    from pyspark.sql import functions as F
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.dedup import (
+        CONTAIN_DF_CAP,
+        _shingles,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_correct, "documents")
+    sd = docs.select("doc_id", F.explode(_shingles()).alias("g"))
+    df_per_g = sd.groupBy("g").agg(F.count("*").alias("df"))
+    rare = df_per_g.filter(
+        (F.col("df") >= 2) & (F.col("df") <= CONTAIN_DF_CAP)
+    )
+    worst = rare.agg(F.max(F.col("df") * F.col("df") - F.col("df"))).first()[0]
+    assert worst is not None and worst <= CONTAIN_DF_CAP * (CONTAIN_DF_CAP - 1)

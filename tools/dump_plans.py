@@ -101,9 +101,26 @@ HEADLINE = [
     "quantile_normalize_lengths",
     "corpus_health_report",
     "events_ohlc_hourly",
+    # r09 keys whose 100 TB story is a physical strategy — plans audited
+    "decontaminate_bloom",
+    "corpus_version_diff",
+    "phrase_search",
+    "dedup_containment",
 ]
 
 NOTES = {
+    "decontaminate_bloom": "bloom arm is JOINLESS: membership = element_at "
+    "+ bitwiseAND against the 8 KB literal bit array inside codegen; the "
+    "only shingle-keyed join is the exact rescue arm (plan-tested)",
+    "corpus_version_diff": "both crawls project to (doc_id, md5) BEFORE "
+    "the full-outer join — the exchange never carries text; unchanged "
+    "mass dies in the post-join fingerprint predicate",
+    "phrase_search": "term filter below every join = partition pruning in "
+    "a term-partitioned index; positional intersections join on "
+    "(doc_id, pos) after pruning",
+    "dedup_containment": "df-capped blocking: ≤ cap² ordered pairs per "
+    "rare shingle, stopword shingles generate nothing (skew guard); "
+    "verify is candidate-bounded array intersection",
     "dedup_semdedup": "SemDeDup: broadcast centroid assignment, ONE "
     "cell_id-keyed self-join (Σ|cell|² cosines, never corpus²), dominated "
     "set distinct, left-anti back onto the corpus — no iteration",
