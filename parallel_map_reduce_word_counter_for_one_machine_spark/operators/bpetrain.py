@@ -187,6 +187,21 @@ def _safe_batch_prefix(
     return accepted
 
 
+def _drop_ckpt(df: DataFrame) -> None:
+    """Free a localCheckpoint's storage blocks. ``DataFrame.unpersist()`` is
+    a NO-OP for them (it talks to the CacheManager; localCheckpoint persists
+    at the RDD layer) — verified empirically: RDDStorageInfo keeps the block
+    after df.unpersist(), drops it after unpersisting the LogicalRDD's own
+    RDD. Without this, blocks linger until the py4j proxy is finalized AND
+    the JVM ContextCleaner notices — nondeterministic, and a 50k-merge run
+    would pin thousands of orphan vocabulary snapshots in storage memory."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        # non-LogicalRDD plan (not a checkpoint) — nothing to free
+        return
+
+
 def train_bpe(words: DataFrame, merges: int = BPE_MERGES) -> list[tuple]:
     """Learn ``merges`` BPE merges from a (word, c) vocabulary relation.
     Returns [(iteration, left_sym, right_sym, pair_count), ...] with
@@ -209,6 +224,14 @@ def train_bpe(words: DataFrame, merges: int = BPE_MERGES) -> list[tuple]:
     ).localCheckpoint()  # vocabulary-sized; base of every iteration
     out: list[tuple] = []
     cur = seqed
+    # Checkpoint hygiene (found by BULK_r9's decade ladder): every pass
+    # materializes a new checkpoint, and nothing in the RESULT references
+    # any of them (merges leave as collected rows), so the previous pass's
+    # blocks must be dropped as soon as the next pass stands — a 50k-merge
+    # production run would otherwise pin thousands of orphan RDDs in
+    # storage memory, and even this 5-pass trainer showed multi-10s GC /
+    # eviction noise across repeated runs in one JVM before the unpersist.
+    prev_ckpt = None
     LAST_TRAIN_STATS.update(passes=0, merges=0, batch_sizes=[])
     while len(out) < merges:
         top = (
@@ -245,6 +268,12 @@ def train_bpe(words: DataFrame, merges: int = BPE_MERGES) -> list[tuple]:
             # keep lineage one projection deep across passes (a 50k-merge
             # run would otherwise stack thousands of replace() layers)
             cur = cur.localCheckpoint()
+            if prev_ckpt is not None:
+                _drop_ckpt(prev_ckpt)
+            prev_ckpt = cur
+    for ckpt in (prev_ckpt, seqed):
+        if ckpt is not None:
+            _drop_ckpt(ckpt)
     LAST_TRAIN_STATS["merges"] = len(out)
     # unmap the escaped symbol domain at the contract boundary (' ' ↦ '|')
     return [(t, a.replace(" ", "|"), b.replace(" ", "|"), pc) for t, a, b, pc in out]

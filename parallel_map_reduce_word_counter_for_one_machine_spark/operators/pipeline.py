@@ -1166,14 +1166,20 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The only driver-side step is collecting the DISTINCT bit positions of
     the eval shingles — bounded by BLOOM_M_BITS (65,536 rows) BY
-    CONSTRUCTION, the cap-bounded-collect doctrine (annindex.py:94)."""
-    from .dedup import _shingles
+    CONSTRUCTION, the cap-bounded-collect doctrine (annindex.py:94).
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", _shingles().alias("shingles"))
+    Plan economics (first bench run caught the naive layout at 10.8 s —
+    three corpus-wide shingle passes, one of them only to re-derive the
+    5% eval slice): the eval branch shingles ONLY the %MOD==0 docs
+    (pushdown-filtered scan), and the train stream is shingled ONCE —
+    both verdict arms (bloom expression + exact broadcast left-join mark)
+    ride the same exploded stream into a single per-doc aggregate."""
+    from .dedup import _fan_out_small_input, _shingles
+
+    docs = _fan_out_small_input(load_table(spark, sf_dir, "documents"))
     ev = (
-        sh.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
-        .select(F.explode("shingles").alias("g"))
+        docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+        .select(F.explode(_shingles()).alias("g"))
         .distinct()
     )
     pos_rows = (
@@ -1198,24 +1204,24 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         mask = F.element_at(pow2, (p % 64).cast("int") + 1)
         return word.bitwiseAND(mask) != 0
 
-    train = sh.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
-    tg = train.select("doc_id", F.explode("shingles").alias("g"))
-    bh = (
-        tg.filter(
-            _is_set(_bloom_pos(F.col("g"), 0)) & _is_set(_bloom_pos(F.col("g"), 1))
-        )
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_bloom"))
+    train = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+    tg = train.select("doc_id", F.explode(_shingles()).alias("g"))
+    marked = tg.join(
+        F.broadcast(ev.withColumn("in_eval", F.lit(True))), "g", "left"
     )
-    ex = (
-        tg.join(F.broadcast(ev), "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_exact"))
+    agg = marked.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                _is_set(_bloom_pos(F.col("g"), 0))
+                & _is_set(_bloom_pos(F.col("g"), 1)),
+                1,
+            ).otherwise(0)
+        ).alias("n_bloom"),
+        F.sum(F.when(F.col("in_eval"), 1).otherwise(0)).alias("n_exact"),
     )
     return (
         train.select("doc_id")
-        .join(bh, "doc_id", "left")
-        .join(ex, "doc_id", "left")
+        .join(agg, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_bloom", F.lit(0)).cast("long").alias("n_bloom_hits"),

@@ -429,3 +429,28 @@ def test_roundtrip_against_ground_truth(spark, sf_correct):
         registry.QUERIES["tokenizer_bpe_roundtrip"],
         registry.ORACLES["tokenizer_bpe_roundtrip"],
     )
+
+
+def test_train_bpe_leaves_no_checkpoint_blocks(spark, sf_dir):
+    """Checkpoint hygiene (BULK_r9 finding): train_bpe localCheckpoints a
+    vocabulary snapshot per pass; every one of them must be freed before
+    return — DataFrame.unpersist() is a NO-OP for localCheckpoint blocks
+    (CacheManager vs RDD-layer persist), so the trainer goes through the
+    LogicalRDD's own RDD. A 50k-merge run would otherwise pin thousands of
+    orphan snapshots in storage memory."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.bpetrain import (
+        _corpus_words,
+        train_bpe,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    merges = train_bpe(_corpus_words(load_table(spark, sf_dir, "documents")))
+    assert len(merges) > 0
+    after = len(jsc.getRDDStorageInfo())
+    assert after <= before, (
+        f"train_bpe leaked checkpoint blocks: {before} -> {after} persisted RDDs"
+    )

@@ -259,7 +259,7 @@ def _build_clusters_fixture(spark, tier: str, copies: int) -> str:
     return d
 
 
-def _make_session(shuffle_partitions: int | None = None):
+def _make_session(shuffle_partitions: int | None = None, extra_conf: dict | None = None):
     """get_spark conf + UI enabled (the REST stage metrics need it).
     Driver memory 32g, not the package default 8g: this single local-mode
     JVM IS the whole cluster here, and the 100× clusters tier's bucket
@@ -270,7 +270,7 @@ def _make_session(shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("bulk-rehearsal-r7")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
@@ -284,8 +284,10 @@ def _make_session(shuffle_partitions: int | None = None):
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # NO shuffledHashJoinLocalMapThreshold: measured OOM at the x100
         # tier (tools/verify_ab.py — see session.py's scale note)
-        .getOrCreate()
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
@@ -393,7 +395,28 @@ def _build_vec_fixture(spark, tier: str, copies: int) -> str:
     return d
 
 
-def _build_bpe_fixture(spark, tier: str, copies: int) -> str:
+def _build_bpe_fixture(
+    spark, tier: str, copies: int, codec: str = "snappy", n_files: int | None = None
+) -> str:
+    """``codec`` matters at the x1000 tier: the replication cycle is ~1.5 MB
+    of distinct text (5,000 docs), which overflows parquet's 1 MB dictionary
+    page, so snappy (64 KB window) stores the repeats VERBATIM — a 500 M-doc
+    fixture would be ~150 GB (measured: 54 GB at 37% written) against ~80 GB
+    free. zstd's multi-MB window covers the cycle, so the same corpus fits
+    in single-digit GB.
+
+    ``n_files`` exists because the codec fix exposed a second scale hazard:
+    split planning sizes input partitions by COMPRESSED file bytes, so a
+    ~100 MB zstd fixture holding 50 M docs collapsed to 27 input splits —
+    one 2 M-doc decode per task, with a straggler tail (measured: the x100
+    train stage sat at 26+1/27 for minutes). Pinning the partition count on
+    the RANGE side of the crossJoin (docs broadcast onto it) writes a
+    tier-scaled file count with NO shuffle — repartition() would move the
+    ~uncompressed row stream (~150 GB at x1000) through lz4 shuffle files
+    and re-create the disk blowout — restoring the row-proportional read
+    parallelism a real (incompressible) corpus gets for free. The r9 decade
+    ladder writes ALL tiers with the same codec + explicit file counts, so
+    wall-ratio comparisons stay like-with-like."""
     from pyspark.sql import functions as F
 
     from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
@@ -402,11 +425,29 @@ def _build_bpe_fixture(spark, tier: str, copies: int) -> str:
 
     docs = load_table(spark, "/root/testdata/sf0.1", "documents")
     d = os.path.join(FIXROOT, tier)
-    docs.crossJoin(spark.range(copies).select(F.col("id").alias("copy"))).select(
+    rng = (
+        spark.range(0, copies, 1, n_files)
+        if n_files is not None
+        else spark.range(copies)
+    ).select(F.col("id").alias("copy"))
+    F.broadcast(docs).crossJoin(rng).select(
         (F.col("doc_id") + F.col("copy") * OFF).alias("doc_id"),
         "text", "lang", "source", "n_chars",
-    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    ).write.mode("overwrite").option("compression", codec).parquet(
+        os.path.join(d, "documents.parquet")
+    )
     return d
+
+
+def _dir_gb(path: str) -> float:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                continue
+    return round(total / 1e9, 2)
 
 
 def decades_all(only: str | None = None) -> int:
@@ -735,10 +776,12 @@ def bpe_decades_r9() -> int:
     ladder — base/x10/x100 RE-MEASURED against the de-sequenced
     multi-merge trainer (so the ratio comparison vs BULK_r8's 4.41×/decade
     is like-with-like within one session), plus the previously
-    budget-excluded x1000 tier (500 M docs, ~58 GB parquet fixture — fits
-    the ~80 GB free-disk budget, unlike clusters/pagerank whose x1000
-    shuffle arithmetic excludes them; each tier's fixture is deleted
-    before the next is built so only one lives at a time).
+    budget-excluded x1000 tier (500 M docs). Fixtures are written zstd at
+    EVERY tier — snappy cannot compress the 1.5 MB verbatim-replication
+    cycle (measured 54 GB at 37% of the x1000 write; see
+    ``_build_bpe_fixture``) — and each tier's fixture is deleted before
+    the next is built so only one lives at a time. clusters/pagerank stay
+    excluded by their recorded shuffle-vs-disk arithmetic.
 
     Per tier: fresh context (tier-scaled shuffle partitions), n=2 runs
     (min), REST shuffle/input bytes, free-disk watermark, and the
@@ -765,6 +808,13 @@ def bpe_decades_r9() -> int:
     payload = {
         "gate": {"ratio_limit": RATIO_LIMIT, "r08_ratio_to_beat": 4.41},
         "n_runs_per_tier": 2,
+        "fixture_codec": (
+            "zstd at ALL tiers: snappy's 64 KB window cannot compress the "
+            "1.5 MB verbatim-replication cycle (parquet dict page overflows "
+            "at 1 MB), measured ~150 GB extrapolated for the x1000 fixture "
+            "vs ~80 GB free; zstd covers the cycle. Same codec every tier "
+            "keeps decade ratios like-with-like."
+        ),
         "trainer": (
             "r9 multi-merge batched trainer (bpetrain.py:_safe_batch_prefix); "
             "passes/batch_sizes per run from LAST_TRAIN_STATS"
@@ -786,19 +836,30 @@ def bpe_decades_r9() -> int:
     prev_best = None
     base_merges = None
     fam_ok = True
-    for tier, copies, parts in (
-        ("base", 100, 32),
-        ("x10", 1000, 64),
-        ("x100", 10000, 256),
-        ("x1000", 100000, 512),
+    # 1-file-per-split read granularity: zstd files are a few MB, and the
+    # default openCost/maxPartitionBytes packing would coalesce them into
+    # a handful of multi-million-doc splits (the 26+1/27 straggler stage
+    # this replaces). Identical conf at every tier.
+    split_conf = {
+        "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+        "spark.sql.files.openCostInBytes": str(4 * 1024 * 1024),
+    }
+    for tier, copies, parts, n_files in (
+        ("base", 100, 32, 32),
+        ("x10", 1000, 64, 64),
+        ("x100", 10000, 256, 256),
+        ("x1000", 100000, 512, 1024),
     ):
-        # one fixture on disk at a time: the x1000 one is ~58 GB
+        # one fixture on disk at a time
         shutil.rmtree(FIXROOT, ignore_errors=True)
         spark.stop()
-        spark = _make_session(shuffle_partitions=parts)
+        spark = _make_session(shuffle_partitions=parts, extra_conf=split_conf)
         t0 = time.monotonic()
-        fix = _build_bpe_fixture(spark, f"bpe9_{tier}", copies)
+        fix = _build_bpe_fixture(
+            spark, f"bpe9_{tier}", copies, codec="zstd", n_files=n_files
+        )
         build_sec = round(time.monotonic() - t0, 1)
+        fixture_gb = _dir_gb(fix)
         disk_after_build = free_gb()
         meter = StageMeter(spark)
         run_stats: list[dict] = []
@@ -835,6 +896,7 @@ def bpe_decades_r9() -> int:
             "copies": copies,
             "shuffle_partitions": parts,
             "fixture_build_sec": build_sec,
+            "fixture_gb": fixture_gb,
             "times_sec": times,
             "best_sec": min(times),
             "io": io,
