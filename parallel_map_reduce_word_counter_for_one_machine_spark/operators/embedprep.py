@@ -323,3 +323,112 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("err") * 1e12).cast("long").alias("max_err_e12"),
         )
     )
+
+
+# --- Skip-gram training pairs -------------------------------------------------
+
+SKIPGRAM_WIN = 2  # context window radius (word2vec's default shape)
+
+
+@query(
+    "skipgram_pairs",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS w "
+        "FROM documents), "
+        "pr AS (SELECT unnest(flatten(list_transform(range(1, len(w)+1), i -> "
+        f"list_transform(range(greatest(i-{SKIPGRAM_WIN},1), "
+        f"least(i+{SKIPGRAM_WIN},len(w))+1), j -> "
+        "CASE WHEN j <> i THEN {'center': w[i], 'context': w[j]} "
+        "ELSE NULL END)))) AS p FROM t) "
+        "SELECT p.center AS center, p.context AS context, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM pr WHERE p IS NOT NULL GROUP BY 1, 2"
+    ),
+)
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(center, context) skip-gram pair counts with a ±SKIPGRAM_WIN token
+    window — the training relation of word2vec/GloVe-style embedding
+    pretraining (Mikolov et al. 2013), and the co-occurrence matrix the
+    ``pmi_bigrams`` key specializes to adjacent pairs.
+
+    Scale shape: pair GENERATION is entirely in the array domain — a
+    per-doc transform-with-index builds each position's windowed struct
+    list, flattened and exploded map-side; no posexplode self-join (the
+    naive layout joins the token stream to itself on doc_id + a pos range
+    — a corpus-sized join both sides). The only exchange is the final
+    (center, context) hash aggregate, which partial-combines map-side —
+    word_count economics with a two-word key. Output is vocabulary²-
+    bounded (and window-limited in practice), never corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split("text", " "), lambda x: x != "")
+    n = F.size(w)
+    pairs = F.flatten(
+        F.transform(
+            w,
+            lambda x, i: F.filter(
+                F.transform(
+                    F.sequence(i - SKIPGRAM_WIN, i + SKIPGRAM_WIN),
+                    lambda j: F.when(
+                        (j >= 0) & (j < n) & (j != i),
+                        F.struct(
+                            x.alias("center"),
+                            F.element_at(w, j + 1).alias("context"),
+                        ),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    return (
+        d.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.center").alias("center"), F.col("p.context").alias("context")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "word2vec_negative_table",
+    oracle=(
+        "WITH wc AS (SELECT unnest(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) AS word FROM documents), "
+        "c AS (SELECT word, count(*) AS cnt FROM wc GROUP BY word) "
+        "SELECT word, CAST(cnt AS BIGINT) AS cnt, "
+        "CAST(round(sqrt(sqrt(CAST(cnt AS DOUBLE) * cnt * cnt)) * 1e6) "
+        "AS BIGINT) AS weight_e6 FROM c"
+    ),
+)
+def word2vec_negative_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The negative-sampling table word2vec draws from: per-word unigram
+    count raised to the 3/4 power (Mikolov et al. 2013's smoothing — it
+    up-weights rare words relative to raw frequency), in integer micro
+    units. UN-normalized on purpose: the sampler normalizes at load, and
+    emitting w = cnt^0.75 per row keeps every value a function of ONE
+    row — a normalized weight would divide by a float SUM whose
+    accumulation order differs between engines.
+
+    Cross-engine exactness: ``pow(x, 0.75)`` is NOT guaranteed identical
+    across libm implementations, but ``sqrt`` is CORRECTLY ROUNDED by
+    IEEE 754 — so cnt^0.75 is computed as sqrt(sqrt(cnt³)): cnt³ is exact
+    in a double for every count this side of 2^17, and two correctly-
+    rounded sqrts are bit-identical everywhere. Plan: the word_count
+    aggregate (map-side partials, one exchange) + a per-row expression."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    c = F.col("cnt").cast("double")
+    return cnt.select(
+        "word",
+        "cnt",
+        F.round(F.sqrt(F.sqrt(c * c * c)) * 1e6).cast("long").alias("weight_e6"),
+    )

@@ -211,3 +211,79 @@ def test_quantized_vectors_preserve_topk_recall(spark, sf_dir):
     total = sum(len(exact[q]) for q in exact)
     recall = inter / total
     assert recall >= 0.9, f"int8 top-10 recall {recall:.2f} < 0.9"
+
+
+# --- skipgram_pairs -----------------------------------------------------------
+
+
+def test_skipgram_pairs_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "skipgram_pairs",
+        registry.QUERIES["skipgram_pairs"],
+        registry.ORACLES["skipgram_pairs"],
+    )
+
+
+def test_skipgram_pair_conservation(spark, sf_correct):
+    """Pair-token conservation: every interior token contributes exactly
+    2*WIN pairs, boundary tokens fewer — so sum(n) equals the window-sum
+    computed directly from per-doc token counts. Also symmetry: the
+    relation is its own transpose (every (a, b) window co-occurrence is
+    seen from both ends)."""
+    from pyspark.sql import functions as F
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.embedprep import (
+        SKIPGRAM_WIN,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.tables import (
+        load_table,
+    )
+
+    out = registry.QUERIES["skipgram_pairs"](spark, sf_correct).cache()
+    total = out.agg(F.sum("n")).first()[0]
+    d = load_table(spark, sf_correct, "documents")
+    ns = [
+        r.n
+        for r in d.select(
+            F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n")
+        ).collect()
+    ]
+    expect = 0
+    for n in ns:
+        for i in range(n):
+            expect += min(i + SKIPGRAM_WIN, n - 1) - max(i - SKIPGRAM_WIN, 0)
+    assert total == expect
+    # transpose symmetry
+    flipped = out.select(
+        F.col("context").alias("center"), F.col("center").alias("context"), "n"
+    )
+    assert out.exceptAll(flipped).count() == 0
+    out.unpersist()
+
+
+def test_word2vec_negative_table_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "word2vec_negative_table",
+        registry.QUERIES["word2vec_negative_table"],
+        registry.ORACLES["word2vec_negative_table"],
+    )
+
+
+def test_negative_table_smoothing_law(spark, sf_correct):
+    """cnt^0.75 smoothing: weights grow with count but SUBLINEARLY — for
+    any two words, cnt_a > cnt_b implies w_a > w_b and w_a/w_b < cnt_a/
+    cnt_b. Also the sqrt(sqrt(c³)) trick must equal pow within 1 micro
+    unit on every row (they can differ in the last ulp — that is WHY pow
+    is not used — but never by a unit at 6 decimals)."""
+    rows = registry.QUERIES["word2vec_negative_table"](spark, sf_correct).collect()
+    assert rows
+    by_cnt = sorted(rows, key=lambda r: (r.cnt, r.word))
+    for a, b in zip(by_cnt, by_cnt[1:]):
+        if b.cnt > a.cnt:
+            assert b.weight_e6 > a.weight_e6
+            assert b.weight_e6 * a.cnt < a.weight_e6 * b.cnt  # sublinear
+    for r in rows:
+        assert abs(r.weight_e6 - round(r.cnt ** 0.75 * 1e6)) <= 1
