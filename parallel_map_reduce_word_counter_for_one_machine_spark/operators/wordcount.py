@@ -239,15 +239,19 @@ def sort_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return word_count_alpha(spark, sf_dir)
 
 
-def word_count_bulk(spark: SparkSession, sf_dir: str, copies: int = 512) -> DataFrame:
+def word_count_bulk(
+    spark: SparkSession, sf_dir: str, copies: int = 512, n_parts: int = 64
+) -> DataFrame:
     """Throughput configuration of the flagship: replicate the corpus
     ``copies``× (partitioned range ⋈ broadcast corpus — replication happens
     executor-side in parallel, no shuffle of replicated rows) and word-count
     the result. At copies=512 / sf0.1 this processes ~760 MB of text, the
     scale of the reference's published fiwiki benchmark (BASELINE.md:
-    700 MB at 19.6 MB/s best). Measured here: ~130 MB/s on local[32]."""
+    700 MB at 19.6 MB/s best). ``n_parts`` sets the range side's partition
+    count — the decade ladder (BULK_r9) scales it with ``copies`` so
+    per-task text stays ~constant (~150 MB) instead of growing 100×."""
     docs = load_table(spark, sf_dir, "documents").select("text")
-    reps = spark.range(0, copies, 1, 64)
+    reps = spark.range(0, copies, 1, n_parts)
     bulk = reps.join(F.broadcast(docs))
     return tokenize(bulk).groupBy("word").agg(F.count("*").alias("cnt"))
 
