@@ -43,25 +43,23 @@ BPE_MERGES = 6  # unrolled in the oracle; 50k in production — same plan/iter
 
 # Top-of-table size for the batched trainer's per-pass candidate collect
 # (a BOUNDED driver collect — ≤ this many (sym, sym, count) rows per
-# vocabulary pass, the annindex.py:94 cap-bounded-collect doctrine).
-BPE_BATCH_CANDIDATES = 64
+# vocabulary pass, the annindex.py:94 cap-bounded-collect doctrine; the
+# overlap-trigram collect is ≤ the square of this, 16,384 rows).
+BPE_BATCH_CANDIDATES = 128
+
+# Merge-created pairs tracked as first-class candidates per accepted merge
+# and side (the K_TRACK+1-th trigram row becomes the residual danger).
+K_TRACK = 3
 
 # Instrumentation for the decade rehearsal (BULK_r9, VERDICT r08 item 2):
 # how many vocabulary-scale Spark passes the last train_bpe call used,
 # and the exact batch sizes it proved safe. Reset per call.
 LAST_TRAIN_STATS: dict = {"passes": 0, "merges": 0, "batch_sizes": []}
 
-
-def _pairs_expr() -> F.Column:
-    """Adjacent symbol pairs from the double-delimited seq column.
-    slice-zip instead of sequence(): ``sequence(0, -1)`` on a 1-symbol
-    word would generate a DESCENDING range, not an empty one."""
-    syms = F.filter(F.split("seq", r"\|"), lambda s: s != "")
-    return F.zip_with(
-        F.slice(syms, 1, F.size(syms) - 1),
-        F.slice(syms, 2, F.size(syms) - 1),
-        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-    )
+# Count of _drop_ckpt reach-through failures swallowed (ADVICE r09): a
+# Spark upgrade changing the plan shape flips this nonzero instead of
+# silently reverting to the pre-r09 leak.
+DROP_CKPT_FAILURES = 0
 
 
 def _seq_expr() -> F.Column:
@@ -119,72 +117,365 @@ def _corpus_words(d: DataFrame) -> DataFrame:
     )
 
 
-def _safe_batch_prefix(
-    top: list, budget: int, complete: bool
+# Left word-boundary sentinel for the padded trigram relation. Symbols
+# live in the ESCAPED domain ('|' ↦ ' '), so no real symbol can ever be or
+# contain a pipe — the sentinel and the '|'-separated candidate keys below
+# are collision-free by construction.
+SENT = "|"
+
+
+def _tri_table(cur: DataFrame) -> DataFrame:
+    """The per-pass PADDED TRIGRAM aggregate — the single vocabulary-scale
+    relation every per-pass statistic derives from (VERDICT r09 item 2).
+
+    Each word's symbol list is left-padded with the sentinel, so every
+    adjacent pair (s_i, s_{i+1}) is the (y, z) suffix of EXACTLY ONE
+    trigram (its left neighbor, or the sentinel at word start). Hence:
+
+    - pair counts  = sum of tc grouped by (y, z)      (exact, no padding loss)
+    - new-pair ceilings = max of tc per candidate pair  (see _greedy_batch)
+    - exact overlap losses = individual tc rows whose prefix AND suffix
+      pairs are both candidates
+
+    One explode + one hash aggregate per pass — the same economics as the
+    r08 pair pass (rows are identical in number, one column wider) — and
+    the result is localCheckpointed by the caller so the three downstream
+    reads (top pairs, ceilings, overlap rows) are re-aggregations of the
+    materialized vocabulary-scale table, not corpus work.
+
+    slice-zip instead of sequence(): ``sequence(0, -1)`` on a short word
+    would generate a DESCENDING range, not an empty one."""
+    syms = F.filter(F.split("seq", r"\|"), lambda s: s != "")
+    padded = F.concat(F.array(F.lit(SENT)), syms)
+    n3 = F.greatest(F.size(padded) - 2, F.lit(0))
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice(padded, 1, n3),
+            F.slice(padded, 2, n3),
+            lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+        ),
+        F.slice(padded, 3, n3),
+        lambda p, z: F.struct(
+            p["x"].alias("x"), p["y"].alias("y"), z.alias("z")
+        ),
+    )
+    return (
+        cur.select(F.explode(tri).alias("t"), "c")
+        .groupBy("t.x", "t.y", "t.z")
+        .agg(F.sum("c").alias("tc"))
+    )
+
+
+def _greedy_batch(
+    top: list,
+    budget: int,
+    complete: bool,
+    ltop: dict,
+    rtop: dict,
+    dtc: dict,
+    created: frozenset,
 ) -> list[tuple]:
-    """From one pass's top-of-table pair counts (rows of ``a, b, pc`` in
-    exact-greedy order: pc DESC, content-lex ASC), return the longest
-    PREFIX that is provably identical to running exact greedy BPE one
-    merge at a time — the batching that de-sequences the trainer
-    (VERDICT r08 item 2) WITHOUT changing a single emitted merge.
+    """Driver-side EXACT simulation of sequential greedy BPE over one
+    pass's top-of-table candidates — returns [(a, b, exact_count), ...],
+    bit-identical to the one-merge-per-pass r08 trainer but admitting
+    MANY merges per vocabulary pass (VERDICT r09 item 2: the r08/r09
+    prefix rule broke at the first symbol-sharing candidate and its
+    table-derived danger bound was ≈ pc itself on natural text, so
+    BULK_r9 recorded batch_sizes [2,1,1,1,1]).
 
-    Exactness argument (why a prefix batch equals sequential greedy):
-    merging pair i = (a, b) into symbol ab can change pair counts three
-    ways, and each is bounded by the collected table —
+    Inputs, all exact statistics of the pass-start state ("state 0"):
+    - top: candidate rows (a, b, pc) in exact greedy order
+    - ltop[(a,b)] / rtop[(a,b)]: the K_TRACK+1 LARGEST trigram rows with
+      (a, b) as suffix — [(x, tc), ...] desc — / as prefix ([(y, tc)…])
+    - dtc[(x,y,z)]: counts of trigrams whose prefix AND suffix pairs are
+      both candidates (the overlap-loss arithmetic)
+    - created: concat strings of every previously emitted merge (initial
+      symbols are single code points, so a concat absent here is
+      provably a FRESH symbol)
 
-    1. OLD pairs touching ``a`` or ``b`` only LOSE occurrences (new
-       adjacencies all involve the new symbol). Under the prefix rule
-       every such pair ranked above the next accepted candidate is itself
-       accepted, so a decrease cannot re-order the front — but the NEXT
-       CANDIDATE's own count becoming stale can, so the batch STOPS at
-       the first candidate sharing a symbol with an earlier accepted
-       merge (or equal to its concat — see 3).
-    2. NEW pairs ``(x, ab)`` / ``(ab, y)``: every occurrence contains the
-       merged occurrence, so the count is ≤ pc_i, and it also contains
-       the pre-merge pair ``(x, a)`` / ``(b, y)``, so it is ≤ the largest
-       table count with ``a`` on the right / ``b`` on the left (pairs
-       outside a truncated table are ≤ the table floor).
-    3. An OLD symbol whose string equals the concat ``ab`` GAINS
-       occurrences from 2 — its pairs' post-counts are ≤ their pre-count
-       (table/floor-bounded) + the bound from 2.
-    A later candidate is therefore exactly the next sequential argmax iff
-    its count strictly exceeds every accepted merge's danger bound
-    (ties are unsafe: a new pair's lex position is unknowable here).
-    The first candidate is always safe, so every pass makes progress.
-    Worst case this degenerates to one merge per pass — the r08 trainer.
-    """
+    The exactness toolkit (see module header for the residual-0 lemma):
+    1. For a ≠ b, greedy-leftmost replace merges EVERY (a, b) adjacency,
+       so merging changes pair counts EXACTLY as follows — pair (x, a)
+       loses tc(x, a, b); pair (b, y) loses tc(a, b, y); pair (x, ab)
+       GAINS exactly tc(x, a, b) (each occurrence IS such a trigram
+       occurrence), symmetrically (ab, y); all other pairs unchanged.
+    2. A trigram whose three symbols are all UNTOUCHED (never an element
+       or concat of an applied merge) has an invariant count: fusion
+       never deletes symbols and never creates an adjacency between two
+       old symbols. Whenever a needed trigram contains a touched symbol,
+       the candidate degrades to an upper bound ("unknown") — counts are
+       loss-only outside the concat-collision case, which is bounded
+       separately.
+    3. Merge-created pairs are therefore REAL candidates: the top
+       K_TRACK per side enter the pool with exact counts (their ceiling
+       at acceptance comes from the 4-gram containment argument: a pair
+       (w, x·ab) needs state-0 trigram (w_last, x, a), bounded by
+       ltop[(x, a)] or — when (x, a) is sub-table — by the pair floor);
+       everything below the tracked rows is bounded by the residual
+       (K_TRACK+1-th) trigram count, which becomes the merge's danger.
+
+    A candidate is accepted iff its EXACT count strictly beats the
+    sub-table floor, every accumulated danger, and every unknown's upper
+    bound (lex breaks exact ties with unknowns; ties with floor/dangers
+    are unsafe — a hidden pair's lex rank is unknowable). The first
+    candidate is always accepted, so every pass makes progress; the
+    worst case is the r08 one-merge pass."""
     floor = 0 if complete else int(top[-1]["pc"])
-    max_left: dict[str, int] = {}  # sym -> max pc over table pairs (sym, y)
-    max_right: dict[str, int] = {}  # sym -> max pc over table pairs (x, sym)
-    for r in top:
-        pc = int(r["pc"])
-        if pc > max_left.get(r["a"], 0):
-            max_left[r["a"]] = pc
-        if pc > max_right.get(r["b"], 0):
-            max_right[r["b"]] = pc
+    candset = {(r["a"], r["b"]) for r in top}
 
+    def _lex(a: str, b: str) -> tuple:
+        return (a.replace(" ", "|"), b.replace(" ", "|"))
+
+    def _first(m: dict, k: tuple) -> int:
+        rows = m.get(k)
+        return int(rows[0][1]) if rows else 0
+
+    cands = [
+        {
+            "a": r["a"],
+            "b": r["b"],
+            "v": int(r["pc"]),
+            "lex": _lex(r["a"], r["b"]),
+            "known": True,
+            "ub": 0,
+            # origin of a merge-created candidate: None for state-0 pairs,
+            # ("L"|"R", am, bm) for pairs created by merging (am, bm)
+            "origin": None,
+        }
+        for r in top
+    ]
     accepted: list[tuple] = []
-    touched: set[str] = set()  # accepted members + their concat symbols
     dangers: list[int] = []
-    for r in top:
-        if len(accepted) == budget:
+    touched: set = set()
+    batch_created: set = set()
+    while len(accepted) < budget:
+        best = None
+        for c in cands:
+            if c["known"] and c["v"] >= 1:
+                if best is None or (-c["v"], c["lex"]) < (
+                    -best["v"],
+                    best["lex"],
+                ):
+                    best = c
+        if best is None:
             break
-        a, b, pc = r["a"], r["b"], int(r["pc"])
-        if accepted:
-            if a in touched or b in touched:
-                break  # case 1/3: this candidate's own count is stale
-            if any(pc <= d for d in dangers):
-                break  # a merge-created pair could outrank it
-        accepted.append((a, b, pc))
-        touched.update((a, b, a + b))
-        new_pair_bound = min(
-            pc, max(max_right.get(a, 0), max_left.get(b, 0), floor)
-        )
-        concat_pre_bound = max(
-            max_left.get(a + b, 0), max_right.get(a + b, 0), floor
-        )
-        dangers.append(new_pair_bound + concat_pre_bound)
+        v = best["v"]
+        if not complete and v <= floor:
+            break  # a sub-table pair could tie or win — unknowable lex
+        if any(v <= d for d in dangers):
+            break  # an untracked merge-created pair could reach this count
+        if any(
+            (not c["known"])
+            and (c["ub"] > v or (c["ub"] == v and c["lex"] < best["lex"]))
+            for c in cands
+        ):
+            break  # an unknown candidate might still outrank it
+        am, bm = best["a"], best["b"]
+        ab = am + bm
+        if ab in batch_created:
+            break  # twice-created concat: gain accounting would compound
+        origin = best["origin"]
+        exactable = am != bm and am not in touched and bm not in touched
+        # ceiling on any single pair this merge can create (toolkit #3)
+        if origin is None:
+            ceiling = min(v, max(_first(ltop, (am, bm)), _first(rtop, (am, bm))))
+        elif origin[0] == "L":  # best == (x, a0b0), merge (a0, b0) earlier
+            _, a0, b0 = origin
+            lb = _first(ltop, (am, a0)) if (am, a0) in candset else floor
+            ceiling = min(v, max(lb, _first(rtop, (a0, b0))))
+        else:  # "R": best == (a0b0, y)
+            _, a0, b0 = origin
+            rb = _first(rtop, (b0, bm)) if (b0, bm) in candset else floor
+            ceiling = min(v, max(_first(ltop, (a0, b0)), rb))
+        collision = ab in created
+        accepted.append((am, bm, v))
+        batch_created.add(ab)
+        cands.remove(best)
+        for c in cands:
+            if ab in (c["a"], c["b"]):
+                # the candidate's symbol IS the merged concat string
+                # (possible only on a prior-pass collision): it can only
+                # GAIN, by at most this merge's new-pair ceiling
+                c["ub"] = (c["v"] if c["known"] else c["ub"]) + ceiling
+                c["known"] = False
+                continue
+            if not c["known"]:
+                continue  # already a bound; losses keep it valid
+            dec1 = c["b"] == am  # would lose tc(c.a, am, bm)
+            dec2 = c["a"] == bm  # would lose tc(am, bm, c.b)
+            if not (dec1 or dec2):
+                continue  # disjoint or harmless share: count unchanged
+            if dec1 and dec2 and exactable:
+                # inverse pair (bm, am): one occurrence can lose BOTH
+                # ways (4-gram am bm am bm) — only a bound survives
+                c["ub"] = c["v"] - max(
+                    dtc.get((bm, am, bm), 0), dtc.get((am, bm, am), 0)
+                )
+                c["known"] = False
+            elif (
+                exactable
+                and not (dec1 and dec2)
+                and (not dec1 or c["a"] not in touched)
+                and (not dec2 or c["b"] not in touched)
+                and c["origin"] is None
+            ):
+                # exact loss (toolkit #1 + #2: every trigram symbol
+                # untouched, merge basis pristine, state-0 pair)
+                if dec1:
+                    c["v"] -= dtc.get((c["a"], am, bm), 0)
+                if dec2:
+                    c["v"] -= dtc.get((am, bm, c["b"]), 0)
+            else:
+                c["ub"] = c["v"]
+                c["known"] = False
+        # track this merge's top created pairs as new candidates; the
+        # residual row (if present) bounds everything untracked
+        residual = 0
+        if exactable and not collision and origin is None:
+            lrows = ltop.get((am, bm), [])
+            rrows = rtop.get((am, bm), [])
+            for rows, side in ((lrows, "L"), (rrows, "R")):
+                if len(rows) > K_TRACK:
+                    residual = max(residual, int(rows[K_TRACK][1]))
+                for s, t in rows[:K_TRACK]:
+                    # POISON rows (found by the randomized property
+                    # sweep): for x == bm the leading x of trigram
+                    # (x, am, bm) can itself be consumed by an ADJACENT
+                    # instance of the same merge ("am bm am bm" yields
+                    # (ab, ab), not (bm, ab)), so tc is only an upper
+                    # bound on BOTH (bm, ab) and (ab, ab) — it becomes a
+                    # danger, never a tracked count. Symmetrically
+                    # y == am on the right side.
+                    if (side == "L" and s == bm) or (
+                        side == "R" and s == am
+                    ):
+                        dangers.append(int(t))
+                        continue
+                    nc = {
+                        "v": int(t),
+                        "known": s not in touched,
+                        "ub": int(t),
+                        "origin": (side, am, bm),
+                    }
+                    if side == "L":
+                        nc["a"], nc["b"] = s, ab
+                    else:
+                        nc["a"], nc["b"] = ab, s
+                    nc["lex"] = _lex(nc["a"], nc["b"])
+                    cands.append(nc)
+        else:
+            residual = ceiling
+        dangers.append(residual + (floor if collision else 0))
+        touched.update((am, bm, ab))
     return accepted
+
+
+
+def _collect_batch_stats(
+    tg: DataFrame, budget: int, created: frozenset
+) -> list[tuple]:
+    """Run one pass's driver-side statistics against the checkpointed
+    trigram aggregate ``tg`` and return the provably-exact merge batch.
+    At most three SMALL actions over the materialized vocabulary-scale
+    table: top pairs (≤ BPE_BATCH_CANDIDATES rows), the K_TRACK+1
+    largest trigram rows per candidate and side (≤ 2·(K_TRACK+1)·|cands|
+    rows — rank-limited in Spark, never fanned out), and the
+    candidate-overlap trigrams (≤ |cands|² rows by construction — the
+    cap-bounded-collect doctrine, annindex.py:94). When only one merge
+    remains (or only one pair exists) the first candidate is
+    unconditionally exact, so the extra reads are skipped."""
+    from pyspark.sql import Window
+
+    top = (
+        tg.groupBy("y", "z")
+        .agg(F.sum("tc").alias("pc"))
+        .select(F.col("y").alias("a"), F.col("z").alias("b"), "pc")
+        # tie-break in CONTENT domain (unmap before comparing): ' ' and
+        # '|' sort differently, so an escaped-domain tie-break could pick
+        # a different argmax than a textbook run on the raw words
+        # whenever a pipe symbol ties
+        .orderBy(
+            F.desc("pc"),
+            F.asc(_unescape_sym(F.col("a"))),
+            F.asc(_unescape_sym(F.col("b"))),
+        )
+        .limit(BPE_BATCH_CANDIDATES)
+        .collect()
+    )
+    if not top:
+        return []
+    if budget == 1 or len(top) == 1:
+        r = top[0]
+        return [(r["a"], r["b"], int(r["pc"]))]
+    keys = [f"{r['a']}|{r['b']}" for r in top]
+    lk = F.concat_ws("|", "y", "z")
+    rk = F.concat_ws("|", "x", "y")
+    # deterministic rank inside equal tc ties: any fixed order works — the
+    # simulation only needs SOME top-K rows plus a valid residual bound,
+    # and equal-tc rows are interchangeable for both
+    lrows = (
+        tg.filter((F.col("x") != SENT) & lk.isin(keys))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("y", "z").orderBy(
+                    F.desc("tc"), F.asc("x")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= K_TRACK + 1)
+        .select(
+            F.lit("L").alias("s"),
+            F.col("y").alias("a"),
+            F.col("z").alias("b"),
+            F.col("x").alias("o"),
+            "tc",
+            "rn",
+        )
+    )
+    rrows = (
+        tg.filter(rk.isin(keys))  # x = SENT can never match a real key
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("x", "y").orderBy(
+                    F.desc("tc"), F.asc("z")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= K_TRACK + 1)
+        .select(
+            F.lit("R").alias("s"),
+            F.col("x").alias("a"),
+            F.col("y").alias("b"),
+            F.col("z").alias("o"),
+            "tc",
+            "rn",
+        )
+    )
+    ltop: dict = {}
+    rtop: dict = {}
+    for r in lrows.unionAll(rrows).collect():
+        (ltop if r["s"] == "L" else rtop).setdefault(
+            (r["a"], r["b"]), []
+        ).append((r["o"], int(r["tc"]), int(r["rn"])))
+    for m in (ltop, rtop):
+        for k in m:
+            m[k] = [(o, t) for o, t, _ in sorted(m[k], key=lambda e: e[2])]
+    dtc = {
+        (r["x"], r["y"], r["z"]): int(r["tc"])
+        for r in tg.filter(lk.isin(keys) & rk.isin(keys)).collect()
+    }
+    return _greedy_batch(
+        top,
+        budget,
+        complete=len(top) < BPE_BATCH_CANDIDATES,
+        ltop=ltop,
+        rtop=rtop,
+        dtc=dtc,
+        created=created,
+    )
+
 
 
 def _drop_ckpt(df: DataFrame) -> None:
@@ -194,11 +485,20 @@ def _drop_ckpt(df: DataFrame) -> None:
     after df.unpersist(), drops it after unpersisting the LogicalRDD's own
     RDD. Without this, blocks linger until the py4j proxy is finalized AND
     the JVM ContextCleaner notices — nondeterministic, and a 50k-merge run
-    would pin thousands of orphan vocabulary snapshots in storage memory."""
+    would pin thousands of orphan vocabulary snapshots in storage memory.
+
+    The reach-through is private-API (ADVICE r09): a Spark upgrade that
+    changes the plan shape would silently revert to leaking. Swallowed
+    failures are therefore COUNTED in ``DROP_CKPT_FAILURES`` — the
+    hygiene test asserts zero blocks leak, and any nonzero counter after
+    a train run is visible to callers/bench without digging through
+    RDDStorageInfo."""
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
         # non-LogicalRDD plan (not a checkpoint) — nothing to free
+        global DROP_CKPT_FAILURES
+        DROP_CKPT_FAILURES += 1
         return
 
 
@@ -209,16 +509,18 @@ def train_bpe(words: DataFrame, merges: int = BPE_MERGES) -> list[tuple]:
     unmapped at return, so the result matches a textbook BPE run on the
     raw words — including pipe-bearing ones).
 
-    De-sequenced (VERDICT r08 item 2): each vocabulary pass collects the
-    top ``BPE_BATCH_CANDIDATES`` pair counts (bounded collect) and applies
-    the longest provably-exact prefix batch (``_safe_batch_prefix``) as
-    ONE chained-replace projection, instead of one merge per pass. On
-    Zipfian text the front of the pair table is mostly symbol-disjoint, so
-    a 50k-merge production run needs ~merges/batch Spark passes, not
-    ``merges`` — the structure VERDICT r08 called the package's one true
-    sequential bottleneck. Emitted merges are bit-identical to the
-    sequential trainer (the r08 loop IS the degenerate batch=1 case), so
-    the unrolled exact-greedy DuckDB oracle is unchanged."""
+    De-sequenced (VERDICT r08 item 2, tightened r10 per VERDICT r09 item
+    2): each pass materializes ONE vocabulary-scale relation — the padded
+    trigram aggregate (``_tri_table``) — and every per-pass statistic
+    (pair counts, new-pair ceilings, exact overlap losses) is a bounded
+    driver read of that checkpoint. ``_greedy_batch`` then simulates
+    sequential greedy EXACTLY on the driver, adjusting symbol-sharing
+    candidates by their true trigram losses instead of breaking the batch
+    at the first overlap (the r08/r09 prefix rule), and applies the whole
+    batch as ONE chained-replace projection. A 50k-merge production run
+    needs ~merges/batch vocabulary passes, not ``merges``. Emitted merges
+    are bit-identical to the sequential trainer, so the unrolled
+    exact-greedy DuckDB oracle is unchanged."""
     seqed = words.select(
         _seq_expr().alias("seq"), "c"
     ).localCheckpoint()  # vocabulary-sized; base of every iteration
@@ -232,48 +534,47 @@ def train_bpe(words: DataFrame, merges: int = BPE_MERGES) -> list[tuple]:
     # storage memory, and even this 5-pass trainer showed multi-10s GC /
     # eviction noise across repeated runs in one JVM before the unpersist.
     prev_ckpt = None
+    created: set = set()  # concat strings of every emitted merge (escaped)
     LAST_TRAIN_STATS.update(passes=0, merges=0, batch_sizes=[])
-    while len(out) < merges:
-        top = (
-            cur.select(F.explode(_pairs_expr()).alias("p"), "c")
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("c").alias("pc"))
-            # tie-break in CONTENT domain (unmap before comparing): ' '
-            # and '|' sort differently, so an escaped-domain tie-break
-            # could pick a different argmax than a textbook run on the
-            # raw words whenever a pipe symbol ties
-            .orderBy(
-                F.desc("pc"),
-                F.asc(_unescape_sym(F.col("a"))),
-                F.asc(_unescape_sym(F.col("b"))),
-            )
-            .limit(BPE_BATCH_CANDIDATES)
-            .collect()
-        )
-        LAST_TRAIN_STATS["passes"] += 1
-        if not top:  # every word fully merged
-            break
-        batch = _safe_batch_prefix(
-            top, merges - len(out), complete=len(top) < BPE_BATCH_CANDIDATES
-        )
-        LAST_TRAIN_STATS["batch_sizes"].append(len(batch))
-        seq = F.col("seq")
-        for a, b, pc in batch:
-            out.append((len(out) + 1, a, b, pc))
-            seq = F.replace(
-                seq, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
-            )
-        cur = cur.select(seq.alias("seq"), "c")
-        if len(out) < merges:
-            # keep lineage one projection deep across passes (a 50k-merge
-            # run would otherwise stack thousands of replace() layers)
-            cur = cur.localCheckpoint()
-            if prev_ckpt is not None:
-                _drop_ckpt(prev_ckpt)
-            prev_ckpt = cur
-    for ckpt in (prev_ckpt, seqed):
-        if ckpt is not None:
-            _drop_ckpt(ckpt)
+    # try/finally (ADVICE r09): an exception mid-pass (a failed collect)
+    # must not leak prev_ckpt/seqed/tg blocks — the exact leak class the
+    # r09 hygiene fix targets.
+    try:
+        while len(out) < merges:
+            # ONE vocabulary-scale job per pass: materialize the padded
+            # trigram aggregate; the top-pair / ceiling / overlap reads
+            # below are bounded re-aggregations of the checkpoint.
+            tg = _tri_table(cur).localCheckpoint()
+            LAST_TRAIN_STATS["passes"] += 1
+            try:
+                batch = _collect_batch_stats(
+                    tg, merges - len(out), frozenset(created)
+                )
+            finally:
+                _drop_ckpt(tg)
+            if not batch:  # every word fully merged
+                break
+            LAST_TRAIN_STATS["batch_sizes"].append(len(batch))
+            seq = F.col("seq")
+            for a, b, pc in batch:
+                out.append((len(out) + 1, a, b, pc))
+                created.add(a + b)
+                seq = F.replace(
+                    seq, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+                )
+            cur = cur.select(seq.alias("seq"), "c")
+            if len(out) < merges:
+                # keep lineage one projection deep across passes (a
+                # 50k-merge run would otherwise stack thousands of
+                # replace() layers)
+                cur = cur.localCheckpoint()
+                if prev_ckpt is not None:
+                    _drop_ckpt(prev_ckpt)
+                prev_ckpt = cur
+    finally:
+        for ckpt in (prev_ckpt, seqed):
+            if ckpt is not None:
+                _drop_ckpt(ckpt)
     LAST_TRAIN_STATS["merges"] = len(out)
     # unmap the escaped symbol domain at the contract boundary (' ' ↦ '|')
     return [(t, a.replace(" ", "|"), b.replace(" ", "|"), pc) for t, a, b, pc in out]

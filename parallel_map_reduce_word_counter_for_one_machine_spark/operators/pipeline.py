@@ -1206,17 +1206,23 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     train = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
     tg = train.select("doc_id", F.explode(_shingles()).alias("g"))
-    marked = tg.join(
+    # VERDICT r09 item 1: the exact rescue probe is GATED on the bloom
+    # predicate. Bloom has no false negatives, so a shingle that fails the
+    # bit test contributes 0 to BOTH n_bloom (by definition) and n_exact
+    # (it provably is not in the eval set) — filtering survivors first is
+    # output-identical, keeps the single shingle pass (n_bloom is simply
+    # the survivor count), and shrinks the broadcast hash probe from
+    # every-train-shingle to the FP-rate-sized survivor stream, matching
+    # the SCALE.md claim. The bloom filter sits BELOW the join in codegen
+    # (pinned in tests/test_plan_drift.py).
+    survivors = tg.filter(
+        _is_set(_bloom_pos(F.col("g"), 0)) & _is_set(_bloom_pos(F.col("g"), 1))
+    )
+    marked = survivors.join(
         F.broadcast(ev.withColumn("in_eval", F.lit(True))), "g", "left"
     )
     agg = marked.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                _is_set(_bloom_pos(F.col("g"), 0))
-                & _is_set(_bloom_pos(F.col("g"), 1)),
-                1,
-            ).otherwise(0)
-        ).alias("n_bloom"),
+        F.count(F.lit(1)).alias("n_bloom"),
         F.sum(F.when(F.col("in_eval"), 1).otherwise(0)).alias("n_exact"),
     )
     return (

@@ -26,6 +26,8 @@ def test_bench_summary_fits_driver_tail_capture():
         "queries": times,
         "sf": 0.1,
         "box_factor": 9.999,
+        "n_passes": 3,
+        "degraded_passes": [0, 1, 2],
         "n_runs": bench.N_RUNS,
         "contended": False,
         # suspect_queries can legitimately hold several long key names
@@ -35,7 +37,14 @@ def test_bench_summary_fits_driver_tail_capture():
     payload = json.dumps(compact)
     # same drop order as bench.main(); the MANDATORY core (metric/value/
     # queries/sf/box_factor) must fit even if every droppable is dropped
-    for droppable in ("detail", "suspect_queries", "contended", "n_runs"):
+    for droppable in (
+        "detail",
+        "suspect_queries",
+        "contended",
+        "n_runs",
+        "degraded_passes",
+        "n_passes",
+    ):
         if len(payload) < 1900:
             break
         compact.pop(droppable, None)

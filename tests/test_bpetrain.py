@@ -133,6 +133,34 @@ def test_adversarial_adjacent_and_overlap_shapes(spark):
     assert train_bpe(words, 6) == _py_bpe(wc.items(), 6)
 
 
+def test_randomized_corpora_match_reference(spark):
+    """Property sweep for the r10 greedy-batch simulation: tiny alphabets
+    maximize exactly the shapes where naive batching breaks — symbol
+    overlap between front candidates, inverse pairs, self-pairs (runs),
+    concat collisions across passes ('ab' re-creatable), tie-breaks, and
+    pipe content (the delimiter escape). Every corpus must train
+    bit-identically to the sequential Python twin at a merge budget deep
+    enough to exhaust most of them. Seeds are FIXED (deterministic test,
+    no runtime randomness in CI)."""
+    import random
+
+    for seed in range(12):
+        rng = random.Random(seed)
+        alphabet = ["a", "b", "c", "|"][: rng.randint(2, 4)]
+        wc = {}
+        for _ in range(rng.randint(4, 14)):
+            w = "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 7))
+            )
+            wc[w] = wc.get(w, 0) + rng.randint(1, 40)
+        words = spark.createDataFrame(
+            list(wc.items()), "word STRING, c BIGINT"
+        )
+        want = _py_bpe(wc.items(), 20)
+        got = train_bpe(words, 20)
+        assert got == want, f"seed {seed}: {wc}\n got {got}\nwant {want}"
+
+
 def test_batched_trainer_is_exact_and_saves_passes(spark, sf_dir):
     """VERDICT r08 item 2: the batched trainer must (a) emit merges
     bit-identical to sequential greedy (the Python twin) and (b) learn
@@ -181,58 +209,95 @@ def test_batch_prefix_degenerates_safely_on_overlapping_front(spark):
     )
 
 
-def test_batch_prefix_unit_bounds():
-    """_safe_batch_prefix unit shapes: overlap stops the prefix; a
-    danger-bound tie stops it (ties are unsafe — a merge-created pair's
-    lex position is unknowable); a disjoint clear front batches."""
+def _gb(rows, budget=6, complete=True, ltop=None, rtop=None, dtc=None,
+        created=frozenset()):
     from parallel_map_reduce_word_counter_for_one_machine_spark.operators.bpetrain import (
-        _safe_batch_prefix,
+        _greedy_batch,
     )
 
-    # overlap: second candidate shares 'b' with the first
-    rows = [
-        {"a": "a", "b": "b", "pc": 100},
-        {"a": "b", "b": "c", "pc": 90},
-    ]
-    assert _safe_batch_prefix(rows, 6, complete=True) == [("a", "b", 100)]
+    return _greedy_batch(
+        rows, budget, complete, ltop or {}, rtop or {}, dtc or {}, created
+    )
 
-    # danger tie: (q,x)=90 means merging (x,a) can create (q,xa) pairs
-    # with count up to 90; the next candidate (c,d) also counts 90 (and
-    # ranks before (q,x) only by lex) — 90 ≤ 90 is unsafe, stop at one.
-    # With no such adjacency (previous shape) the pair WOULD batch.
-    rows = [
-        {"a": "x", "b": "a", "pc": 100},
-        {"a": "c", "b": "d", "pc": 90},
-        {"a": "q", "b": "x", "pc": 90},
-    ]
-    assert _safe_batch_prefix(rows, 6, complete=True) == [("x", "a", 100)]
 
-    # disjoint, steeply falling front: all batch (danger of each merge is
-    # bounded by adjacency counts below the next candidate)
+def test_greedy_batch_unit_shapes():
+    """_greedy_batch unit shapes: disjoint fronts batch; exact trigram
+    losses let overlapping candidates batch THROUGH a shared symbol; the
+    merge-created top pair is tracked and accepted with its exact count;
+    residual (untracked) trigram mass and unknown upper bounds stop the
+    batch; self-pair merges degrade sharers to bounds; the sub-table
+    floor and budget are respected."""
+    # disjoint, steeply falling front, no adjacent trigram mass: all batch
     rows = [
         {"a": "a", "b": "b", "pc": 100},
         {"a": "c", "b": "d", "pc": 40},
         {"a": "e", "b": "f", "pc": 10},
     ]
-    got = _safe_batch_prefix(rows, 6, complete=True)
-    # merge (a,b): new pairs bounded by other (•,a)/(b,•) counts = 0
-    # floor... with complete table and no adjacent entries the danger is
-    # min(100, max(0,0,0)) + 0 = 0 < 40 — so (c,d) and then (e,f) batch
-    assert got == [("a", "b", 100), ("c", "d", 40), ("e", "f", 10)]
-
+    assert _gb(rows) == [("a", "b", 100), ("c", "d", 40), ("e", "f", 10)]
     # budget respected
-    assert _safe_batch_prefix(rows, 2, complete=True) == [
-        ("a", "b", 100),
-        ("c", "d", 40),
-    ]
+    assert _gb(rows, budget=2) == [("a", "b", 100), ("c", "d", 40)]
 
-    # incomplete table: floor = last pc; (c,d)'s 40 ≤ floor-driven danger
-    # (min(100, floor=40) + 40 = 80) — must stop after the first
+    # incomplete table: floor = last pc; a candidate AT the floor could
+    # tie with an uncollected pair of unknowable lex — stop before it
     rows2 = [
         {"a": "a", "b": "b", "pc": 100},
         {"a": "c", "b": "d", "pc": 40},
     ]
-    assert _safe_batch_prefix(rows2, 6, complete=False) == [("a", "b", 100)]
+    assert _gb(rows2, complete=False) == [("a", "b", 100)]
+
+    # exact overlap arithmetic + new-pair tracking (the r10 upgrade; the
+    # r08/r09 prefix rule returned only [(x, a, 100)] here): merging
+    # (x, a) consumes ALL of (q, x)'s mass (trigram q x a = 90) and
+    # creates (q, xa) with EXACTLY that count; greedy then picks (c, d)
+    # at 90 (smaller lex than (q, xa)), then the tracked (q, xa)
+    rows = [
+        {"a": "x", "b": "a", "pc": 100},
+        {"a": "c", "b": "d", "pc": 90},
+        {"a": "q", "b": "x", "pc": 90},
+    ]
+    got = _gb(
+        rows,
+        ltop={("x", "a"): [("q", 90)]},
+        dtc={("q", "x", "a"): 90},
+    )
+    assert got == [("x", "a", 100), ("c", "d", 90), ("q", "xa", 90)]
+
+    # residual danger: four trigram rows collected means the tracked top
+    # K_TRACK leave a 4th row as the bound on UNTRACKED new pairs — a
+    # next candidate at that count is unsafe
+    rows = [
+        {"a": "a", "b": "b", "pc": 100},
+        {"a": "c", "b": "d", "pc": 50},
+    ]
+    got = _gb(
+        rows,
+        ltop={("a", "b"): [("w", 50), ("x", 50), ("y", 50), ("z", 50)]},
+    )
+    assert got == [("a", "b", 100)]
+
+    # inverse pair (b, a): losses can double-count one occurrence, so
+    # only an upper bound survives — low enough here not to block (c, d)
+    rows = [
+        {"a": "a", "b": "b", "pc": 100},
+        {"a": "b", "b": "a", "pc": 60},
+        {"a": "c", "b": "d", "pc": 50},
+    ]
+    got = _gb(rows, dtc={("b", "a", "b"): 10, ("a", "b", "a"): 20})
+    assert got == [("a", "b", 100), ("c", "d", 50)]
+    # ... but an unknown bound ABOVE the next candidate blocks it
+    rows[2]["pc"] = 35
+    got = _gb(rows, dtc={("b", "a", "b"): 10, ("a", "b", "a"): 20})
+    assert got == [("a", "b", 100)]
+
+    # self-pair merge (a == b): overlap makes losses inexact — sharers
+    # degrade to bounds and block anything below them
+    rows = [
+        {"a": "a", "b": "a", "pc": 100},
+        {"a": "a", "b": "c", "pc": 90},
+        {"a": "d", "b": "e", "pc": 80},
+    ]
+    assert _gb(rows) == [("a", "a", 100)]
+
 
 
 def test_exhausts_gracefully(spark):

@@ -233,6 +233,31 @@ def test_bloom_membership_is_joinless(spark, sf_correct):
     assert len(g_joins) == 1
 
 
+def test_bloom_exact_probe_gated_on_survivors(spark, sf_correct):
+    """VERDICT r09 item 1: the exact rescue join probes ONLY bloom
+    survivors. Bloom has no false negatives, so pre-filtering on the bit
+    predicate is output-identical while shrinking the hash probe to the
+    FP-rate-sized survivor stream. Structurally: the bitset Filter
+    (element_at + bitmask) sits BELOW the shingle-keyed join and ABOVE the
+    train shingle explode — a plan where the join probes the raw stream
+    (the r09 layout) has no such Filter in that span and fails here."""
+    out = registry.QUERIES["decontaminate_bloom"](spark, sf_correct)
+    plan = out._jdf.queryExecution().executedPlan().toString().splitlines()
+    j = next(i for i, ln in enumerate(plan) if "Join [g#" in ln)
+    gen = next(
+        i for i, ln in enumerate(plan) if i > j and "Generate explode" in ln
+    )
+    gated = [
+        i
+        for i, ln in enumerate(plan)
+        if j < i < gen and "Filter " in ln and "element_at" in ln
+    ]
+    assert gated, (
+        "bloom bitset filter is not between the exact-probe join and the "
+        "train shingle explode — the exact arm probes the full stream"
+    )
+
+
 # --- corpus_version_diff ------------------------------------------------------
 
 

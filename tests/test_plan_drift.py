@@ -61,6 +61,16 @@ PINNED = [
     "lsh_verified_pairs",
     "dedup_clusters_lsh",
     "pagerank_parts",
+    # VERDICT r09 item 5: the two r09 keys whose 100 TB story is a plan
+    # shape. decontaminate_bloom: ONE train shingle pass, the bloom arm
+    # joinless, and (r10) the exact rescue probe gated on bloom survivors
+    # — a second corpus shingle pass or a full-stream exact join flips
+    # the exchange/join counters. dedup_containment: rare-shingle
+    # blocking — the df-cap aggregate feeds the single shingle-keyed
+    # self-join; an uncapped self-join or a second corpus pass flips
+    # counters here.
+    "decontaminate_bloom",
+    "dedup_containment",
 ]
 
 # Node classes whose count IS the scale property. "Exchange hash/range/

@@ -816,7 +816,8 @@ def bpe_decades_r9() -> int:
             "keeps decade ratios like-with-like."
         ),
         "trainer": (
-            "r9 multi-merge batched trainer (bpetrain.py:_safe_batch_prefix); "
+            "r10 exact greedy-batch trainer (bpetrain.py:_greedy_batch — "
+            "fused trigram pass, exact overlap losses, tracked new pairs); "
             "passes/batch_sizes per run from LAST_TRAIN_STATS"
         ),
         "families": {"tokenizer_bpe_train_decades": {"tiers": {}}},
@@ -1000,9 +1001,14 @@ def wordcount_decades_r9() -> int:
         checks = {
             "n_words": len(rows),
             "vocab_constant_ok": set(rows) == set(base_rows),
-            # exact conservation: counts scale linearly with copies
+            # exact conservation: counts scale linearly with copies.
+            # .get() not [] (ADVICE r09): a vocabulary divergence between
+            # tiers must record a RED check, not KeyError-crash the
+            # ladder before the result is flushed
             "counts_scale_exactly_ok": all(
-                rows[w] * base_copies == base_rows[w] * copies for w in rows
+                w in base_rows
+                and rows[w] * base_copies == base_rows[w] * copies
+                for w in rows
             ),
             "beats_10x_reference_ok": mbps >= ref_floor,
             "throughput_retention_ok": mbps >= 0.4 * best_mbps,

@@ -6,6 +6,8 @@ Run twice back-to-back to catch nondeterminism:
     python tools/correctness_sim.py && python tools/correctness_sim.py
 
 Optional argv[1]: sf dir (default /root/testdata/sf0.01).
+Optional argv[2]: comma-separated key list to restrict the run (fast
+single-operator iteration while fixing one key).
 """
 
 from __future__ import annotations
@@ -52,9 +54,12 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     failures = []
     t_start = time.monotonic()
     for name in sorted(qs):
+        if only is not None and name not in only:
+            continue
         t0 = time.monotonic()
         try:
             rows = qs[name](spark, SF_DIR).collect()
