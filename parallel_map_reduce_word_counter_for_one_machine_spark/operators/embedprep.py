@@ -412,10 +412,15 @@ def word2vec_negative_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine exactness: ``pow(x, 0.75)`` is NOT guaranteed identical
     across libm implementations, but ``sqrt`` is CORRECTLY ROUNDED by
-    IEEE 754 — so cnt^0.75 is computed as sqrt(sqrt(cnt³)): cnt³ is exact
-    in a double for every count this side of 2^17, and two correctly-
-    rounded sqrts are bit-identical everywhere. Plan: the word_count
-    aggregate (map-side partials, one exchange) + a per-row expression."""
+    IEEE 754 — so cnt^0.75 is computed as sqrt(sqrt(cnt·cnt·cnt)). The
+    load-bearing invariant (ADVICE r09) is NOT exactness of cnt³ — a
+    count past 2^17 makes cnt³ inexact — but that BOTH engines evaluate
+    the same left-associated double chain ``(cnt·cnt)·cnt`` (the Spark
+    expression and the oracle SQL are written in that order), so the
+    (possibly rounded) intermediate is bit-identical, and the two
+    correctly-rounded sqrts on top of it are bit-identical everywhere.
+    Plan: the word_count aggregate (map-side partials, one exchange) + a
+    per-row expression."""
     d = load_table(spark, sf_dir, "documents")
     cnt = (
         d.select(
