@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     # tracking round-over-round.
     "decontaminate_bloom",
     "corpus_version_diff",
+    # r10: the asymmetric near-dup detector — its df-capped blocking
+    # self-join is the plan shape worth tracking round-over-round.
+    "dedup_containment",
 ]
 
 

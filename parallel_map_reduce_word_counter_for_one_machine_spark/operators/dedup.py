@@ -2037,6 +2037,20 @@ CONTAIN_T = 0.8  # containment(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
 _CONTAIN_CKPTS: list = []
 
 
+def _drop_prev_ckpt(slot: list, new_ckpt) -> None:
+    """Bounded checkpoint hygiene for operators whose RETURNED plan
+    references a localCheckpoint (so drop-on-exit — the train_bpe
+    doctrine — cannot apply): drop the PREVIOUS invocation's (by then
+    consumed) checkpoint from ``slot`` and track the new one, bounding
+    live orphan blocks at one table per operator no matter how many
+    times bench N_RUNS / a test session invoke the key."""
+    from .bpetrain import _drop_ckpt
+
+    while slot:
+        _drop_ckpt(slot.pop())
+    slot.append(new_ckpt)
+
+
 @query(
     "dedup_containment",
     oracle=(
@@ -2108,15 +2122,9 @@ def dedup_containment(
     sh = docs.select("doc_id", _shingles().alias("shingles")).localCheckpoint()
     # Checkpoint hygiene (ADVICE r09): the RETURNED plan references this
     # checkpoint, so it cannot be dropped on exit like train_bpe's — the
-    # deliberate exception to the drop-on-exit doctrine. Instead the
-    # PREVIOUS invocation's (by then consumed) checkpoint is dropped
-    # here, bounding live orphan blocks at one shingle table no matter
-    # how many times bench N_RUNS / the test session invoke this key.
-    from .bpetrain import _drop_ckpt
-
-    while _CONTAIN_CKPTS:
-        _drop_ckpt(_CONTAIN_CKPTS.pop())
-    _CONTAIN_CKPTS.append(sh)
+    # deliberate exception to the drop-on-exit doctrine; see
+    # _drop_prev_ckpt.
+    _drop_prev_ckpt(_CONTAIN_CKPTS, sh)
     sd = sh.select("doc_id", F.explode("shingles").alias("g"))
     rare = (
         sd.groupBy("g")

@@ -1099,6 +1099,10 @@ BLOOM_K = 2
 # needed (pyspark's shiftright only takes a Python-int shift amount).
 _POW2_MASKS = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
 
+# The last invocation's live eval-shingle checkpoint (hygiene: see
+# dedup._drop_prev_ckpt) — at most one entry.
+_BLOOM_EV_CKPTS: list = []
+
 
 def _bloom_pos(g, i: int) -> "F.Column":
     """Hash i of shingle ``g`` → bit position in [0, BLOOM_M_BITS).
@@ -1177,11 +1181,24 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _fan_out_small_input, _shingles
 
     docs = _fan_out_small_input(load_table(spark, sf_dir, "documents"))
+    # The distinct eval shingle set has TWO consumers in two different
+    # jobs — the driver-side bit-position collect below and the broadcast
+    # build of the exact rescue arm — so it is materialized once
+    # (eval-suite-sized: the 5% slice's distinct shingles, the same
+    # payload the broadcast ships anyway) instead of shingling the eval
+    # slice twice. Hygiene follows the dedup_containment convention: the
+    # returned plan references the checkpoint, so the PREVIOUS
+    # invocation's checkpoint is dropped here, bounding live blocks at
+    # one eval table.
+    from .dedup import _drop_prev_ckpt
+
     ev = (
         docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
         .select(F.explode(_shingles()).alias("g"))
         .distinct()
+        .localCheckpoint()
     )
+    _drop_prev_ckpt(_BLOOM_EV_CKPTS, ev)
     pos_rows = (
         ev.select(
             F.explode(
