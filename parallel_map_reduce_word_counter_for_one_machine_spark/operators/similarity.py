@@ -919,3 +919,141 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity_topk(spark, sf_dir).select("query_id", "cand_id")
     approx = ivfpq_topk_listing(spark, sf_dir).select("query_id", "cand_id")
     return _recall_verdict(exact, approx)
+
+
+# --- All-pairs k-NN graph -----------------------------------------------------
+
+KNN_K = 5
+
+# The last invocation's live block checkpoint (hygiene: dedup._drop_prev_ckpt)
+_KNN_BLOCK_CKPTS: list = []
+
+
+@query(
+    "knn_graph",
+    oracle=(
+        "SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cos_sim "
+        "FROM ("
+        "SELECT vec_id, neighbor_id, cos_sim, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rnk "
+        "FROM (SELECT a.vec_id, b.vec_id AS neighbor_id, "
+        "round(list_cosine_similarity(a.embedding::DOUBLE[], "
+        "b.embedding::DOUBLE[]), 6) AS cos_sim "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)"
+        f") WHERE rnk <= {KNN_K}"
+    ),
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The directed exact k-NN GRAPH over the whole embedding corpus —
+    every vector's KNN_K most-similar OTHER vectors with rank. This is the
+    corpus×corpus sibling of ``similarity_topk`` (queries×corpus) and the
+    input artifact of half the semantic-curation toolbox: SemDeDup-style
+    cluster pruning, kNN label propagation, diversity/coverage sampling,
+    and graph-connectivity audits all start from exactly this relation.
+
+    Scale shape — the naive formulations both die at 100 TB: a theta
+    self-join emits corpus² rows into a window, and even the blocked-GEMM
+    pair stream of ``dedup_embedding`` is only viable because a THRESHOLD
+    prunes it. A k-NN graph has no threshold, so the pruning must be the
+    TOP-K ITSELF, pushed inside the tiles (the Faiss brute-force tier's
+    shape):
+
+    1. Block the corpus into ``_GEMM_BLOCKS`` row-blocks (hash on vec_id);
+       join the full B×B block grid — a broadcast join on two tiny block
+       relations, one tile per task.
+    2. Each tile is one Arrow-batched numpy GEMM that emits ONLY the
+       per-row LOCAL top-k against that tile's columns: ≤ |rows|·k rows
+       per tile, so the exchanged candidate stream is corpus·B·k rows —
+       linear in the corpus with a B·k constant — never corpus².
+    3. One hash exchange on vec_id + a window keeps the global top-k of
+       each vector's B·k candidates.
+
+    Local and global selection use the SAME ordering — 6dp-rounded cosine
+    desc, neighbor_id asc (the cross-engine float convention of
+    ``dedup_embedding``: DuckDB's float32 list math differs from our
+    float64 GEMM by ~1e-7, above 1e-6 only when unrounded) — so the local
+    top-k provably contains the global top-k of its tile. Zero-norm
+    vectors have undefined cosine: they emit no rows and are never
+    neighbors (the oracle's list_cosine_similarity likewise NULLs out).
+    At 1 B+ vectors the same plan nests under a coarse quantizer (IVF
+    cell = block) so tiles pair only adjacent cells — the knob is which
+    block relation feeds step 2, not the operator's shape."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from .dedup import _GEMM_BLOCKS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def tile_topk(batches):
+        for pdf in batches:
+            out_i, out_j, out_c = [], [], []
+            for xr, yr in zip(pdf["xr"], pdf["yr"]):
+                if len(xr) == 0 or len(yr) == 0:
+                    continue
+                xid = np.array([r["vec_id"] for r in xr], dtype=np.int64)
+                X = np.array([r["v"] for r in xr], dtype=np.float64)
+                yid = np.array([r["vec_id"] for r in yr], dtype=np.int64)
+                Y = np.array([r["v"] for r in yr], dtype=np.float64)
+                xn = np.linalg.norm(X, axis=1)
+                yn = np.linalg.norm(Y, axis=1)
+                denom = np.outer(
+                    np.where(xn > 0, xn, 1.0), np.where(yn > 0, yn, 1.0)
+                )
+                S = np.round((X @ Y.T) / denom, 6)
+                # undefined cosines (zero norm) and self-pairs sort last
+                bad = ~np.outer(xn > 0, yn > 0) | np.equal.outer(xid, yid)
+                S[bad] = -np.inf
+                k = min(KNN_K, S.shape[1])
+                # per-row local top-k under the GLOBAL ordering
+                # (-cos6, neighbor_id): lexsort keys are applied last-first
+                order = np.lexsort((np.broadcast_to(yid, S.shape), -S), axis=1)[
+                    :, :k
+                ]
+                for r in range(S.shape[0]):
+                    for c in order[r]:
+                        if S[r, c] == -np.inf:
+                            continue
+                        out_i.append(xid[r])
+                        out_j.append(yid[c])
+                        out_c.append(S[r, c])
+            yield pd.DataFrame(
+                {"vec_id": out_i, "neighbor_id": out_j, "cos_sim": out_c}
+            )
+
+    blocks = e.groupBy(
+        (F.pmod(F.xxhash64("vec_id"), _GEMM_BLOCKS)).alias("blk")
+    ).agg(F.collect_list(F.struct("vec_id", "v")).alias("rows"))
+    blocks = blocks.localCheckpoint()  # two consumers (both tile sides)
+    from .dedup import _drop_prev_ckpt
+
+    _drop_prev_ckpt(_KNN_BLOCK_CKPTS, blocks)
+    tiles = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), F.lit(True))
+        .select(F.col("x.rows").alias("xr"), F.col("y.rows").alias("yr"))
+        .repartition(_GEMM_BLOCKS * _GEMM_BLOCKS)
+    )
+    cands = tiles.mapInPandas(tile_topk, schema=out_schema)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("vec_id", "neighbor_id", F.col("rank").cast("long"), "cos_sim")
+    )

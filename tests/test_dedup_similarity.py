@@ -916,3 +916,61 @@ def test_containment_df_cap_filter_below_self_join(spark, sf_correct):
         if i > jl and ">= 2" in ln and f"<= {CONTAIN_DF_CAP}" in ln
     ]
     assert caps, "df-cap filter is not below the candidate self-join"
+
+
+# --- knn_graph ----------------------------------------------------------------
+
+
+def test_knn_graph_oracle(spark, sf_correct):
+    assert_matches_oracle(
+        spark,
+        sf_correct,
+        "knn_graph",
+        registry.QUERIES["knn_graph"],
+        registry.ORACLES["knn_graph"],
+    )
+
+
+def test_knn_graph_shape_and_numpy_reference(spark, sf_correct):
+    """Every vector gets exactly KNN_K neighbors ranked 1..K, none of them
+    itself, and the whole graph matches an independent numpy brute-force
+    reference (full N×N cosine, rounded 6dp, (cos desc, id asc) order) —
+    proving the tile-local top-k loses nothing vs the global answer."""
+    import numpy as np
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.similarity import (
+        KNN_K,
+    )
+
+    rows = spark.read.parquet(f"{sf_correct}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    n = np.linalg.norm(X, axis=1)
+    S = np.round((X @ X.T) / np.outer(n, n), 6)
+    np.fill_diagonal(S, -np.inf)
+    want = set()
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -S[i]))[:KNN_K]
+        for rk, j in enumerate(order, start=1):
+            want.add((int(ids[i]), int(ids[j]), rk, float(S[i, j])))
+    got = {
+        (r.vec_id, r.neighbor_id, r.rank, r.cos_sim)
+        for r in registry.QUERIES["knn_graph"](spark, sf_correct).collect()
+    }
+    assert got == want
+    per_vec = {}
+    for v, _, rk, _ in got:
+        per_vec.setdefault(v, []).append(rk)
+    assert all(sorted(rks) == list(range(1, KNN_K + 1)) for rks in per_vec.values())
+    assert all(v != nb for v, nb, _, _ in got)
+
+
+def test_knn_graph_candidate_stream_is_blocked_topk(spark, sf_correct):
+    """Scale pin: the exchanged candidate stream must be tile-local top-k
+    (≤ corpus × B × k rows), never the corpus² pair stream — the plan
+    carries ONE mapInPandas over the B×B tile grid feeding the window,
+    and no sort-merge/cartesian pair join of the embeddings table."""
+    out = registry.QUERIES["knn_graph"](spark, sf_correct)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "SortMergeJoin" not in plan

@@ -106,6 +106,9 @@ HEADLINE = [
     "corpus_version_diff",
     "phrase_search",
     "dedup_containment",
+    # r10: the all-pairs k-NN graph — tile-local top-k pushed inside the
+    # blocked GEMM (candidate stream corpus·B·k, never corpus²)
+    "knn_graph",
 ]
 
 NOTES = {
@@ -121,6 +124,10 @@ NOTES = {
     "dedup_containment": "df-capped blocking: ≤ cap² ordered pairs per "
     "rare shingle, stopword shingles generate nothing (skew guard); "
     "verify is candidate-bounded array intersection",
+    "knn_graph": "k-NN graph brute tier: per-tile LOCAL top-k inside the "
+    "B×B blocked GEMM (one MapInPandas over the tile grid) — the "
+    "exchanged candidate stream is corpus·B·k rows, never corpus²; one "
+    "vec_id exchange + window finishes the global top-k",
     "dedup_semdedup": "SemDeDup: broadcast centroid assignment, ONE "
     "cell_id-keyed self-join (Σ|cell|² cosines, never corpus²), dominated "
     "set distinct, left-anti back onto the corpus — no iteration",
