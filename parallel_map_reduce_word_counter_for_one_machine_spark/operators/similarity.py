@@ -928,21 +928,90 @@ KNN_K = 5
 # The last invocation's live block checkpoint (hygiene: dedup._drop_prev_ckpt)
 _KNN_BLOCK_CKPTS: list = []
 
-
-@query(
-    "knn_graph",
-    oracle=(
-        "SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cos_sim "
-        "FROM ("
-        "SELECT vec_id, neighbor_id, cos_sim, row_number() OVER ("
-        "PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rnk "
-        "FROM (SELECT a.vec_id, b.vec_id AS neighbor_id, "
-        "round(list_cosine_similarity(a.embedding::DOUBLE[], "
-        "b.embedding::DOUBLE[]), 6) AS cos_sim "
-        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)"
-        f") WHERE rnk <= {KNN_K}"
-    ),
+# Exact k-NN graph relation in DuckDB — shared by knn_graph's hard value
+# oracle and the IVF variant's verdict oracle (which pins its exact-edge
+# cardinality).
+_KNN_EXACT_ORACLE = (
+    "SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cos_sim "
+    "FROM ("
+    "SELECT vec_id, neighbor_id, cos_sim, row_number() OVER ("
+    "PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rnk "
+    "FROM (SELECT a.vec_id, b.vec_id AS neighbor_id, "
+    "round(list_cosine_similarity(a.embedding::DOUBLE[], "
+    "b.embedding::DOUBLE[]), 6) AS cos_sim "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)"
+    f") WHERE rnk <= {KNN_K}"
 )
+
+
+def _knn_tile_topk(batches):
+    """mapInPandas kernel shared by the exact and IVF k-NN graphs: each
+    input row is one (xr rows, yr columns) tile; emit every x-row's LOCAL
+    top-KNN_K columns under the GLOBAL final ordering (6dp-rounded cosine
+    desc, neighbor_id asc — lexsort keys apply last-first), self-pairs and
+    zero-norm cosines excluded. Local-contains-global: a tile's top-k
+    under the exact final ordering is a superset of that tile's
+    contribution to the global top-k."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        out_i, out_j, out_c = [], [], []
+        for xr, yr in zip(pdf["xr"], pdf["yr"]):
+            if len(xr) == 0 or len(yr) == 0:
+                continue
+            xid = np.array([r["vec_id"] for r in xr], dtype=np.int64)
+            X = np.array([r["v"] for r in xr], dtype=np.float64)
+            yid = np.array([r["vec_id"] for r in yr], dtype=np.int64)
+            Y = np.array([r["v"] for r in yr], dtype=np.float64)
+            xn = np.linalg.norm(X, axis=1)
+            yn = np.linalg.norm(Y, axis=1)
+            denom = np.outer(
+                np.where(xn > 0, xn, 1.0), np.where(yn > 0, yn, 1.0)
+            )
+            S = np.round((X @ Y.T) / denom, 6)
+            bad = ~np.outer(xn > 0, yn > 0) | np.equal.outer(xid, yid)
+            S[bad] = -np.inf
+            k = min(KNN_K, S.shape[1])
+            order = np.lexsort((np.broadcast_to(yid, S.shape), -S), axis=1)[
+                :, :k
+            ]
+            for r in range(S.shape[0]):
+                for c in order[r]:
+                    if S[r, c] == -np.inf:
+                        continue
+                    out_i.append(xid[r])
+                    out_j.append(yid[c])
+                    out_c.append(S[r, c])
+        yield pd.DataFrame(
+            {"vec_id": out_i, "neighbor_id": out_j, "cos_sim": out_c}
+        )
+
+
+def _knn_out_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+
+def _global_topk(cands: DataFrame) -> DataFrame:
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("vec_id", "neighbor_id", F.col("rank").cast("long"), "cos_sim")
+    )
+
+
+@query("knn_graph", oracle=_KNN_EXACT_ORACLE)
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The directed exact k-NN GRAPH over the whole embedding corpus —
     every vector's KNN_K most-similar OTHER vectors with rank. This is the
@@ -962,85 +1031,29 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
        join the full B×B block grid — a broadcast join on two tiny block
        relations, one tile per task.
     2. Each tile is one Arrow-batched numpy GEMM that emits ONLY the
-       per-row LOCAL top-k against that tile's columns: ≤ |rows|·k rows
-       per tile, so the exchanged candidate stream is corpus·B·k rows —
-       linear in the corpus with a B·k constant — never corpus².
+       per-row LOCAL top-k against that tile's columns (``_knn_tile_topk``):
+       ≤ |rows|·k rows per tile, so the exchanged candidate stream is
+       corpus·B·k rows — linear in the corpus with a B·k constant — never
+       corpus².
     3. One hash exchange on vec_id + a window keeps the global top-k of
        each vector's B·k candidates.
 
     Local and global selection use the SAME ordering — 6dp-rounded cosine
     desc, neighbor_id asc (the cross-engine float convention of
     ``dedup_embedding``: DuckDB's float32 list math differs from our
-    float64 GEMM by ~1e-7, above 1e-6 only when unrounded) — so the local
-    top-k provably contains the global top-k of its tile. Zero-norm
+    float64 GEMM by ~1e-7, above 1e-6 only when unrounded). Zero-norm
     vectors have undefined cosine: they emit no rows and are never
     neighbors (the oracle's list_cosine_similarity likewise NULLs out).
-    At 1 B+ vectors the same plan nests under a coarse quantizer (IVF
-    cell = block) so tiles pair only adjacent cells — the knob is which
-    block relation feeds step 2, not the operator's shape."""
-    import numpy as np
-    import pandas as pd
+    At 1 B+ vectors the block relation becomes a coarse quantizer's cells
+    and tiles pair only adjacent cells — that scale path is measured by
+    ``knn_graph_ivf`` below."""
+    from .dedup import _GEMM_BLOCKS, _drop_prev_ckpt
 
-    from pyspark.sql import types as T
-
-    from .dedup import _GEMM_BLOCKS
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
-    )
-
-    out_schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
-            T.StructField("cos_sim", T.DoubleType()),
-        ]
-    )
-
-    def tile_topk(batches):
-        for pdf in batches:
-            out_i, out_j, out_c = [], [], []
-            for xr, yr in zip(pdf["xr"], pdf["yr"]):
-                if len(xr) == 0 or len(yr) == 0:
-                    continue
-                xid = np.array([r["vec_id"] for r in xr], dtype=np.int64)
-                X = np.array([r["v"] for r in xr], dtype=np.float64)
-                yid = np.array([r["vec_id"] for r in yr], dtype=np.int64)
-                Y = np.array([r["v"] for r in yr], dtype=np.float64)
-                xn = np.linalg.norm(X, axis=1)
-                yn = np.linalg.norm(Y, axis=1)
-                denom = np.outer(
-                    np.where(xn > 0, xn, 1.0), np.where(yn > 0, yn, 1.0)
-                )
-                S = np.round((X @ Y.T) / denom, 6)
-                # undefined cosines (zero norm) and self-pairs sort last
-                bad = ~np.outer(xn > 0, yn > 0) | np.equal.outer(xid, yid)
-                S[bad] = -np.inf
-                k = min(KNN_K, S.shape[1])
-                # per-row local top-k under the GLOBAL ordering
-                # (-cos6, neighbor_id): lexsort keys are applied last-first
-                order = np.lexsort((np.broadcast_to(yid, S.shape), -S), axis=1)[
-                    :, :k
-                ]
-                for r in range(S.shape[0]):
-                    for c in order[r]:
-                        if S[r, c] == -np.inf:
-                            continue
-                        out_i.append(xid[r])
-                        out_j.append(yid[c])
-                        out_c.append(S[r, c])
-            yield pd.DataFrame(
-                {"vec_id": out_i, "neighbor_id": out_j, "cos_sim": out_c}
-            )
-
+    e = _vectors(spark, sf_dir).select("vec_id", "v")
     blocks = e.groupBy(
         (F.pmod(F.xxhash64("vec_id"), _GEMM_BLOCKS)).alias("blk")
     ).agg(F.collect_list(F.struct("vec_id", "v")).alias("rows"))
     blocks = blocks.localCheckpoint()  # two consumers (both tile sides)
-    from .dedup import _drop_prev_ckpt
-
     _drop_prev_ckpt(_KNN_BLOCK_CKPTS, blocks)
     tiles = (
         blocks.alias("x")
@@ -1048,12 +1061,91 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.rows").alias("xr"), F.col("y.rows").alias("yr"))
         .repartition(_GEMM_BLOCKS * _GEMM_BLOCKS)
     )
-    cands = tiles.mapInPandas(tile_topk, schema=out_schema)
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
+    return _global_topk(tiles.mapInPandas(_knn_tile_topk, _knn_out_schema()))
+
+
+# IVF-celled approximate k-NN graph: probe width (nearest cells by
+# centroid cosine, self included). On this ISOTROPIC synthetic corpus the
+# coarse quantizer carries little signal, so edge recall ≈ the probed
+# corpus fraction (~nprobe/10 cells); on genuinely clustered embeddings
+# the same plan reaches high recall at nprobe 2-3 — the knob, as with
+# similarity_topk_ivf.
+KNN_IVF_NPROBE = 7
+
+_KNN_IVF_CKPTS: list = []
+
+
+def knn_graph_ivf_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH of ``knn_graph``: blocks are coarse-quantizer CELLS
+    (label centroids — same quantizer as similarity_topk_ivf) and each
+    cell's rows are GEMM-tiled only against its ``KNN_IVF_NPROBE``
+    nearest cells by centroid cosine, self included. Tile count drops
+    from B² to cells×nprobe and — the real point at 1 B+ vectors — each
+    tile pair can be co-located by partitioning the corpus on cell_id, so
+    the candidate stream is corpus·nprobe·k rows with NO all-block
+    replication. Cell adjacency is driver-side numpy over the collected
+    centroids (cap-bounded: n_cells rows — the KMEANS_DRIVER_CAP
+    doctrine)."""
+    import numpy as np
+
+    from .dedup import _drop_prev_ckpt
+
+    vecs = _vectors(spark, sf_dir)
+    cents = label_centroids(vecs)
+    assigned = _assign_cells(vecs.select("vec_id", "label", "v"), cents)
+    crows = cents.collect()  # n_cells rows, bounded by construction
+    cid = np.array([r.cell_id for r in crows], dtype=np.int64)
+    C = np.array([r.centroid for r in crows], dtype=np.float64)
+    n = np.linalg.norm(C, axis=1)
+    S = (C @ C.T) / np.outer(np.where(n > 0, n, 1.0), np.where(n > 0, n, 1.0))
+    probe = min(KNN_IVF_NPROBE, len(cid))
+    adj = []
+    for i in range(len(cid)):
+        order = np.lexsort((cid, -S[i]))[:probe]
+        adj.extend((int(cid[i]), int(cid[j])) for j in order)
+    adj_df = spark.createDataFrame(adj, "cell_id LONG, probe_cell LONG")
+    blocks = assigned.groupBy("cell_id").agg(
+        F.collect_list(F.struct("vec_id", "v")).alias("rows")
     )
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_K)
-        .select("vec_id", "neighbor_id", F.col("rank").cast("long"), "cos_sim")
+    blocks = blocks.localCheckpoint()  # two consumers (both tile sides)
+    _drop_prev_ckpt(_KNN_IVF_CKPTS, blocks)
+    tiles = (
+        F.broadcast(adj_df)
+        .join(blocks.alias("x"), "cell_id")
+        .join(
+            blocks.alias("y").withColumnRenamed("cell_id", "probe_cell"),
+            "probe_cell",
+        )
+        .select(F.col("x.rows").alias("xr"), F.col("y.rows").alias("yr"))
+        .repartition(len(adj) or 1)
+    )
+    return _global_topk(tiles.mapInPandas(_knn_tile_topk, _knn_out_schema()))
+
+
+@query(
+    "knn_graph_ivf",
+    oracle=(
+        "SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok "
+        f"FROM ({_KNN_EXACT_ORACLE})"
+    ),
+)
+def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked recall verdict for the IVF-celled k-NN graph (the
+    similarity_topk_ivf contract): DuckDB pins the exact edge cardinality
+    and asserts TRUE for the bound; the Spark side emits the actually
+    evaluated bound over (exact knn_graph edges ∩ IVF edges), so a broken
+    cell/probe path flips the hash match."""
+    exact = knn_graph(spark, sf_dir).select("vec_id", "neighbor_id")
+    approx = knn_graph_ivf_listing(spark, sf_dir).select(
+        "vec_id", "neighbor_id"
+    )
+    hit = exact.join(approx, ["vec_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    tot = exact.agg(F.count("*").alias("n_exact"))
+    return tot.crossJoin(hit).select(
+        "n_exact",
+        (F.col("n_hit") >= ANN_RECALL_BOUND * F.col("n_exact")).alias(
+            "recall_ok"
+        ),
     )

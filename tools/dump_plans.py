@@ -107,8 +107,10 @@ HEADLINE = [
     "phrase_search",
     "dedup_containment",
     # r10: the all-pairs k-NN graph — tile-local top-k pushed inside the
-    # blocked GEMM (candidate stream corpus·B·k, never corpus²)
+    # blocked GEMM (candidate stream corpus·B·k, never corpus²) — and its
+    # IVF-celled scale path (registered key: knn_graph_ivf, a verdict)
     "knn_graph",
+    "knn_graph_ivf_listing",
 ]
 
 NOTES = {
@@ -128,6 +130,10 @@ NOTES = {
     "B×B blocked GEMM (one MapInPandas over the tile grid) — the "
     "exchanged candidate stream is corpus·B·k rows, never corpus²; one "
     "vec_id exchange + window finishes the global top-k",
+    "knn_graph_ivf_listing": "the graph's IVF scale path: cells×nprobe "
+    "tiles via a broadcast centroid-adjacency join (adjacency is "
+    "cap-bounded driver numpy over n_cells centroids); same tile kernel, "
+    "candidate stream corpus·nprobe·k; recall verdict: knn_graph_ivf",
     "dedup_semdedup": "SemDeDup: broadcast centroid assignment, ONE "
     "cell_id-keyed self-join (Σ|cell|² cosines, never corpus²), dominated "
     "set distinct, left-anti back onto the corpus — no iteration",
