@@ -260,7 +260,17 @@ def _greedy_batch(
         if best is None:
             break
         v = best["v"]
-        if not complete and v <= floor:
+        # The floor check is EXEMPT for the first acceptance (ADVICE r10,
+        # high): at iteration 0 every candidate is a state-0 table row, so
+        # ``best`` IS top[0] — and top[0] is the exact global (count, lex)
+        # argmax even when the table is incomplete, because the table is
+        # globally ordered (pc desc, content-lex asc) BEFORE the LIMIT:
+        # any sub-table pair tying at the floor has lex ≥ every top row's
+        # lex. Without the exemption, an incomplete table whose whole
+        # front ties at one count returned an EMPTY batch, which
+        # train_bpe read as "fully merged" and silently truncated
+        # training below the budget.
+        if accepted and not complete and v <= floor:
             break  # a sub-table pair could tie or win — unknowable lex
         if any(v <= d for d in dangers):
             break  # an untracked merge-created pair could reach this count

@@ -2037,17 +2037,38 @@ CONTAIN_T = 0.8  # containment(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
 _CONTAIN_CKPTS: list = []
 
 
+# Hygiene policy for operators whose RETURNED plan references a
+# localCheckpoint (dedup_containment, decontaminate_bloom, knn_graph,
+# knn_graph_ivf): "drop" (default) frees the previous invocation's blocks
+# when the operator is invoked again; "keep" retains every invocation's
+# checkpoint for callers that compose multiple results into one plan.
+CKPT_HYGIENE = "drop"
+
+
 def _drop_prev_ckpt(slot: list, new_ckpt) -> None:
     """Bounded checkpoint hygiene for operators whose RETURNED plan
     references a localCheckpoint (so drop-on-exit — the train_bpe
     doctrine — cannot apply): drop the PREVIOUS invocation's (by then
     consumed) checkpoint from ``slot`` and track the new one, bounding
     live orphan blocks at one table per operator no matter how many
-    times bench N_RUNS / a test session invoke the key."""
+    times bench N_RUNS / a test session invoke the key.
+
+    AT-MOST-ONE-LIVE-RESULT CONTRACT (ADVICE r10): because local
+    checkpoints TRUNCATE lineage, dropping the previous checkpoint
+    invalidates the previously RETURNED DataFrame — a caller that holds
+    result #1, re-invokes the operator, and only then collects result #1
+    (or unions both results into one plan) would hit a runtime
+    'checkpoint block not found'. Each affected operator states this in
+    its public docstring. Composed-plan callers set
+    ``dedup.CKPT_HYGIENE = "keep"`` around their invocations to retain
+    every checkpoint (trading bounded storage growth for composability);
+    bench / driver / test usage is strictly invoke-then-consume, where
+    "drop" is both safe and required for storage hygiene."""
     from .bpetrain import _drop_ckpt
 
-    while slot:
-        _drop_ckpt(slot.pop())
+    if CKPT_HYGIENE != "keep":
+        while slot:
+            _drop_ckpt(slot.pop())
     slot.append(new_ckpt)
 
 
@@ -2111,6 +2132,12 @@ def dedup_containment(
     BY CONSTRUCTION: a verbatim-embedded doc's shingles appear in
     exactly the two docs of its pair, df=2 ≤ cap, so every such pair is
     always a candidate regardless of cap setting.
+
+    At-most-one-live-result: re-invoking this operator frees the previous
+    invocation's checkpoint, invalidating the previously returned
+    DataFrame — consume each result before the next call, or set
+    ``dedup.CKPT_HYGIENE = "keep"`` to compose invocations in one plan
+    (see ``_drop_prev_ckpt``).
 
     ``docs`` overrides the table load for fixture-shaped tests."""
     docs = (

@@ -1186,7 +1186,13 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     5% eval slice): the eval branch shingles ONLY the %MOD==0 docs
     (pushdown-filtered scan), and the train stream is shingled ONCE —
     both verdict arms (bloom expression + exact broadcast left-join mark)
-    ride the same exploded stream into a single per-doc aggregate."""
+    ride the same exploded stream into a single per-doc aggregate.
+
+    At-most-one-live-result: re-invoking this operator frees the previous
+    invocation's eval-shingle checkpoint, invalidating the previously
+    returned DataFrame — consume each result before the next call, or set
+    ``dedup.CKPT_HYGIENE = "keep"`` to compose invocations in one plan
+    (see ``dedup._drop_prev_ckpt``)."""
     from .dedup import _fan_out_small_input, _shingles
 
     docs = _fan_out_small_input(load_table(spark, sf_dir, "documents"))

@@ -1046,7 +1046,13 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors (the oracle's list_cosine_similarity likewise NULLs out).
     At 1 B+ vectors the block relation becomes a coarse quantizer's cells
     and tiles pair only adjacent cells — that scale path is measured by
-    ``knn_graph_ivf`` below."""
+    ``knn_graph_ivf`` below.
+
+    At-most-one-live-result: re-invoking this operator frees the previous
+    invocation's block checkpoint, invalidating the previously returned
+    DataFrame — consume each result before the next call, or set
+    ``dedup.CKPT_HYGIENE = "keep"`` to compose invocations in one plan
+    (see ``dedup._drop_prev_ckpt``)."""
     from .dedup import _GEMM_BLOCKS, _drop_prev_ckpt
 
     e = _vectors(spark, sf_dir).select("vec_id", "v")
@@ -1085,7 +1091,13 @@ def knn_graph_ivf_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate stream is corpus·nprobe·k rows with NO all-block
     replication. Cell adjacency is driver-side numpy over the collected
     centroids (cap-bounded: n_cells rows — the KMEANS_DRIVER_CAP
-    doctrine)."""
+    doctrine).
+
+    At-most-one-live-result: re-invoking this operator frees the previous
+    invocation's cell checkpoint, invalidating the previously returned
+    DataFrame — consume each result before the next call, or set
+    ``dedup.CKPT_HYGIENE = "keep"`` to compose invocations in one plan
+    (see ``dedup._drop_prev_ckpt``)."""
     import numpy as np
 
     from .dedup import _drop_prev_ckpt

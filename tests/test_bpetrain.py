@@ -300,6 +300,33 @@ def test_greedy_batch_unit_shapes():
 
 
 
+def test_greedy_batch_tied_front_incomplete_makes_progress():
+    """Regression (ADVICE r10, high): an INCOMPLETE table whose whole
+    front ties at one count must still accept top[0] — it is the exact
+    global (count, lex) argmax because the table is globally ordered
+    before the LIMIT, so any sub-table tie has lex ≥ every top row.
+    Previously the floor check ran before the first acceptance and
+    returned [], which train_bpe read as 'fully merged' and silently
+    ended training below the merge budget."""
+    rows = [
+        {"a": "a", "b": "b", "pc": 5},
+        {"a": "c", "b": "d", "pc": 5},
+    ]
+    got = _gb(rows, budget=6, complete=False)
+    # exactly ONE merge: top[0] is exact, but the second floor-tied
+    # candidate could still lose to an uncollected sub-table pair's lex
+    assert got == [("a", "b", 5)]
+
+    # the guard must still hold AFTER the first acceptance: a later
+    # candidate AT the floor stays unsafe
+    rows = [
+        {"a": "a", "b": "b", "pc": 9},
+        {"a": "c", "b": "d", "pc": 5},
+        {"a": "e", "b": "f", "pc": 5},
+    ]
+    assert _gb(rows, budget=6, complete=False) == [("a", "b", 9)]
+
+
 def test_exhausts_gracefully(spark):
     """Fewer possible merges than requested: stop when fully merged."""
     wc = {"ab": 5}

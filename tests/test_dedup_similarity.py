@@ -894,6 +894,42 @@ def test_containment_embedded_needle_recall_is_one(spark, sf_correct):
     assert all(by_pair[p] == 1.0 for p in expected)
 
 
+def test_ckpt_hygiene_keep_composes_two_invocations(spark):
+    """ADVICE r10 (checkpoint contract): by default re-invoking a
+    checkpoint-returning operator invalidates the previous result
+    (at-most-one-live-result — documented in the operator docstrings);
+    ``dedup.CKPT_HYGIENE = "keep"`` is the composed-plan escape hatch.
+    Prove the keep path: two invocations unioned into ONE plan and
+    collected AFTER both ran — exactly the access pattern that would die
+    with 'checkpoint block not found' if the first invocation's blocks
+    had been dropped."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators import dedup
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.bpetrain import (
+        _drop_ckpt,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "iota kappa lambda mu nu xi"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    old = dedup.CKPT_HYGIENE
+    dedup.CKPT_HYGIENE = "keep"
+    try:
+        r1 = dedup.dedup_containment(spark, "unused", docs=docs)
+        r2 = dedup.dedup_containment(spark, "unused", docs=docs)
+        per = r2.count()
+        assert per >= 1  # doc 1 is contained in doc 2
+        # both results live in one composed plan
+        assert r1.unionAll(r2).count() == 2 * per
+        assert len(dedup._CONTAIN_CKPTS) == 2  # keep retained both
+    finally:
+        dedup.CKPT_HYGIENE = old
+        while dedup._CONTAIN_CKPTS:
+            _drop_ckpt(dedup._CONTAIN_CKPTS.pop())
+
+
 def test_containment_df_cap_filter_below_self_join(spark, sf_correct):
     """Plan pin (VERDICT r09 item 5): the df-cap filter must sit BELOW
     the shingle-keyed candidate self-join — the structure that bounds
