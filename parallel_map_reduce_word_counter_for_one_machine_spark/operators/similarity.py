@@ -84,13 +84,18 @@ _TOPK_ORACLE = (
 
 
 @query("similarity_topk", oracle=_TOPK_ORACLE)
-def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int | None = None
+) -> DataFrame:
     """Exact cosine top-k per query vector. Plan shape: broadcast the tiny
     query set against the corpus scan (one linear pass), then one window
     exchange keyed by query_id for the per-query top-k — the distributed
-    form of 'scan once, keep a k-heap per query'."""
+    form of 'scan once, keep a k-heap per query'. ``n_queries`` overrides
+    N_QUERIES (the clustered-fixture recall measurement widens the query
+    sample so a 0.9 recall bound isn't judged on 50 edges)."""
     vecs = _vectors(spark, sf_dir)
-    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+    nq = n_queries if n_queries is not None else N_QUERIES
+    queries = vecs.filter(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     cands = vecs.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
@@ -373,17 +378,25 @@ def ivf_kmeans_topk_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_topk_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk_listing(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int | None = None,
+    n_queries: int | None = None,
+) -> DataFrame:
     """IVF-style ANN top-k: (1) build/broadcast centroids, (2) per query
     pick the nprobe nearest cells, (3) join candidates ONLY from those
     cells (cell assignment = vector's label ≙ nearest-centroid assignment),
     (4) exact cosine + per-query top-k among probed candidates.
     Unregistered listing form; the driver-checked face is the
-    ``similarity_topk_ivf`` recall verdict."""
+    ``similarity_topk_ivf`` recall verdict. ``nprobe`` overrides N_PROBE
+    (the clustered-fixture recall measurements probe 2-3 cells)."""
     vecs = _vectors(spark, sf_dir)
     cents = label_centroids(vecs)
+    n_probe = nprobe if nprobe is not None else N_PROBE
+    nq = n_queries if n_queries is not None else N_QUERIES
 
-    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+    queries = vecs.filter(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     qc = (
@@ -398,7 +411,7 @@ def ivf_topk_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell_id"))
     probes = qc.withColumn("cell_rk", F.row_number().over(wq)).filter(
-        F.col("cell_rk") <= N_PROBE
+        F.col("cell_rk") <= n_probe
     ).select("query_id", "qv", "cell_id")
 
     cands = vecs.select(
@@ -1081,7 +1094,9 @@ KNN_IVF_NPROBE = 7
 _KNN_IVF_CKPTS: list = []
 
 
-def knn_graph_ivf_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_graph_ivf_listing(
+    spark: SparkSession, sf_dir: str, nprobe: int | None = None
+) -> DataFrame:
     """The SCALE PATH of ``knn_graph``: blocks are coarse-quantizer CELLS
     (label centroids — same quantizer as similarity_topk_ivf) and each
     cell's rows are GEMM-tiled only against its ``KNN_IVF_NPROBE``
@@ -1110,7 +1125,7 @@ def knn_graph_ivf_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     C = np.array([r.centroid for r in crows], dtype=np.float64)
     n = np.linalg.norm(C, axis=1)
     S = (C @ C.T) / np.outer(np.where(n > 0, n, 1.0), np.where(n > 0, n, 1.0))
-    probe = min(KNN_IVF_NPROBE, len(cid))
+    probe = min(nprobe if nprobe is not None else KNN_IVF_NPROBE, len(cid))
     adj = []
     for i in range(len(cid)):
         order = np.lexsort((cid, -S[i]))[:probe]

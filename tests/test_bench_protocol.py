@@ -56,6 +56,48 @@ def test_bench_summary_fits_driver_tail_capture():
     )
 
 
+def _mk_pass(times, canary_min, contended=False, suspects=()):
+    return {
+        "times": times,
+        "canary_min": canary_min,
+        "contended": contended,
+        "suspect_queries": list(suspects),
+    }
+
+
+def test_summarize_passes_one_provenance_rule():
+    """VERDICT r10 item 3 + ADVICE r10 (bench provenance): degraded or
+    contended passes are excluded from the comparison min; box
+    normalization is per-pass-then-min; the suspect flag comes from each
+    query's min-providing pass; fallback to all passes (flagged) only
+    when no pass is clean."""
+    import bench
+
+    ref = bench.CANARY_REF_FLOOR
+    degraded = _mk_pass({"a": 1.0, "b": 9.0}, round(2.0 * ref, 4))
+    clean1 = _mk_pass({"a": 2.0, "b": 3.0}, round(1.05 * ref, 4), suspects=["b"])
+    clean2 = _mk_pass({"a": 2.2, "b": 2.8}, round(1.01 * ref, 4))
+    s = bench.summarize_passes([degraded, clean1, clean2])
+    # the degraded pass's faster-looking times must NOT leak into the min
+    assert s["times_min"] == {"a": 2.0, "b": 2.8}
+    assert s["degraded"] == [0] and s["clean"] == [1, 2]
+    assert s["min_over"] == "clean_passes" and s["contended"] is False
+    # b's min came from clean2, which did not flag b — not suspect
+    assert s["suspect"] == []
+    # per-pass normalization: each time divided by ITS pass's box factor
+    expected_a = min(
+        2.0 / bench._pass_box(clean1), 2.2 / bench._pass_box(clean2)
+    )
+    assert s["box_normalized"]["a"] == round(expected_a, 3)
+
+    # no clean pass: fall back to all passes, loudly
+    s2 = bench.summarize_passes(
+        [degraded, _mk_pass({"a": 0.5, "b": 1.0}, ref, contended=True)]
+    )
+    assert s2["min_over"] == "all_passes" and s2["contended"] is True
+    assert s2["times_min"] == {"a": 0.5, "b": 1.0}
+
+
 def test_bench_queries_all_resolvable():
     """Every bench key must resolve through _bench_fn — either a registry
     key or one of the deliberate production-listing overrides (whose

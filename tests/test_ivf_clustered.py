@@ -1,0 +1,88 @@
+"""IVF pruning evidence on a CLUSTERED corpus (VERDICT r10 item 1).
+
+The driver testdata embeddings are isotropic, so on them IVF recall
+≈ probed fraction — structurally unable to demonstrate that the coarse
+quantizer prunes. These tests run the SAME operators, unmodified, over
+the deterministic mixture-of-clusters fixture
+(sources/fixtures.write_clustered_embeddings) and pin the scale-path
+claim: recall ≥ 0.9 at nprobe ≤ 3 of 10 cells, i.e. high recall while
+probing ≤ 30% of the corpus. The margin assertions (recall far above the
+probed fraction) are what the isotropic corpus can never show — there,
+recall ≈ nprobe/k by construction.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parallel_map_reduce_word_counter_for_one_machine_spark.operators.similarity import (
+    KNN_K,
+    TOP_K,
+    ivf_topk_listing,
+    knn_graph,
+    knn_graph_ivf_listing,
+    similarity_topk,
+)
+from parallel_map_reduce_word_counter_for_one_machine_spark.sources.fixtures import (
+    CLUSTERED_K,
+    CLUSTERED_N,
+    write_clustered_embeddings,
+)
+
+
+@pytest.fixture(scope="module")
+def clustered_dir(tmp_path_factory):
+    return write_clustered_embeddings(
+        str(tmp_path_factory.mktemp("clustered"))
+    )
+
+
+def _edge_set(df, a="vec_id", b="neighbor_id"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_knn_graph_ivf_recall_on_clustered_corpus(spark, clustered_dir):
+    """The headline scale artifact: the IVF k-NN graph recovers ≥90% of
+    the exact graph's edges while tiling only 3 of 10 cells per cell —
+    and the recall is far above the probed fraction, so the pruning is
+    the quantizer's signal, not coverage."""
+    exact = _edge_set(knn_graph(spark, clustered_dir))
+    assert len(exact) == CLUSTERED_N * KNN_K  # no zero-norm dropouts
+    recalls = {}
+    for nprobe in (1, 2, 3):
+        approx = _edge_set(
+            knn_graph_ivf_listing(spark, clustered_dir, nprobe=nprobe)
+        )
+        recalls[nprobe] = len(exact & approx) / len(exact)
+    # non-decreasing in probe width, and ≥0.9 from nprobe=2 on
+    assert recalls[1] <= recalls[2] <= recalls[3]
+    assert recalls[2] >= 0.85, recalls
+    assert recalls[3] >= 0.9, recalls
+    # the non-vacuousness margin: probing 30% of cells recovers >90% of
+    # edges — an isotropic corpus would sit near 0.3 here
+    assert recalls[3] - 3 / CLUSTERED_K >= 0.5, recalls
+
+
+def test_similarity_topk_ivf_recall_on_clustered_corpus(spark, clustered_dir):
+    """Query-path twin (similarity_topk_ivf's listing): per-query probing
+    of the 2-3 nearest cells recovers ≥90% of the exact top-k. The query
+    sample is widened to 200 (vs the driver corpus's 5) so the 0.9 bound
+    is judged on 2000 edges, not 50 — vec_id < 200 covers all 10 cells
+    evenly (labels are round-robin)."""
+    NQ = 200
+    exact = _edge_set(
+        similarity_topk(spark, clustered_dir, n_queries=NQ),
+        "query_id",
+        "cand_id",
+    )
+    assert len(exact) == NQ * TOP_K
+    recalls = {}
+    for nprobe in (2, 3):
+        approx = _edge_set(
+            ivf_topk_listing(spark, clustered_dir, nprobe=nprobe, n_queries=NQ),
+            "query_id",
+            "cand_id",
+        )
+        recalls[nprobe] = len(exact & approx) / len(exact)
+    assert recalls[2] >= 0.9, recalls
+    assert recalls[3] >= 0.9, recalls

@@ -71,6 +71,12 @@ PINNED = [
     # counters here.
     "decontaminate_bloom",
     "dedup_containment",
+    # VERDICT r10 item 7: the k-NN tile plans — counter pins here, plus
+    # the dedicated structural assertions in test_knn_tile_plan_structure
+    # below (the generic counters alone cannot distinguish tile-grid BNLJ
+    # from a raw corpus² theta-join).
+    "knn_graph",
+    "knn_graph_ivf_listing",
 ]
 
 # Node classes whose count IS the scale property. "Exchange hash/range/
@@ -114,6 +120,42 @@ def test_headline_plan_shape_matches_committed(spark, name):
         f"regenerate with `python tools/dump_plans.py` and re-justify the "
         f"note; if not, an exchange/join strategy regressed.\n{live}"
     )
+
+
+def test_knn_tile_plan_structure(spark):
+    """VERDICT r10 item 7 — pin the knn tile shapes structurally (the
+    counter pins can't see tile-vs-raw granularity: a raw corpus²
+    theta-join + window compiles to the same counter vector as the tile
+    grid). knn_graph: the B×B grid is a BroadcastNestedLoopJoin over the
+    two BLOCK-AGGREGATE relations (Scan ExistingRDD[blk...] twice), and
+    the only hash exchange sits ABOVE the _knn_tile_topk kernel — the
+    exchanged stream is tile-local top-k rows, never raw pairs.
+    knn_graph_ivf_listing: the cell adjacency joins as a BROADCAST hash
+    join and no BroadcastNestedLoopJoin exists — all-block replication
+    reappearing fails here."""
+    exact = plan_string(
+        resolve_headline("knn_graph")(spark, PLANS_SF), mode="simple"
+    )
+    assert exact.count("Scan ExistingRDD[blk") == 2, exact
+    assert "BroadcastNestedLoopJoin" in exact
+    assert "SortMergeJoin" not in exact
+    ex_pos = exact.find("Exchange hashpartitioning")
+    kernel_pos = exact.find("MapInPandas _knn_tile_topk")
+    assert 0 < ex_pos < kernel_pos, (
+        "tile kernel must sit below the vec_id exchange\n" + exact
+    )
+    # one data shuffle total: the vec_id exchange for the global top-k
+    assert exact.count("Exchange hashpartitioning") == 1, exact
+
+    ivf = plan_string(
+        resolve_headline("knn_graph_ivf_listing")(spark, PLANS_SF),
+        mode="simple",
+    )
+    assert "BroadcastHashJoin" in ivf, ivf
+    assert "BroadcastNestedLoopJoin" not in ivf, (
+        "IVF path must never replicate all blocks\n" + ivf
+    )
+    assert "MapInPandas _knn_tile_topk" in ivf
 
 
 def test_drift_gate_would_catch_an_added_exchange():

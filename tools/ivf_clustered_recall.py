@@ -1,0 +1,117 @@
+"""Record the IVF pruning evidence on the clustered fixture (VERDICT r10
+item 1): measure knn_graph_ivf and ivf_topk (similarity_topk_ivf's
+listing) recall vs their exact twins at nprobe 1-3 over the
+mixture-of-clusters corpus, and write SCALE_ivf_clustered.json.
+
+The isotropic driver corpus structurally cannot demonstrate pruning
+(recall ≈ probed fraction there); this artifact is the "few probes, high
+recall" measurement the 100 TB ANN story rests on.
+
+Usage: python tools/ivf_clustered_recall.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parallel_map_reduce_word_counter_for_one_machine_spark.session import get_spark
+
+
+def main() -> int:
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.similarity import (
+        KNN_K,
+        ivf_topk_listing,
+        knn_graph,
+        knn_graph_ivf_listing,
+        similarity_topk,
+    )
+    from parallel_map_reduce_word_counter_for_one_machine_spark.sources.fixtures import (
+        CLUSTERED_K,
+        CLUSTERED_N,
+        CLUSTERED_SPREAD,
+        write_clustered_embeddings,
+    )
+
+    spark = get_spark(app_name="ivf-clustered-recall", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    with tempfile.TemporaryDirectory() as td:
+        fixture = write_clustered_embeddings(td)
+        t0 = time.monotonic()
+        exact_graph = {
+            (r.vec_id, r.neighbor_id)
+            for r in knn_graph(spark, fixture).collect()
+        }
+        exact_sec = round(time.monotonic() - t0, 3)
+        graph_recall = {}
+        graph_sec = {}
+        for nprobe in (1, 2, 3):
+            t0 = time.monotonic()
+            approx = {
+                (r.vec_id, r.neighbor_id)
+                for r in knn_graph_ivf_listing(
+                    spark, fixture, nprobe=nprobe
+                ).collect()
+            }
+            graph_sec[nprobe] = round(time.monotonic() - t0, 3)
+            graph_recall[nprobe] = round(
+                len(exact_graph & approx) / len(exact_graph), 4
+            )
+        # widened query sample (200 of 2000, covering all cells evenly)
+        # so the bound is judged on 2000 edges, not the driver default's 50
+        NQ = 200
+        exact_topk = {
+            (r.query_id, r.cand_id)
+            for r in similarity_topk(spark, fixture, n_queries=NQ).collect()
+        }
+        topk_recall = {}
+        for nprobe in (1, 2, 3):
+            approx = {
+                (r.query_id, r.cand_id)
+                for r in ivf_topk_listing(
+                    spark, fixture, nprobe=nprobe, n_queries=NQ
+                ).collect()
+            }
+            topk_recall[nprobe] = round(
+                len(exact_topk & approx) / len(exact_topk), 4
+            )
+    record = {
+        "fixture": {
+            "n": CLUSTERED_N,
+            "cells": CLUSTERED_K,
+            "spread": CLUSTERED_SPREAD,
+            "generator": "sources/fixtures.write_clustered_embeddings",
+        },
+        "knn_graph_edges_exact": len(exact_graph),
+        "knn_k": KNN_K,
+        "knn_graph_ivf_recall_by_nprobe": graph_recall,
+        "knn_graph_ivf_sec_by_nprobe": graph_sec,
+        "knn_graph_exact_sec": exact_sec,
+        "similarity_topk_ivf_recall_by_nprobe": topk_recall,
+        "similarity_topk_n_queries": NQ,
+        "probed_fraction_by_nprobe": {
+            p: round(p / CLUSTERED_K, 2) for p in (1, 2, 3)
+        },
+        "claim": (
+            "recall >= 0.9 at nprobe <= 3 (30% of cells) on clustered "
+            "data; on the isotropic driver corpus recall ~= probed "
+            "fraction, which is why this fixture exists"
+        ),
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(root, "SCALE_ivf_clustered.json")
+    with open(out, "w") as fh:
+        json.dump(record, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(record))
+    ok = graph_recall[3] >= 0.9 and topk_recall[3] >= 0.9
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
