@@ -334,18 +334,26 @@ def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def ivf_kmeans_topk_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_kmeans_topk_listing(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int | None = None,
+    n_queries: int | None = None,
+) -> DataFrame:
     """IVF top-k with a TRAINED coarse quantizer (3 Lloyd iterations)
     instead of the label-derived cells — the full self-contained ANN path:
     train centroids → assign corpus to cells → probe nprobe nearest cells
     per query → exact cosine + per-query top-k among probed candidates.
     Unregistered listing form; the driver-checked face is the
-    ``similarity_topk_ivf_kmeans`` recall verdict."""
+    ``similarity_topk_ivf_kmeans`` recall verdict. ``nprobe``/``n_queries``
+    override the module constants (clustered-fixture recall runs)."""
     vecs = _vectors(spark, sf_dir)
     cents = kmeans_centroids(vecs)
     assigned = _assign_cells(vecs, cents)
+    n_probe = nprobe if nprobe is not None else N_PROBE
+    nq = n_queries if n_queries is not None else N_QUERIES
 
-    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+    queries = vecs.filter(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     qc = (
@@ -359,7 +367,7 @@ def ivf_kmeans_topk_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell_id"))
     probes = (
         qc.withColumn("cell_rk", F.row_number().over(wq))
-        .filter(F.col("cell_rk") <= N_PROBE)
+        .filter(F.col("cell_rk") <= n_probe)
         .select("query_id", "qv", "cell_id")
     )
     cands = assigned.select(
@@ -1084,11 +1092,14 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # IVF-celled approximate k-NN graph: probe width (nearest cells by
-# centroid cosine, self included). On this ISOTROPIC synthetic corpus the
+# centroid cosine, self included). On the ISOTROPIC driver corpus the
 # coarse quantizer carries little signal, so edge recall ≈ the probed
-# corpus fraction (~nprobe/10 cells); on genuinely clustered embeddings
-# the same plan reaches high recall at nprobe 2-3 — the knob, as with
-# similarity_topk_ivf.
+# corpus fraction (~nprobe/10 cells) — that key is a machinery check. On
+# clustered data the same plan's pruning is MEASURED, not assumed
+# (VERDICT r10 item 1): edge recall 0.932/0.951 at nprobe 2/3 of 10
+# cells on the mixture-of-clusters fixture (SCALE_ivf_clustered.json,
+# pinned in tests/test_ivf_clustered.py) — the "few probes, high recall"
+# regime real text embeddings operate in.
 KNN_IVF_NPROBE = 7
 
 _KNN_IVF_CKPTS: list = []

@@ -18,6 +18,7 @@ import pytest
 from parallel_map_reduce_word_counter_for_one_machine_spark.operators.similarity import (
     KNN_K,
     TOP_K,
+    ivf_kmeans_topk_listing,
     ivf_topk_listing,
     knn_graph,
     knn_graph_ivf_listing,
@@ -86,3 +87,25 @@ def test_similarity_topk_ivf_recall_on_clustered_corpus(spark, clustered_dir):
         recalls[nprobe] = len(exact & approx) / len(exact)
     assert recalls[2] >= 0.9, recalls
     assert recalls[3] >= 0.9, recalls
+
+
+def test_ivf_kmeans_recall_on_clustered_corpus(spark, clustered_dir):
+    """The fully self-contained path — TRAINED coarse quantizer (Lloyd,
+    deterministic init), no label crutch: the learned cells must support
+    the same few-probe recall. This is the closest analogue to a real
+    deployment, where cells always come from training."""
+    NQ = 200
+    exact = _edge_set(
+        similarity_topk(spark, clustered_dir, n_queries=NQ),
+        "query_id",
+        "cand_id",
+    )
+    approx = _edge_set(
+        ivf_kmeans_topk_listing(
+            spark, clustered_dir, nprobe=3, n_queries=NQ
+        ),
+        "query_id",
+        "cand_id",
+    )
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall

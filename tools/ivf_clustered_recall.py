@@ -26,6 +26,7 @@ from parallel_map_reduce_word_counter_for_one_machine_spark.session import get_s
 def main() -> int:
     from parallel_map_reduce_word_counter_for_one_machine_spark.operators.similarity import (
         KNN_K,
+        ivf_kmeans_topk_listing,
         ivf_topk_listing,
         knn_graph,
         knn_graph_ivf_listing,
@@ -80,6 +81,18 @@ def main() -> int:
             topk_recall[nprobe] = round(
                 len(exact_topk & approx) / len(exact_topk), 4
             )
+        # the self-contained path: TRAINED quantizer (Lloyd), no labels
+        kmeans_recall = {}
+        for nprobe in (2, 3):
+            approx = {
+                (r.query_id, r.cand_id)
+                for r in ivf_kmeans_topk_listing(
+                    spark, fixture, nprobe=nprobe, n_queries=NQ
+                ).collect()
+            }
+            kmeans_recall[nprobe] = round(
+                len(exact_topk & approx) / len(exact_topk), 4
+            )
     record = {
         "fixture": {
             "n": CLUSTERED_N,
@@ -93,6 +106,7 @@ def main() -> int:
         "knn_graph_ivf_sec_by_nprobe": graph_sec,
         "knn_graph_exact_sec": exact_sec,
         "similarity_topk_ivf_recall_by_nprobe": topk_recall,
+        "similarity_topk_ivf_kmeans_recall_by_nprobe": kmeans_recall,
         "similarity_topk_n_queries": NQ,
         "probed_fraction_by_nprobe": {
             p: round(p / CLUSTERED_K, 2) for p in (1, 2, 3)
