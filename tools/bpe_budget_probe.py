@@ -8,7 +8,10 @@ batch_sizes / wall, splicing a `tokenizer_bpe_train64_x10` info block
 into BULK_r10.json. Structure (passes ≪ merges) is the claim; wall time
 is informational (n=2, min).
 
-Run: python tools/bpe_budget_probe.py
+Run: python tools/bpe_budget_probe.py [BULK_file]
+(argv[1] defaults to BULK_r10.json; naming a non-existent file starts a
+fresh {"families": {...}} payload — used for the r11 post-fix
+re-validation after the ADVICE r10 empty-batch repair.)
 """
 
 from __future__ import annotations
@@ -38,8 +41,12 @@ def main() -> int:
         load_table,
     )
 
-    path = os.path.join(REPO, "BULK_r10.json")
-    payload = json.load(open(path))
+    path = os.path.join(REPO, sys.argv[1] if len(sys.argv) > 1 else "BULK_r10.json")
+    payload = (
+        json.load(open(path))
+        if os.path.exists(path)
+        else {"families": {}}
+    )
     shutil.rmtree(FIXROOT, ignore_errors=True)
     spark = _make_session(shuffle_partitions=64)
     fix = _build_bpe_fixture(spark, "bpe_probe_x10", 1000, codec="zstd", n_files=64)
