@@ -123,7 +123,11 @@ def main() -> int:
         json.dump(record, fh, indent=1)
         fh.write("\n")
     print(json.dumps(record))
-    ok = graph_recall[3] >= 0.9 and topk_recall[3] >= 0.9
+    ok = (
+        graph_recall[3] >= 0.9
+        and topk_recall[3] >= 0.9
+        and kmeans_recall[3] >= 0.9
+    )
     return 0 if ok else 1
 
 
