@@ -476,7 +476,10 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on the isotropic corpus is ~0.74 (≈ fraction probed + own-cell bias);
 # 0.5 sits ~6σ below the binomial mean over the 50 scored items, so the
 # verdict is stable across data regenerations while still failing loudly
-# if the probe machinery breaks (a broken probe scores ~0).
+# if the probe machinery breaks (a broken probe scores ~0). The REAL
+# pruning claim (high recall at few probes) is measured on the clustered
+# fixture instead, where the quantizer has signal: 0.936/0.965 at nprobe
+# 2/3 (SCALE_ivf_clustered.json, tests/test_ivf_clustered.py).
 ANN_RECALL_BOUND = 0.5
 
 # Exact-count + bound-check oracle shared by both IVF verdicts (the
