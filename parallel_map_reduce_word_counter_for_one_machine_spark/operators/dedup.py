@@ -2145,8 +2145,23 @@ def dedup_containment(
         if docs is None
         else docs
     )
-    # three consumers (shingle stream + both verify sides): materialize once
-    sh = docs.select("doc_id", _shingles().alias("shingles")).localCheckpoint()
+    # three consumers (shingle stream + both verify sides): materialize once.
+    # HASH DOMAIN end-to-end (optimization r11, guide §2.3 "narrower
+    # types"): each k-gram shingle string is xxhash64'd ONCE here, so the
+    # checkpoint stores 8-byte longs instead of ~25-byte strings and every
+    # downstream stage — the exploded df aggregate, the rare-key joins,
+    # and the verify array_intersect — moves and compares longs. Same
+    # collision contract as _jaccard_verify: |A∩B| on xxhash64'd DISTINCT
+    # shingles equals |A∩B| on the shingles themselves unless two distinct
+    # shingles collide in 64 bits (P ≈ |shingle vocab|²/2⁶⁵; a collision
+    # perturbs one df count or one containment by ~1/|sh(A)|). Interleaved
+    # A/B at sf0.1 (4 alternations, every adjacent pair agrees): string
+    # min 4.20 s → hash min 2.49 s warm, identical 512-row output; plan
+    # shape (exchange/join counters) unchanged — only the bytes narrowed.
+    sh = docs.select(
+        "doc_id",
+        F.transform(_shingles(), lambda g: F.xxhash64(g)).alias("shingles"),
+    ).localCheckpoint()
     # Checkpoint hygiene (ADVICE r09): the RETURNED plan references this
     # checkpoint, so it cannot be dropped on exit like train_bpe's — the
     # deliberate exception to the drop-on-exit doctrine; see
