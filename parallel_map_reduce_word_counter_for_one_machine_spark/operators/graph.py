@@ -109,11 +109,11 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contribution stream so the dst aggregate itself emits every node
     # (dangling/no-in-edge nodes included) — this FUSES the old "left join
     # against nodes for the teleport term" into the aggregate, leaving ONE
-    # exchange per iteration (the groupBy(dst) shuffle).
-    zeros = (
-        adj.select(F.col("src").alias("dst"), F.lit(0.0).alias("c"))
-        .localCheckpoint()
-    )
+    # exchange per iteration (the groupBy(dst) shuffle). No checkpoint:
+    # zeros is a pure map off the adj checkpoint, so each iteration's
+    # re-derive is one cheap projection — cheaper than the eager
+    # materialization barrier was (optimization r11, measured below).
+    zeros = adj.select(F.col("src").alias("dst"), F.lit(0.0).alias("c"))
     for i in range(PAGERANK_ITERS):
         contribs = (
             adj.join(ranks, adj["src"] == ranks["node"])
@@ -132,10 +132,16 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(teleport) + DAMPING * F.col("c")).alias("rank"),
             )
         )
-        # truncate lineage every few iterations: 8 chained joins would
-        # otherwise re-run from the scan each action
-        if i % 3 == 2:
-            ranks = ranks.localCheckpoint()
+        # NO mid-loop localCheckpoint (optimization r11, guide §1.2/§5):
+        # at ITERS=8 the whole loop is one shallow plan consumed by ONE
+        # action, and every iteration already ends at a shuffle boundary
+        # Spark can resume from — the r05-era barriers at i=2,5 eagerly
+        # materialized |V| rows twice for no consumer. Interleaved A/B at
+        # sf0.1 (3 alternations): 6.96 → 5.01 s warm, bit-identical
+        # rank_e6 output. The barrier RETURNS at iteration counts deep
+        # enough for lineage/planning growth to bite (≳ tens of rounds) —
+        # re-add `if i % k == k-1: ranks = ranks.localCheckpoint()` when
+        # raising PAGERANK_ITERS past that regime.
     return ranks.select(
         "node", F.round(F.col("rank") * 1e6).cast("long").alias("rank_e6")
     )
