@@ -638,9 +638,23 @@ def minhash_lsh_pairs(
     # the checkpoint each side re-scans the corpus and recomputes the
     # shingling (2 extra scans). Production equivalent: the shingle table
     # written once between signature and verify stages.
+    # HASH DOMAIN (optimization r11, guide §2.3): shingles are xxhash64'd
+    # once here, so the checkpoint stores 8-byte longs and the per-pair
+    # verify intersects longs instead of ~25-byte strings — the same
+    # contract as _jaccard_verify's hashed-token intersect (|A∩B| on
+    # hashed DISTINCT shingles equals |A∩B| on the shingles unless two
+    # distinct shingles collide in 64 bits, P ≈ |shingle vocab|²/2⁶⁵).
+    # Interleaved A/B at sf0.1: wall-neutral HERE (3.05 → 2.95 s — the
+    # J ≥ 0.5 candidate volume is only ~1k pairs, so verify is not this
+    # key's bottleneck, unlike dedup_containment's 0.5 M-candidate
+    # verify where the same move halved the key); kept for the ~5-10×
+    # narrower checkpointed shingle table — at 100 TB that table is a
+    # persisted artifact and its width is the stage's shuffle/storage
+    # footprint.
+    hsh = F.transform(_shingles(), lambda g: F.xxhash64(g))
     sh = (
         _fan_out_small_input(docs)
-        .select("doc_id", _shingles().alias("sh"), F.size(_shingles()).alias("n"))
+        .select("doc_id", hsh.alias("sh"), F.size(hsh).alias("n"))
         .localCheckpoint()
     )
     a = sh.alias("a")

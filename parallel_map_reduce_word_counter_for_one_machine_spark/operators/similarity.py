@@ -311,26 +311,51 @@ def kmeans_centroids(
     return cents
 
 
-def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast centroids, argmax by cosine
-    via ``max(struct(sim, -cell_id, v))`` — the SAME (sim DESC, cell_id
-    ASC) winner the old row_number window picked, but as a PARTIAL-
-    AGGREGABLE aggregate: map-side combine collapses each vec_id's k
-    candidate rows before the exchange, where the window shuffled and
-    sorted all corpus×k rows (v riding along) to rank them. v never
-    breaks a tie (cell_ids are distinct), it just rides in the winning
-    struct so no join-back is needed."""
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        F.struct(
-            cosine(F.col("v"), F.col("centroid")).alias("sim"),
-            (-F.col("cell_id")).alias("negc"),
-            F.col("v"),
-        ).alias("cand"),
+def _assign_cells(
+    vecs: DataFrame, cents: DataFrame, crows: list | None = None
+) -> DataFrame:
+    """Nearest-centroid assignment as a PURE MAP (optimization r11, guide
+    §2.4/§8 — assignment is a per-row decision against a small broadcast
+    relation, so no corpus-wide exchange belongs here): the centroid table
+    is collected to the driver (k rows of dim floats — bounded by
+    construction everywhere this is called, the KMEANS_DRIVER_CAP
+    doctrine) and the argmax becomes ``array_max`` over a k-element
+    literal struct array per row. The previous formulation crossJoined a
+    broadcast of cents and ran ``groupBy(vec_id).agg(max(struct(sim,
+    -cell_id, v)))`` — map-side combine already produced one winner per
+    vec_id per partition, so the hash exchange it fed (every corpus row,
+    with the dim-double ``v`` payload riding along) was a semantic no-op.
+    array_max uses the same struct total order as the max aggregate
+    (sim DESC first, then -cell_id → lowest cell on ties, NULL sims
+    ordered first so zero-norm vectors land in the lowest surviving cell
+    — equality-tested against the old path in tests/test_annindex.py::
+    test_assign_cells_pure_map_matches_aggregate), and the centroid
+    floats round-trip the driver exactly (collect → F.lit preserves
+    float64), so assignments are bit-identical. Interleaved A/B at sf0.1
+    (knn_graph_ivf_listing end-to-end, 4 alternations × 3 variants):
+    wall-NEUTRAL within this box's noise (mins 4.9 old / 4.3 pure-map,
+    but per-round ordering unstable) — the win is the structural one the
+    plan shows: the corpus-wide exchange is GONE, which is what matters
+    at 100 TB where that exchange carries every vector's payload.
+
+    ``crows`` lets a caller that already collected the centroid rows
+    (knn_graph_ivf_listing builds its probe adjacency from them) share
+    the collect instead of evaluating the centroid build twice."""
+    if crows is None:
+        crows = cents.collect()
+    cands = F.array(
+        *[
+            F.struct(
+                cosine(
+                    F.col("v"), F.lit([float(x) for x in r.centroid])
+                ).alias("sim"),
+                F.lit(-int(r.cell_id)).cast("long").alias("negc"),
+            )
+            for r in crows
+        ]
     )
-    best = scored.groupBy("vec_id").agg(F.max("cand").alias("b"))
-    return best.select(
-        "vec_id", F.col("b.v").alias("v"), (-F.col("b.negc")).alias("cell_id")
+    return vecs.select(
+        "vec_id", "v", (-F.array_max(cands)["negc"]).alias("cell_id")
     )
 
 
@@ -1133,8 +1158,11 @@ def knn_graph_ivf_listing(
 
     vecs = _vectors(spark, sf_dir)
     cents = label_centroids(vecs)
-    assigned = _assign_cells(vecs.select("vec_id", "label", "v"), cents)
     crows = cents.collect()  # n_cells rows, bounded by construction
+    # crows shared with the pure-map assignment (optimization r11): the
+    # centroid build used to be evaluated TWICE — once inside the
+    # assignment's broadcast build and once by this collect.
+    assigned = _assign_cells(vecs.select("vec_id", "label", "v"), cents, crows=crows)
     cid = np.array([r.cell_id for r in crows], dtype=np.int64)
     C = np.array([r.centroid for r in crows], dtype=np.float64)
     n = np.linalg.norm(C, axis=1)

@@ -580,3 +580,54 @@ def test_delete_verdict_matches_oracle(spark, sf_correct):
     assert row.survivors_intact_ok
     assert row.untouched_cells_ok
     assert row.n_deleted > 0
+
+
+def test_assign_cells_pure_map_matches_aggregate(spark):
+    """Equality pin for the r11 pure-map nearest-centroid assignment
+    (similarity._assign_cells): the array_max-over-literal-centroids form
+    must pick the EXACT winner the old broadcast-crossJoin +
+    groupBy(vec_id).agg(max(struct(sim, -cell_id, v))) aggregate picked —
+    including the two edge classes that exercise the struct total order:
+    an exact cosine TIE between two cells (lowest cell_id must win) and a
+    ZERO-NORM vector (all sims NULL: lowest cell_id must win)."""
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.similarity import (
+        _assign_cells,
+        cosine,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),        # exactly on centroid 0
+            (1, [0.0, 1.0]),        # exactly on centroid 1
+            (2, [1.0, 1.0]),        # equidistant: cosine tie -> cell 0
+            (3, [0.0, 0.0]),        # zero norm: NULL sims -> cell 0
+            (4, [-1.0, -1.0]),      # negative quadrant tie -> cell 0
+        ],
+        "vec_id LONG, v ARRAY<DOUBLE>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cell_id LONG, centroid ARRAY<DOUBLE>",
+    )
+
+    # the pre-r11 aggregate formulation, verbatim
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.struct(
+            cosine(F.col("v"), F.col("centroid")).alias("sim"),
+            (-F.col("cell_id")).alias("negc"),
+            F.col("v"),
+        ).alias("cand"),
+    )
+    old = (
+        scored.groupBy("vec_id")
+        .agg(F.max("cand").alias("b"))
+        .select("vec_id", (-F.col("b.negc")).alias("cell_id"))
+    )
+    new = _assign_cells(vecs, cents).select("vec_id", "cell_id")
+    assert sorted(map(tuple, new.collect())) == sorted(
+        map(tuple, old.collect())
+    )
+    # and the documented edge-class outcomes explicitly
+    got = {r.vec_id: r.cell_id for r in new.collect()}
+    assert got == {0: 0, 1: 1, 2: 0, 3: 0, 4: 0}
