@@ -260,17 +260,26 @@ def run_bulk_dedup(spark, sf_dir: str) -> tuple[float, float]:
     100 TB corpus's duplicate mass before anything quadratic-ish runs.
     The replication is itself the workload: 500k docs collapse to the
     ~4k unique fingerprints, and the shuffle carries 16-byte fingerprints
-    + counts, never text. ~240k docs/s warm on local[32]."""
+    + counts, never text. ~240k docs/s warm on local[32].
+
+    Optimization r11 (guide §8 / OPTIMIZATION_r11.md): replication is now
+    partitioned-range ⋈ broadcast-corpus — the word_count_bulk shape —
+    instead of crossJoin + repartition(64), whose keyless repartition
+    SHUFFLED all 500k replicated texts before the fingerprint stage,
+    contradicting the never-shuffle-text contract this docstring states.
+    Same computed relation (verified row-identical); 4.10 → 1.98 s warm
+    at sf0.1, interleaved A/B, every adjacent pair agreeing."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     rep = (
-        docs.crossJoin(spark.range(100).select(F.col("id").alias("copy")))
+        spark.range(0, 100, 1, 64)
+        .select(F.col("id").alias("copy"))
+        .join(F.broadcast(docs))
         .select(
             (F.col("doc_id") + F.col("copy") * 1_000_000).alias("doc_id"),
             "text",
         )
-        .repartition(64)
     )
     toks = rep.select(
         "doc_id",

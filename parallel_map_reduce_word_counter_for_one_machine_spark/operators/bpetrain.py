@@ -463,19 +463,34 @@ def _collect_batch_stats(
             "rn",
         )
     )
+    # The candidate-overlap trigrams ride the SAME collect as the L/R
+    # rank-limited rows (optimization r11): dtc was a third separate
+    # driver action per pass over the tg checkpoint; as a third union
+    # branch ("D", a=x, b=y, o=z) the pass needs two bounded actions
+    # (top + this union) instead of three — on a 50k-merge production
+    # run that is one fewer job per vocabulary pass. Row content and
+    # the resulting dicts are unchanged.
+    drows = tg.filter(lk.isin(keys) & rk.isin(keys)).select(
+        F.lit("D").alias("s"),
+        F.col("x").alias("a"),
+        F.col("y").alias("b"),
+        F.col("z").alias("o"),
+        "tc",
+        F.lit(0).alias("rn"),
+    )
     ltop: dict = {}
     rtop: dict = {}
-    for r in lrows.unionAll(rrows).collect():
+    dtc: dict = {}
+    for r in lrows.unionAll(rrows).unionAll(drows).collect():
+        if r["s"] == "D":
+            dtc[(r["a"], r["b"], r["o"])] = int(r["tc"])
+            continue
         (ltop if r["s"] == "L" else rtop).setdefault(
             (r["a"], r["b"]), []
         ).append((r["o"], int(r["tc"]), int(r["rn"])))
     for m in (ltop, rtop):
         for k in m:
             m[k] = [(o, t) for o, t, _ in sorted(m[k], key=lambda e: e[2])]
-    dtc = {
-        (r["x"], r["y"], r["z"]): int(r["tc"])
-        for r in tg.filter(lk.isin(keys) & rk.isin(keys)).collect()
-    }
     return _greedy_batch(
         top,
         budget,
