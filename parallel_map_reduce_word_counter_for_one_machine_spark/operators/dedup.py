@@ -486,8 +486,8 @@ def lsh_candidate_pairs(
     )
     # The rot-bearing stream is re-derived ONLY for over-cap buckets: a
     # map pass off the sigs checkpoint, executed at all only when the
-    # bounded driver probe inside _overcap_neighbor_pairs finds an
-    # overflow.
+    # overcap_keys AQE stage materializes non-empty (empty-relation
+    # propagation prunes it otherwise — see _overcap_neighbor_pairs).
     banded_wide = sigs.select(
         "doc_id",
         F.explode(
@@ -538,16 +538,20 @@ def _overcap_neighbor_pairs(
     keys`` — callers that already aggregated bucket sizes pass theirs),
     NOT the previous whole-partition count window, which exchanged AND
     sorted every banded row of the corpus just to learn bucket sizes —
-    the dominant candidates-stage cost at the 1.5 M-doc decade tier. A
-    bounded driver probe (the ``_small_vocab`` idiom — one limit(1) job
-    over the tiny aggregate) then SKIPS the whole recovery subtree when
-    no bucket overflows, the common case for a band key space sized to
-    the corpus; otherwise ``df`` is joined against the over-cap key set
-    (AQE broadcasts it when small) and only those buckets pay the two
-    sorts + lead/explode machinery. Dropping whole ≤cap buckets is
-    exactly result-preserving: the output filter keeps only pairs with
-    one end beyond ``max_bucket`` in doc_id rank, and lead() pairs never
-    cross buckets.
+    the dominant candidates-stage cost at the 1.5 M-doc decade tier.
+    When no bucket overflows — the common case for a band key space
+    sized to the corpus — the recovery subtree is skipped at RUNTIME:
+    overcap_keys is its own AQE query stage, and an empty stage
+    propagates through the inner join below, so neither ``df`` (the
+    re-derived wide stream) nor the two sorts ever run (r11: this
+    replaced an eager limit(1).count() driver probe that cost one full
+    banded-aggregation job per LSH invocation). With overflow, ``df``
+    is joined against the over-cap key set (AQE broadcasts it when
+    small) and only those buckets pay the two sorts + lead/explode
+    machinery. Dropping whole ≤cap buckets is exactly
+    result-preserving: the output filter keeps only pairs with one end
+    beyond ``max_bucket`` in doc_id rank, and lead() pairs never cross
+    buckets.
 
     ``df`` needs columns ``doc_id``, ``part_keys``, and whatever
     ``order_cols``/``carry`` reference. Output: (doc_a, doc_b) with
@@ -561,17 +565,21 @@ def _overcap_neighbor_pairs(
             .filter(F.col("_bn") > max_bucket)
             .select(*part_keys)
         )
-    if overcap_keys.limit(1).count() == 0:
-        # no bucket overflows: the recovery contributes nothing — return
-        # an EMPTY relation of the right shape without ever evaluating
-        # ``df`` (which may be a deliberately re-derived wide stream)
-        proto = df.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("doc_id").alias("doc_b"),
-            *[F.col(c).alias(f"{c}_a") for c in carry],
-            *[F.col(c).alias(f"{c}_b") for c in carry],
-        )
-        return df.sparkSession.createDataFrame([], proto.schema)
+    # NO eager existence probe (optimization r11): the previous
+    # ``overcap_keys.limit(1).count() == 0`` early-exit ran one full
+    # banded-aggregation JOB at query-construction time, per invocation,
+    # for every LSH caller — just to decide whether to include this
+    # subtree. The decision now happens at RUNTIME for free: overcap_keys
+    # sits behind an exchange, so it is its own AQE query stage, and when
+    # it materializes EMPTY, AQE's empty-relation propagation replaces
+    # the inner join below with an empty relation and never evaluates
+    # ``df`` (the deliberately re-derived wide stream) or the two window
+    # sorts — the same skip the probe bought, without the extra job.
+    # With overflow present the aggregate is computed once inside the
+    # main job instead of once in the probe and once in the plan.
+    # Verified output-identical on both regimes (overflowing cluster
+    # buckets at sf0.1; overflow-free rhp bands) — see
+    # OPTIMIZATION_r11.md.
     df = df.join(overcap_keys, part_keys)
 
     w_rank = Window.partitionBy(*part_keys).orderBy("doc_id")
