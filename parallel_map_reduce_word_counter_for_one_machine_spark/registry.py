@@ -22,6 +22,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# key → source file of the registered callable (for change-aware stamping
+# priority in ``prioritize`` — VERDICT r11 item 3).
+QUERY_FILES: dict[str, str] = {}
 
 
 def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
@@ -33,6 +36,10 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        try:
+            QUERY_FILES[name] = fn.__code__.co_filename
+        except AttributeError:
+            QUERY_FILES[name] = ""
         return fn
 
     return deco
@@ -62,9 +69,58 @@ def _last_green_round() -> dict[str, int]:
     return last
 
 
+def _files_changed_after_stamp(last: dict[str, int]) -> dict[str, int]:
+    """key → module last-commit unix time, for keys whose registered
+    callable's source file was COMMITTED more recently than the
+    CORRECTNESS_r{N}.json that last stamped them green (VERDICT r11 item
+    3: the r11 staleness rotation left every behavior-changed operator
+    OUTSIDE the driver's oracle window — their stamps predate the change,
+    so pure staleness ordering can starve exactly the keys that most need
+    re-verification). One ``git log --name-only`` pass gives each file's
+    last-commit time; degrades to the empty dict (pure staleness order)
+    when git is unavailable."""
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out = subprocess.run(
+            ["git", "-C", root, "log", "--format=%%ct:%ct", "--name-only"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if out.returncode != 0:
+            return {}
+    except (OSError, subprocess.SubprocessError):
+        return {}
+    file_ts: dict[str, int] = {}
+    ts = 0
+    for line in out.stdout.splitlines():
+        if line.startswith("%ct:"):
+            ts = int(line[4:])
+        elif line and line not in file_ts:
+            file_ts[line] = ts  # newest-first: first mention = last commit
+    changed: dict[str, int] = {}
+    for key, path in QUERY_FILES.items():
+        rnd = last.get(key)
+        if rnd is None or not path:
+            continue  # never green: already first-class in the sort
+        rel = os.path.relpath(path, root)
+        stamp_ts = file_ts.get(f"CORRECTNESS_r{rnd:02d}.json") or file_ts.get(
+            f"CORRECTNESS_r{rnd}.json"
+        )
+        mod_ts = file_ts.get(rel)
+        if stamp_ts and mod_ts and mod_ts > stamp_ts:
+            changed[key] = mod_ts
+    return changed
+
+
 def prioritize() -> None:
-    """Reorder ``QUERIES``: never-green keys first, then green keys by
-    STALENESS (oldest last-green round first).
+    """Reorder ``QUERIES``: never-green keys first, then green keys whose
+    OPERATOR SOURCE CHANGED since their last green stamp (by staleness
+    within the class), then the rest by STALENESS (oldest last-green round
+    first).
 
     ORDER MATTERS for the driver: it walks ``queries()`` in registration
     order under a per-round budget (~50 keys/round, STATUS.md), so keys past
@@ -73,12 +129,23 @@ def prioritize() -> None:
     the whole registry green after r04, the budget's remaining slots now
     rotate as DRIFT RE-CHECKS — staleness ordering (VERDICT r04 item 8)
     guarantees no key's most recent green row ages more than
-    ceil(registry/budget) rounds, instead of the tail never re-stamping.
-    Python's sort is stable, so registration order breaks ties within one
-    staleness class.
+    ceil(registry/budget) rounds. The changed-since-stamp class (r12,
+    VERDICT r11 item 3) ranks re-verification of touched operators ahead of
+    drift re-checks of untouched ones, ordered MOST-RECENTLY-CHANGED first
+    (then stalest-stamp) so the current round's behavior-touched keys land
+    inside the budget even when the changed backlog exceeds it. Python's
+    sort is stable, so registration order breaks ties within one class.
     """
     last = _last_green_round()
-    items = sorted(QUERIES.items(), key=lambda kv: last.get(kv[0], -1))
+    changed = _files_changed_after_stamp(last)
+    items = sorted(
+        QUERIES.items(),
+        key=lambda kv: (
+            0 if kv[0] not in last else (1 if kv[0] in changed else 2),
+            -changed.get(kv[0], 0),
+            last.get(kv[0], -1),
+        ),
+    )
     QUERIES.clear()
     QUERIES.update(items)
 

@@ -631,3 +631,37 @@ def test_assign_cells_pure_map_matches_aggregate(spark):
     # and the documented edge-class outcomes explicitly
     got = {r.vec_id: r.cell_id for r in new.collect()}
     assert got == {0: 0, 1: 1, 2: 0, 3: 0, 4: 0}
+
+
+def test_assign_cells_k_bound_falls_back_to_aggregate(spark):
+    """r12 (VERDICT r11 what's-wrong 3): above ASSIGN_LITERAL_CELL_CAP the
+    assignment must NOT bake k×dim literals into the plan — it falls back
+    to the broadcast-crossJoin aggregate, which degrades gracefully at any
+    k. Also pins the ADVICE r11 empty-centroid guard."""
+    import pytest
+
+    from parallel_map_reduce_word_counter_for_one_machine_spark.operators.similarity import (
+        ASSIGN_LITERAL_CELL_CAP,
+        _assign_cells,
+    )
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id LONG, v ARRAY<DOUBLE>"
+    )
+    k = ASSIGN_LITERAL_CELL_CAP + 2
+    cents = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(k)],
+        "cell_id LONG, centroid ARRAY<DOUBLE>",
+    )
+    out = _assign_cells(vecs, cents)
+    # the fallback is a join; the pure-map plan has none
+    assert "Join" in out._jdf.queryExecution().analyzed().toString()
+    got = {r.vec_id: r.cell_id for r in out.collect()}
+    # centroid i = [i+1, 1]: cosine with [1,0] rises with i (→ cell k-1),
+    # cosine with [0,1] falls with i (→ cell 0)
+    assert got[0] == k - 1 and got[1] == 0
+    # small k keeps the literal pure map (no join in the plan)
+    small = _assign_cells(vecs, cents.limit(2))
+    assert "Join" not in small._jdf.queryExecution().analyzed().toString()
+    with pytest.raises(ValueError):
+        _assign_cells(vecs, cents.filter("cell_id < 0"))

@@ -44,12 +44,6 @@ def bench_fn(name):
     return bench._bench_fn(name)
 
 
-def job_count(sc) -> tuple[int, int]:
-    t = sc.statusTracker()
-    jids = t.getJobIdsForGroup(None)
-    return len(jids), 0
-
-
 def main() -> None:
     names = sys.argv[1:] or DEFAULT
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,7 +62,10 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         rows = []
         for _ in range(3):
-            jt = sc._jsc.sc().jobProgressListener() if False else None
+            # getJobIdsForGroup(None) is bounded by spark.ui.retainedJobs
+            # (default 1000): job deltas undercount once a long profiling
+            # session evicts old entries — restart the session or raise
+            # retainedJobs when profiling job-heavy keys for long.
             j0 = len(sc.statusTracker().getJobIdsForGroup(None))
             t0 = time.monotonic()
             df = fn(spark, sf_dir)
